@@ -48,11 +48,12 @@ def _read_block(f) -> tuple[bytes, int] | None:
     while i + 4 <= len(extra):
         si1, si2, slen = extra[i], extra[i + 1], struct.unpack("<H", extra[i + 2 : i + 4])[0]
         if si1 == 66 and si2 == 67 and slen == 2:
-            bsize = struct.unpack("<H", extra[i + 4 : i + 6])[0] + 1
+            bsize = struct.unpack("<H", extra[i + 4 : i + 6])[0] + 1  # total block size
         i += 4 + slen
     if bsize is None:
         raise ValueError("missing BC subfield: not a BGZF block")
-    cdata = f.read(bsize - xlen - 19)
+    # total = 12 (header) + xlen (extra) + cdata + 8 (crc+isize)
+    cdata = f.read(bsize - xlen - 20)
     f.read(8)  # CRC32 + ISIZE
     data = zlib.decompress(cdata, wbits=-15)
     return data, bsize
@@ -180,13 +181,13 @@ class BgzfWriter(io.RawIOBase):
     def _flush_block(self, data: bytes) -> None:
         c = zlib.compressobj(self._level, zlib.DEFLATED, -15)
         cdata = c.compress(bytes(data)) + c.flush()
-        bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+footer(8) = 26; BSIZE=total-1
+        bsize_field = len(cdata) + 26 - 1  # total = cdata + header(12)+extra(6)+footer(8); BSIZE = total-1
         header = (
             b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
             + struct.pack("<H", 6)
             + b"BC"
             + struct.pack("<H", 2)
-            + struct.pack("<H", bsize)
+            + struct.pack("<H", bsize_field)
         )
         footer = struct.pack("<II", zlib.crc32(bytes(data)) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
         self._f.write(header + cdata + footer)
