@@ -332,6 +332,17 @@ class Graph:
     def get_variant_num(self, v: int) -> int:
         return v - self.ref_nodes[self.var_nodes[v].out_ref_id - 1].out_var_ids[0]
 
+    def is_snp(self, gt: Genotype) -> bool:
+        """True iff every allele of the site is a single base (graph.cpp:2026)."""
+        v = gt.first_variant_node
+        if len(self.var_nodes[v].label.dna) > 1:
+            return False
+        r = self.var_nodes[v].out_ref_id - 1
+        for o in range(1, self.ref_nodes[r].out_degree):
+            if len(self.var_nodes[v + o].label.dna) > 1:
+                return False
+        return True
+
     def check(self) -> bool:
         """ACGTN-only (tags allowed in var nodes), nonempty var dna,
         increasing order (graph.cpp:1809-1813)."""

@@ -1,0 +1,228 @@
+"""Read-to-graph alignment: seeding via the k-mer index, path-lattice merge,
+and bounded walk extension; read-pair orientation resolution.
+
+Reference semantics: src/typer/alignment.cpp — align_read (:331),
+find_genotype_paths_of_one_of_the_sequences (:23-103), update_paths /
+update_unpaired_read_paths (:368-556), get_better_paths (:557);
+src/utilities/kmer_help_functions.cpp — query_index (stride K-1 kmers with
+IUPAC expansion), query_index_hamming_distance1_without_index (96 probes per
+unambiguous kmer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graphtyper_tpu.constants import (
+    IS_CLIPPED,
+    IS_FIRST_IN_PAIR,
+    IS_MAPQ_BAD,
+    IS_PAIRED,
+    IS_PROPER_PAIR,
+    IS_REVERSED,
+    IS_UNMAPPED,
+    K,
+    MAX_UNIQUE_KMER_POSITIONS,
+)
+from graphtyper_tpu.index.kmer_index import KmerIndex, hamming1_keys
+from graphtyper_tpu.io.bam import AlignedRead
+from graphtyper_tpu.typer.genotype_paths import GenotypePaths, compare_pairs, compare_single
+from graphtyper_tpu.utils.dna import encode, revcomp_codes
+
+
+def num_kmers(length: int) -> int:
+    return 0 if length < K else 1 + (length - K) // (K - 1)
+
+
+def to_uint64_list(codes: np.ndarray, i: int) -> list[int]:
+    """Packed keys of codes[i:i+K] with ambiguity fork (type_conversions.cpp
+    to_uint64_vec:208-266; any non-ACGT read base forks 4 ways, capped 97)."""
+    keys = [0]
+    for j in range(i, i + K):
+        c = int(codes[j])
+        if len(keys) > 97:
+            return []
+        if c < 4:
+            keys = [(k << 2) | c for k in keys]
+        else:
+            new_keys = []
+            for k in keys:
+                base = k << 2
+                new_keys.extend((base | 3, base, base | 1, base | 2))
+            keys = new_keys
+    return keys
+
+
+def query_index(codes: np.ndarray, index: KmerIndex) -> list[list[tuple[int, int, int]]]:
+    """Labels for kmers at stride K-1 over the read."""
+    out = []
+    for i in range(num_kmers(len(codes))):
+        keys = to_uint64_list(codes, (K - 1) * i)
+        labels: list[tuple[int, int, int]] = []
+        for key in keys:
+            labels.extend(index.get(key))
+        out.append(labels)
+    return out
+
+
+def query_index_hamming1(codes: np.ndarray, index: KmerIndex) -> list[list[tuple[int, int, int]]]:
+    out = []
+    for i in range(num_kmers(len(codes))):
+        keys = to_uint64_list(codes, (K - 1) * i)
+        labels: list[tuple[int, int, int]] = []
+        if len(keys) == 1:
+            for key in hamming1_keys(np.array(keys, dtype=np.uint64))[0]:
+                labels.extend(index.get(int(key)))
+        out.append(labels)
+    return out
+
+
+def find_genotype_paths(graph, index: KmerIndex, codes: np.ndarray, geno: GenotypePaths) -> None:
+    """find_genotype_paths_of_one_of_the_sequences (alignment.cpp:23-103)."""
+    h0 = query_index(codes, index)
+    h1 = query_index_hamming1(codes, index)
+    assert len(h0) > 0
+
+    # Stop if all kmers are extremely common
+    if all(len(l) >= MAX_UNIQUE_KMER_POSITIONS for l in h0):
+        return
+
+    read_start = 0
+    for l0, l1 in zip(h0, h1):
+        geno.add_next_kmer_labels(graph, l0, read_start, read_start + K - 1, 0)
+        geno.add_next_kmer_labels(graph, l1, read_start, read_start + K - 1, 1)
+        read_start += K - 1
+
+    geno.remove_short_paths()
+    geno.walk_read_starts(graph, codes, -1)
+    geno.walk_read_ends(graph, codes, -1)
+    geno.update_longest_path_size()
+    geno.remove_short_paths()
+    geno.remove_paths_with_too_many_mismatches()
+    if graph.is_sv_graph:
+        geno.remove_fully_special_paths(graph)
+    geno.remove_non_ref_paths_when_read_matches_ref()
+    geno.update_longest_path_size()
+    geno.remove_short_paths()
+    if graph.is_sv_graph:
+        geno.remove_support_from_read_ends(graph)
+    geno.read2 = codes
+
+
+def align_read(
+    graph,
+    index: KmerIndex,
+    read: AlignedRead,
+    force_align_both_orientations: bool = False,
+) -> tuple[GenotypePaths, GenotypePaths]:
+    """align_read (alignment.cpp:331-366): forward codes always; reverse
+    complement unless proper-pair geometry says otherwise."""
+    codes = encode(read.seq)
+    rcodes = revcomp_codes(codes)
+    geno1 = GenotypePaths(read.flag, len(codes))
+    geno2 = GenotypePaths(read.flag, len(codes))
+    if len(codes) < 2 * K - 1:
+        return geno1, geno2
+
+    # reference checks read-reversed vs mate-reversed flags (0x10 vs 0x20)
+    proper_geometry = (read.flag & IS_PAIRED) == 0 or (
+        read.ref_id == read.mate_ref_id
+        and -1200 < read.tlen < 1200
+        and bool(read.flag & 0x10) != bool(read.flag & 0x20)
+    )
+    find_genotype_paths(graph, index, codes, geno1)
+    if not proper_geometry or force_align_both_orientations:
+        find_genotype_paths(graph, index, rcodes, geno2)
+    return geno1, geno2
+
+
+def _clipped_count(read: AlignedRead) -> int:
+    if read.cigar:
+        if read.cigar[0][0] == 4:
+            return read.cigar[0][1]
+        if read.cigar[-1][0] == 4:
+            return read.cigar[-1][1]
+    return 0
+
+
+def _score_diff(read: AlignedRead) -> int:
+    as_ = read.tags.get("AS", -1)
+    xs = read.tags.get("XS", -1)
+    if as_ == -1 or as_ < xs:
+        return 0
+    if xs == -1:
+        xs = 0
+    return min(as_ - xs, 255)
+
+
+def update_paths(genos: tuple[GenotypePaths, GenotypePaths], read: AlignedRead) -> None:
+    """Paired-read flag/metadata propagation (alignment.cpp:483-556)."""
+    geno1, geno2 = genos
+    geno1.flags = read.flag & ~IS_PROPER_PAIR
+    geno1.mapq = read.mapq
+    geno1.ml_insert_size = abs(read.tlen)
+    if not (read.flag & IS_UNMAPPED):
+        geno1.original_pos = read.pos
+        geno2.original_pos = read.pos
+    if read.mapq < 25:
+        geno1.flags |= IS_MAPQ_BAD
+    if _clipped_count(read) > 3:
+        geno1.flags |= IS_CLIPPED
+        geno2.flags |= IS_CLIPPED
+    sd = _score_diff(read)
+    geno1.score_diff = sd
+    geno2.score_diff = sd
+    geno2.flags = (read.flag ^ IS_REVERSED) & ~IS_PROPER_PAIR
+    if read.mapq < 25:
+        geno2.flags |= IS_MAPQ_BAD
+    geno2.mapq = geno1.mapq
+    geno2.ml_insert_size = geno1.ml_insert_size
+
+
+def update_unpaired_read_paths(genos: tuple[GenotypePaths, GenotypePaths], read: AlignedRead) -> GenotypePaths | None:
+    """Unpaired orientation selection (alignment.cpp:368-450)."""
+    cmp = compare_single(genos[0], genos[1])
+    if cmp == 0:
+        return None
+    geno = genos[0] if cmp == 1 else genos[1]
+    if cmp == 1:
+        geno.flags = read.flag & ~IS_PROPER_PAIR
+    else:
+        geno.flags = (read.flag ^ IS_REVERSED) & ~IS_PROPER_PAIR
+    geno.mapq = read.mapq
+    if not (read.flag & IS_UNMAPPED):
+        geno.original_pos = read.pos
+    if read.mapq < 25:
+        geno.flags |= IS_MAPQ_BAD
+    if _clipped_count(read) > 3:
+        geno.flags |= IS_CLIPPED
+    geno.score_diff = _score_diff(read)
+    return geno
+
+
+def get_better_paths(
+    genos1: tuple[GenotypePaths, GenotypePaths], genos2: tuple[GenotypePaths, GenotypePaths]
+) -> tuple[GenotypePaths, GenotypePaths] | None:
+    """Resolve mate-pair orientations (alignment.cpp:557-638): pick the
+    (fwd-of-one, rev-of-other) combination that aligns best."""
+    arr: list[GenotypePaths | None] = [None, None, None, None]
+
+    def get_index(flags: int) -> int:
+        return int((flags & IS_FIRST_IN_PAIR) != 0) + 2 * int((flags & IS_REVERSED) == 0)
+
+    for g in (genos1[0], genos1[1], genos2[0], genos2[1]):
+        arr[get_index(g.flags)] = g
+    if any(a is None for a in arr):
+        return None
+    pair1 = (arr[3], arr[0])  # first fwd + second rev
+    pair2 = (arr[1], arr[2])  # first rev + second fwd
+    cmp = compare_pairs(pair1[0], pair1[1], pair2[0], pair2[1])
+    if cmp == 1:
+        pair1[0].flags |= IS_PROPER_PAIR
+        pair1[1].flags |= IS_PROPER_PAIR
+        return pair1
+    if cmp == 2:
+        pair2[0].flags |= IS_PROPER_PAIR
+        pair2[1].flags |= IS_PROPER_PAIR
+        return pair2
+    return None

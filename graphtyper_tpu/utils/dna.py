@@ -34,6 +34,22 @@ for a, b in zip(b"ACGTacgtNn", b"TGCAtgcaNn"):
     _COMPLEMENT[a] = b
 
 
+# Graph-label encoding: tag characters ('<SV:NNNNNNN>' etc.) get code 6 so
+# mismatch counting can hard-reject paths through them (count_mismatches
+# semantics, graph_utils.hpp:20-23); N stays 4 (matches anything).
+_GRAPH_CODE = np.full(256, 6, dtype=np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _GRAPH_CODE[b] = i
+_GRAPH_CODE[ord("N")] = 4
+
+TAG_CODE = 6
+
+
+def encode_graph(seq: bytes) -> np.ndarray:
+    """Graph label DNA -> codes (A0 C1 G2 T3, N=4, tag/other=6)."""
+    return _GRAPH_CODE[np.frombuffer(seq, dtype=np.uint8)]
+
+
 def encode(seq: bytes | str | np.ndarray) -> np.ndarray:
     """ASCII sequence -> uint8 codes (A=0 C=1 G=2 T=3, other=4)."""
     if isinstance(seq, str):

@@ -3,10 +3,17 @@ run without TPU hardware (the driver separately dry-runs multi-chip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session env presets JAX_PLATFORMS=axon (real TPU via tunnel), and the
+# axon sitecustomize registers its PJRT plugin regardless of the env var —
+# jax.config.update after import is what actually forces CPU here.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
