@@ -82,6 +82,19 @@ class Graph:
         self.ref_reach_poses: list[int] = []
         self.actual_poses: list[int] = []
         self.ref_reach_to_special_pos: dict[int, list[int]] = {}
+        self._abs_pos: AbsolutePosition | None = None
+
+    @property
+    def abs_pos(self) -> AbsolutePosition:
+        """Contig-offset coordinate converter (reference's global
+        gyper::absolute_pos, built from this graph's contigs)."""
+        if self._abs_pos is None or len(self._abs_pos.offsets) != len(self.contigs):
+            self._abs_pos = AbsolutePosition(self.contigs)
+        return self._abs_pos
+
+    @abs_pos.setter
+    def abs_pos(self, value: AbsolutePosition) -> None:
+        self._abs_pos = value
 
     # ------------------------------------------------------------------
     # Construction (graph.cpp add_genomic_region)

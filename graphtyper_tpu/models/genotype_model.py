@@ -93,6 +93,46 @@ class VarStats:
             read_strand=[ReadStrand() for _ in range(allele_count)],
         )
 
+    def add_stats(self, o: "VarStats") -> None:
+        """Cross-pool reduction (var_stats.cpp:141-196)."""
+        assert len(self.per_allele) == len(o.per_allele)
+        self.clipped_reads += o.clipped_reads
+        self.mapq_squared += o.mapq_squared
+        self.n_genotyped += o.n_genotyped
+        self.n_calls += o.n_calls
+        self.n_passed_calls += o.n_passed_calls
+        self.n_max_alt_proper_pairs += o.n_max_alt_proper_pairs
+        self.het_allele_depth[0] += o.het_allele_depth[0]
+        self.het_allele_depth[1] += o.het_allele_depth[1]
+        self.hom_allele_depth[0] += o.hom_allele_depth[0]
+        self.hom_allele_depth[1] += o.hom_allele_depth[1]
+        self.seqdepth += o.seqdepth
+        for a, b in zip(self.per_allele, o.per_allele):
+            a.clipped_bp += b.clipped_bp
+            a.mapq_squared += b.mapq_squared
+            a.score_diff += b.score_diff
+            a.mismatches += b.mismatches
+            a.qd_qual += b.qd_qual
+            a.qd_depth += b.qd_depth
+            a.total_depth += b.total_depth
+            a.ac += b.ac
+            a.pass_ac += b.pass_ac
+            a.maximum_alt_support = max(a.maximum_alt_support, b.maximum_alt_support)
+            a.maximum_alt_support_ratio = max(a.maximum_alt_support_ratio, b.maximum_alt_support_ratio)
+            a.n_ref_ref += b.n_ref_ref
+            a.n_ref_alt += b.n_ref_alt
+            a.n_alt_alt += b.n_alt_alt
+            a.het_multi_allele_depth = (
+                a.het_multi_allele_depth[0] + b.het_multi_allele_depth[0],
+                a.het_multi_allele_depth[1] + b.het_multi_allele_depth[1],
+            )
+            a.hom_multi_allele_depth = (
+                a.hom_multi_allele_depth[0] + b.hom_multi_allele_depth[0],
+                a.hom_multi_allele_depth[1] + b.hom_multi_allele_depth[1],
+            )
+        for a, b in zip(self.read_strand, o.read_strand):
+            a.merge_with(b)
+
 
 @dataclass
 class HapSample:

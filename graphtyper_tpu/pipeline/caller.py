@@ -1,0 +1,316 @@
+"""The pooled read caller: stream reads in (tid,pos,seq) order, deduplicate
+identical reads (alignment computed once and reused — the reference's big
+cohort-scale win), pair mates, score sites, derive the phasing map, and emit
+a per-pool VcfOutput.
+
+Reference semantics: src/utilities/hts_parallel_reader.cpp —
+parallel_reader_genotype_only (:458-1033) incl. is_good_read SV gate (:528),
+coverage bins (:599-633), leftover-mate handling (:719-772), phasing `ph`
+map derivation (:790-904, thresholds 0.22/0.78, support>=4 or >=28%).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from graphtyper_tpu.constants import (
+    IS_ANY_ANTI_HAP_SUPPORT,
+    IS_ANY_HAP_SUPPORT,
+    IS_FIRST_IN_PAIR,
+    IS_PAIRED,
+    IS_REVERSED,
+    IS_UNMAPPED,
+)
+from graphtyper_tpu.index.kmer_index import KmerIndex
+from graphtyper_tpu.io.bam import AlignedRead, read_alignments
+from graphtyper_tpu.typer.alignment import (
+    align_read,
+    get_better_paths,
+    update_paths,
+    update_unpaired_read_paths,
+)
+from graphtyper_tpu.typer.scoring import SiteScorer
+from graphtyper_tpu.typer.vcf_out import VcfOutput
+
+SAM_FLAG_FILTER = 3840  # options.hpp:90
+
+
+class ReferenceDepth:
+    """Per-sample depth track over the region (reference_depth.cpp)."""
+
+    def __init__(self, graph, sample_count: int):
+        self.reference_offset = graph.ref_nodes[0].label.order if graph.ref_nodes else 0
+        size = len(graph.reference)
+        self.depths = np.zeros((sample_count, size), dtype=np.int32)
+        self.graph = graph
+
+    def add_genotype_paths(self, geno, sample_index: int) -> None:
+        if not geno.paths:
+            return
+        p = geno.paths[0]
+        start = self.graph.get_ref_reach_pos(p.start) - self.reference_offset
+        end = self.graph.get_ref_reach_pos(p.end) - self.reference_offset
+        start = max(0, start)
+        end = min(self.depths.shape[1], end + 1)
+        if start < end:
+            np.minimum(self.depths[sample_index, start:end] + 1, 0xFFFF, out=self.depths[sample_index, start:end])
+
+    def get_read_depth(self, pos: int, sample_index: int) -> int:
+        """Depth at one contig-local position (reference_depth.cpp:61-70)."""
+        idx = pos - self.reference_offset
+        if 0 <= idx < self.depths.shape[1]:
+            return int(self.depths[sample_index, idx])
+        return 0
+
+    def get_max_depth(self, abs_pos: int, ref_len: int, sample_index: int) -> int:
+        start = abs_pos - self.reference_offset
+        end = start + ref_len - 1
+        if ref_len > 1:
+            start += 1
+        start = max(0, start)
+        end = min(self.depths.shape[1], end + 1)
+        if start >= self.depths.shape[1] or start >= end:
+            return 0
+        return int(self.depths[sample_index, start:end].max())
+
+
+def is_good_sv_read(read: AlignedRead) -> bool:
+    """hts_parallel_reader.cpp:528-568."""
+    if read.flag & IS_UNMAPPED:
+        return False
+    is_mate_far_away = read.ref_id != read.mate_ref_id or abs(read.pos - read.mate_pos) > 200000
+    if read.mapq <= 15 and is_mate_far_away:
+        return False
+    if len(read.cigar) >= 2:
+        op_f, cnt_f = read.cigar[0]
+        op_b, cnt_b = read.cigar[-1]
+        is_one_clipped = (op_f == 4 and cnt_f >= 12) or (op_b == 4 and cnt_b >= 12)
+        are_both_clipped = op_f == 4 and op_b == 4
+        if are_both_clipped or (read.mapq <= 15 and is_one_clipped):
+            return False
+    return True
+
+
+@dataclass
+class PoolResult:
+    vcf: VcfOutput
+    ph: dict  # {(hap_id1, allele1): {(hap_id2, allele2): int8 flags}}
+    scorer: SiteScorer
+    reference_depth: ReferenceDepth | None = None
+    num_records: int = 0
+    num_duplicated: int = 0
+
+
+def read_pool_records(
+    hts_paths: list[str], region=None
+) -> tuple[list[str], list[tuple[AlignedRead, int, int]]]:
+    """Load and pool-merge reads: returns (sample_names, [(read, sample_i,
+    rg_i)] sorted by (ref_id, pos, seq))."""
+    sample_names: list[str] = []
+    pooled: list[tuple[AlignedRead, int, int]] = []
+    for path in hts_paths:
+        header, reads = read_alignments(path, parse_tags=True)
+        if header.sample_names:
+            base_sample = header.sample_names[0]
+        else:
+            base_sample = path.rsplit("/", 1)[-1].split(".")[0]
+        sample_i = len(sample_names)
+        sample_names.append(base_sample)
+        for r in reads:
+            if region is not None:
+                # region filter: read overlaps [begin, end) on the region contig
+                if r.ref_id < 0:
+                    continue
+                if header.ref_names[r.ref_id] != region.chr:
+                    continue
+            pooled.append((r, sample_i, sample_i))
+    pooled.sort(key=lambda t: (t[0].ref_id, t[0].pos, t[0].seq))
+    return sample_names, pooled
+
+
+def call_pool(
+    graph,
+    index: KmerIndex,
+    hts_paths: list[str],
+    region=None,
+    avg_cov_by_readlen: list[float] | None = None,
+    is_writing_calls_vcf: bool = True,
+    is_writing_hap: bool = True,
+    force_align_both_orientations: bool = False,
+    no_filter_on_coverage: bool = False,
+) -> PoolResult:
+    """parallel_reader_genotype_only for one pool of samples."""
+    sample_names, pooled = read_pool_records(hts_paths, region)
+    scorer = SiteScorer(graph, sample_names)
+    is_sv = graph.is_sv_graph
+    reference_depth = ReferenceDepth(graph, len(sample_names)) if is_sv else None
+
+    maps: list[dict] = [dict() for _ in sample_names]  # read name -> genos
+    num_records = 0
+    num_duplicated = 0
+    prev_key = None
+    prev_genos = None
+
+    # SV coverage bins (50bp, 3x avg cap)
+    first_pos = pooled[0][0].pos if pooled else 0
+    bin_counts: list[dict[int, int]] = [dict() for _ in sample_names]
+    coverage_filter = is_sv and not no_filter_on_coverage and avg_cov_by_readlen is not None
+
+    def update_bin_count(read: AlignedRead, sample_i: int) -> bool:
+        if not coverage_filter:
+            return True
+        if avg_cov_by_readlen[sample_i] <= 0.0:
+            return True
+        max_bin = min(0xFFFF, int(avg_cov_by_readlen[sample_i] * 50.0 * 3.0 + 0.5))
+        b = (read.pos - first_pos) // 50
+        cnt = bin_counts[sample_i].get(b, 0)
+        if cnt > max_bin:
+            return False
+        bin_counts[sample_i][b] = cnt + 1
+        return True
+
+    def process(read: AlignedRead, sample_i: int, rg_i: int, genos) -> None:
+        map_gpaths = maps[rg_i]
+        found = map_gpaths.get(read.name)
+        if found is None:
+            if read.flag & IS_PAIRED:
+                update_paths(genos, read)
+                map_gpaths[read.name] = genos
+            else:
+                selected = update_unpaired_read_paths(genos, read)
+                if selected is not None:
+                    scorer.update_haplotype_scores(selected, sample_i)
+        else:
+            update_paths(genos, read)
+            if (genos[0].flags & IS_FIRST_IN_PAIR) == (found[0].flags & IS_FIRST_IN_PAIR):
+                raise ValueError(f"Reads with name={read.name} both have same IS_FIRST_IN_PAIR")
+            better = get_better_paths(found, genos)
+            if better is not None:
+                if is_sv and reference_depth is not None:
+                    reference_depth.add_genotype_paths(better[0], sample_i)
+                    reference_depth.add_genotype_paths(better[1], sample_i)
+                scorer.update_haplotype_scores_pair(better[0], better[1], sample_i)
+            del map_gpaths[read.name]
+
+    for read, sample_i, rg_i in pooled:
+        if read.flag & SAM_FLAG_FILTER:
+            continue
+        if is_sv and not is_good_sv_read(read):
+            continue
+        num_records += 1
+        key = (read.pos, read.seq)
+        if prev_key is not None and key == prev_key:
+            num_duplicated += 1
+            update_bin_count(read, sample_i)
+            genos = copy.deepcopy(prev_genos)
+        else:
+            if not update_bin_count(read, sample_i):
+                num_records -= 1
+                continue
+            prev_genos = align_read(graph, index, read, force_align_both_orientations)
+            prev_key = key
+            genos = copy.deepcopy(prev_genos)
+        process(read, sample_i, rg_i, genos)
+
+    # leftover mates (SV only — reference drops them otherwise)
+    if is_sv:
+        for rg_i, map_gpaths in enumerate(maps):
+            sample_i = rg_i
+            for name, genos in map_gpaths.items():
+                other = copy.deepcopy(genos)
+                for g in other:
+                    g.flags ^= IS_FIRST_IN_PAIR | IS_REVERSED
+                better = get_better_paths(genos, other)
+                if better is not None:
+                    reference_depth.add_genotype_paths(better[0], sample_i)
+                    scorer.update_haplotype_scores(better[0], sample_i)
+        maps = []
+
+    ph = compute_ph_map(scorer) if is_writing_hap else {}
+
+    vcf = VcfOutput(sample_names=list(sample_names))
+    if is_writing_calls_vcf:
+        for ps, site in enumerate(scorer.sites):
+            vcf.add_haplotype(site, ps, graph)
+        if is_sv:
+            from graphtyper_tpu.typer.sv_reformat import reformat_sv_vcf_records
+
+            reformat_sv_vcf_records(vcf.variants, reference_depth, graph)
+            vcf.variants.sort(key=lambda v: (v.abs_pos, v.seqs))
+            for var in vcf.variants:
+                var.stats = type(var.stats)()  # clear
+        else:
+            for var in vcf.variants:
+                var.scan_calls()
+    else:
+        # sites-only VCF for haplotype extraction between iterations
+        for ps, site in enumerate(scorer.sites):
+            vcf.add_haplotype(site, ps, graph)
+        for var in vcf.variants:
+            var.scan_calls()
+            var.calls = []
+
+    return PoolResult(
+        vcf=vcf,
+        ph=ph,
+        scorer=scorer,
+        reference_depth=reference_depth,
+        num_records=num_records,
+        num_duplicated=num_duplicated,
+    )
+
+
+def compute_ph_map(scorer: SiteScorer) -> dict:
+    """Derive the phasing map from accumulated per-sample connections
+    (hts_parallel_reader.cpp:790-904)."""
+    sites = scorer.sites
+    ph: dict = {}
+    n = len(sites)
+    for ps1 in range(n - 1):
+        hap1 = sites[ps1]
+        order1 = hap1.gt.id
+        for ps2 in range(ps1 + 1, n):
+            hap2 = sites[ps2]
+            if hap2.gt.id >= order1 + 100:
+                break
+            for s in range(len(hap1.hap_samples)):
+                samp1 = hap1.hap_samples[s]
+                samp2 = hap2.hap_samples[s]
+                conn_map = scorer.connections[ps1][s]
+                cov_sum1 = float(samp1.gt_coverage.sum())
+                cov_sum2 = float(samp2.gt_coverage.sum())
+                for cov1 in range(1, hap1.gt.num):
+                    conn = conn_map.get(cov1)
+                    if conn is None:
+                        continue
+                    support_vec = conn.get(ps2)
+                    if support_vec is None:
+                        continue
+                    c1 = int(samp1.gt_coverage[cov1])
+                    is_clearly_seen1 = c1 >= 4 or (cov_sum1 > 0 and c1 / cov_sum1 >= 0.28)
+                    is_not_seen1 = c1 <= 2 or (cov_sum1 > 0 and c1 / cov_sum1 < 0.22)
+                    bucket = ph.setdefault((ps1, cov1), {})
+                    total_support = int(support_vec.sum())
+                    for cov2 in range(1, len(support_vec)):
+                        support = float(support_vec[cov2])
+                        c2 = int(samp2.gt_coverage[cov2])
+                        is_clearly_seen2 = c2 >= 4 or (cov_sum2 > 0 and c2 / cov_sum2 >= 0.28)
+                        is_not_seen2 = c2 <= 2 or (cov_sum2 > 0 and c2 / cov_sum2 < 0.22)
+                        if is_not_seen1 and is_not_seen2:
+                            continue
+                        if (is_not_seen1 and is_clearly_seen2) or (is_not_seen2 and is_clearly_seen1):
+                            is_good = IS_ANY_ANTI_HAP_SUPPORT
+                        else:
+                            if total_support <= 2:
+                                continue
+                            if is_clearly_seen1 and is_clearly_seen2 and support / total_support > 0.78:
+                                is_good = IS_ANY_HAP_SUPPORT
+                            elif support / total_support < 0.22:
+                                is_good = IS_ANY_ANTI_HAP_SUPPORT
+                            else:
+                                continue
+                        bucket[(ps2, cov2)] = bucket.get((ps2, cov2), 0) | is_good
+    return ph

@@ -1,0 +1,144 @@
+"""Multi-allele edit extraction: decompose a complex variant's alleles into
+primitive events (SNPs/indels) via pairwise global alignment.
+
+Replaces the reference's paw::Skyr MSA usage (variant.cpp:2149-2160
+break_down_skyr): each alt aligns to the ref, edits are extracted and
+left-normalized, equal edits across alleles merge, and overlapping-deletion
+positions get '*' alleles. Host numpy implementation (decomposition runs once
+per output variant, not in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _needleman_wunsch_edits(ref: bytes, alt: bytes) -> list[tuple[int, bytes, bytes]]:
+    """Global alignment; returns edits as (ref_pos, ref_piece, alt_piece)
+    with no anchor bases (one side may be empty for pure indels)."""
+    n, m = len(ref), len(alt)
+    if n == 0 or m == 0:
+        return [(0, ref, alt)] if ref != alt else []
+    MATCH, MISMATCH, GAP = 1, -1, -1
+    a = np.frombuffer(ref, dtype=np.uint8)
+    b = np.frombuffer(alt, dtype=np.uint8)
+    score = np.zeros((n + 1, m + 1), dtype=np.int32)
+    score[:, 0] = GAP * np.arange(n + 1)
+    score[0, :] = GAP * np.arange(m + 1)
+    for i in range(1, n + 1):
+        sub = score[i - 1, :-1] + np.where(b == a[i - 1], MATCH, MISMATCH)
+        up = score[i - 1, 1:] + GAP
+        best = np.maximum(sub, up)
+        # resolve left-gap dependency with prefix-max scan
+        idx = np.arange(1, m + 1, dtype=np.int32)
+        run = np.maximum.accumulate(best + idx)
+        score[i, 1:] = np.maximum(run - idx, score[i, 0] - idx)
+        # note: scan assumes gap = -1 per column which matches GAP
+    # traceback
+    i, j = n, m
+    ops: list[tuple[str, int, int]] = []  # (op, ref_idx, alt_idx)
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and score[i, j] == score[i - 1, j - 1] + (MATCH if a[i - 1] == b[j - 1] else MISMATCH):
+            ops.append(("M" if a[i - 1] == b[j - 1] else "X", i - 1, j - 1))
+            i -= 1
+            j -= 1
+        elif i > 0 and score[i, j] == score[i - 1, j] + GAP:
+            ops.append(("D", i - 1, j))
+            i -= 1
+        else:
+            ops.append(("I", i, j - 1))
+            j -= 1
+    ops.reverse()
+    # collapse runs of non-matches into edits
+    edits: list[tuple[int, bytes, bytes]] = []
+    cur_ref: list[int] = []
+    cur_alt: list[int] = []
+    cur_pos = -1
+    for op, ri, ai in ops:
+        if op == "M":
+            if cur_pos >= 0:
+                edits.append((cur_pos, bytes(cur_ref), bytes(cur_alt)))
+                cur_ref, cur_alt, cur_pos = [], [], -1
+            continue
+        if cur_pos < 0:
+            cur_pos = ri
+        if op in ("X", "D"):
+            cur_ref.append(a[ri])
+        if op in ("X", "I"):
+            cur_alt.append(b[ai])
+    if cur_pos >= 0:
+        edits.append((cur_pos, bytes(cur_ref), bytes(cur_alt)))
+    return edits
+
+
+def _left_normalize(ref: bytes, pos: int, ref_piece: bytes, alt_piece: bytes) -> tuple[int, bytes, bytes]:
+    """Left-shift pure indels through repeats (VCF normalization)."""
+    if ref_piece and alt_piece:
+        return pos, ref_piece, alt_piece  # substitution block: stays
+    piece = ref_piece or alt_piece
+    while pos > 0 and piece and ref[pos - 1] == piece[-1]:
+        piece = ref[pos - 1 : pos] + piece[:-1]
+        pos -= 1
+    if ref_piece:
+        return pos, piece, b""
+    return pos, b"", piece
+
+
+def extract_variants_from_alignment(seqs: list[bytes]) -> list[tuple[int, list[bytes], list[int]]]:
+    """Decompose alleles into primitive variants.
+
+    Returns a list of (pos_offset, variant_seqs, old2new) where variant_seqs
+    is [ref_piece, alt_piece...] (may contain b"*" for overlapping
+    deletions) and old2new maps each original allele index to its allele in
+    variant_seqs.
+    """
+    ref = seqs[0]
+    n = len(seqs)
+    per_allele: list[list[tuple[int, bytes, bytes]]] = [[]]
+    for i in range(1, n):
+        if seqs[i] == ref:
+            per_allele.append([])
+            continue
+        edits = _needleman_wunsch_edits(ref, seqs[i])
+        edits = [_left_normalize(ref, p, r, a) for p, r, a in edits]
+        per_allele.append(edits)
+
+    # deletion spans per allele (for '*' placement)
+    del_spans: list[list[tuple[int, int]]] = [[]]
+    for i in range(1, n):
+        spans = []
+        for p, r, a in per_allele[i]:
+            if len(r) > len(a):
+                spans.append((p, p + len(r)))
+        del_spans.append(spans)
+
+    # group edits by (pos, ref_len)
+    groups: dict[tuple[int, int], dict[bytes, list[int]]] = {}
+    for i in range(1, n):
+        for p, r, a in per_allele[i]:
+            groups.setdefault((p, len(r)), {}).setdefault(a, []).append(i)
+
+    out: list[tuple[int, list[bytes], list[int]]] = []
+    for (pos, ref_len) in sorted(groups):
+        alts = groups[(pos, ref_len)]
+        var_seqs: list[bytes] = [ref[pos : pos + ref_len]]
+        old2new = [0] * n
+        for alt_piece, alleles in sorted(alts.items()):
+            var_seqs.append(alt_piece)
+            for al in alleles:
+                old2new[al] = len(var_seqs) - 1
+        # alleles whose deletions overlap this position (but have no edit
+        # here) get a '*' allele
+        star_idx = -1
+        for i in range(1, n):
+            if old2new[i] != 0:
+                continue
+            for s, e in del_spans[i]:
+                if s <= pos < e and not (s == pos and e == pos + ref_len):
+                    if star_idx < 0:
+                        var_seqs.append(b"*")
+                        star_idx = len(var_seqs) - 1
+                    old2new[i] = star_idx
+                    break
+        out.append((pos, var_seqs, old2new))
+    return out

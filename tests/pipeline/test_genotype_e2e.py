@@ -1,0 +1,121 @@
+"""End-to-end pipeline test: simulate a diploid sample's paired reads from
+graph haplotypes, run the single-iteration `genotype --vcf` pipeline, and
+check the output VCF calls."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from graphtyper_tpu.graph.build import construct_graph
+from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
+
+
+def simulate_sam(path, chrom, contig_len, haplotypes, n_pairs, read_len=63, seed=1):
+    """Write a SAM with proper read pairs sampled alternately from two
+    haplotype sequences."""
+    rng = np.random.default_rng(seed)
+    lines = [
+        "@HD\tVN:1.6\tSO:coordinate",
+        f"@SQ\tSN:{chrom}\tLN:{contig_len}",
+        "@RG\tID:rg1\tSM:sample1",
+    ]
+    records = []
+    for i in range(n_pairs):
+        hap = haplotypes[i % len(haplotypes)]
+        max_start = len(hap) - read_len
+        s1 = int(rng.integers(0, max(1, max_start + 1)))
+        s2 = int(rng.integers(0, max(1, max_start + 1)))
+        if s1 > s2:
+            s1, s2 = s2, s1
+        r1 = hap[s1 : s1 + read_len].decode()
+        r2 = hap[s2 : s2 + read_len].decode()
+        tlen = s2 + read_len - s1
+        qual = "I" * read_len
+        name = f"sim{i}"
+        # first in pair, forward; mate reversed
+        records.append((s1, f"{name}\t99\t{chrom}\t{s1 + 1}\t60\t{read_len}M\t=\t{s2 + 1}\t{tlen}\t{r1}\t{qual}"))
+        # second in pair, reverse strand (SEQ stored ref-forward)
+        records.append((s2, f"{name}\t147\t{chrom}\t{s2 + 1}\t60\t{read_len}M\t=\t{s1 + 1}\t{-tlen}\t{r2}\t{qual}"))
+    records.sort(key=lambda t: t[0])
+    lines += [r[1] for r in records]
+    path.write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def chr1_setup(data_dir, tmp_path):
+    fa = str(data_dir / "index_test.fa")
+    vcf = str(data_dir / "index_test.vcf.gz")
+    g = construct_graph(fa, vcf, "chr1")
+    return fa, vcf, g, tmp_path
+
+
+def _read_vcf_gz(path):
+    with gzip.open(path, "rt") as f:
+        lines = f.read().strip().split("\n")
+    header = [l for l in lines if l.startswith("#")]
+    body = [l for l in lines if not l.startswith("#")]
+    return header, body
+
+
+def test_het_sample_end_to_end(chr1_setup):
+    fa, vcf, g, tmp_path = chr1_setup
+    ref = g.get_all_ref()
+    alt = ref[:36] + b"G" + ref[37:]
+    sam = tmp_path / "sample1.sam"
+    simulate_sam(sam, "chr1", 66, [ref, alt], n_pairs=30)
+
+    out = genotype_only_with_a_vcf(fa, [str(sam)], vcf, "chr1", str(tmp_path / "out"))
+    header, body = _read_vcf_gz(out)
+    assert any(l.startswith("##fileformat=VCFv4.2") for l in header)
+    assert header[-1].startswith("#CHROM") and header[-1].endswith("sample1")
+    assert len(body) == 1
+    fields = body[0].split("\t")
+    assert fields[0] == "chr1"
+    assert fields[1] == "37"
+    assert fields[3] == "C" and fields[4] == "G"
+    assert fields[8].startswith("GT:AD:MD:DP")
+    call = fields[9].split(":")
+    assert call[0] == "0/1"
+    ad = [int(x) for x in call[1].split(",")]
+    assert ad[0] > 10 and ad[1] > 10
+    # INFO sanity
+    info = dict(kv.split("=", 1) if "=" in kv else (kv, "") for kv in fields[7].split(";"))
+    assert info["AC"] == "1"
+    assert info["AN"] == "2"
+    assert info["VarType"] == "SG"
+    assert fields[6] == "PASS"
+
+
+def test_homref_sample_no_output(chr1_setup):
+    """A pure hom-ref sample has no alt support, so every alt is 'bad' and
+    the record is removed by the merge step (vcf_operations.cpp:648-661)."""
+    fa, vcf, g, tmp_path = chr1_setup
+    ref = g.get_all_ref()
+    sam = tmp_path / "s.sam"
+    simulate_sam(sam, "chr1", 66, [ref], n_pairs=20)
+    out = genotype_only_with_a_vcf(fa, [str(sam)], vcf, "chr1", str(tmp_path / "out"))
+    _, body = _read_vcf_gz(out)
+    assert body == []
+
+
+def test_homalt_multiallelic(data_dir, tmp_path):
+    """chr3 has a multiallelic site (A -> G,GA); a hom-GA sample should call 2/2."""
+    fa = str(data_dir / "index_test.fa")
+    vcf = str(data_dir / "index_test.vcf.gz")
+    g = construct_graph(fa, vcf, "chr3")
+    ref = g.get_all_ref()
+    hap = ref[:30] + b"GA" + ref[31:]
+    sam = tmp_path / "s.sam"
+    simulate_sam(sam, "chr3", 66, [hap], n_pairs=25)
+    out = genotype_only_with_a_vcf(fa, [str(sam)], vcf, "chr3", str(tmp_path / "out"))
+    _, body = _read_vcf_gz(out)
+    assert len(body) >= 1
+    # after breakdown the GA insertion becomes an indel record
+    found_ins = False
+    for line in body:
+        f = line.split("\t")
+        if len(f[4]) > len(f[3]):
+            found_ins = True
+            assert f[9].split(":")[0] == "1/1"
+    assert found_ins
