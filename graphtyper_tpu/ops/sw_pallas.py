@@ -1,0 +1,215 @@
+"""Pallas TPU kernel: batched semi-global affine Smith-Waterman.
+
+Same model as ops/sw.py (match 1, mismatch -4, gap open 7, extend 1, flat
+query-end clips 5, free database columns) — the paw-AVX512 replacement for
+indel realignment, batched over (read, window) pairs.
+
+Layout: grid = (batch_tiles, query_rows); the DP state lives in VMEM
+scratch across the row dimension, and the BlockSpec pipeline delivers one
+query column per grid step (no dynamic in-kernel slicing — Mosaic requires
+128-aligned lane slices). Each row is fully vectorized over database lanes;
+the within-row affine-gap dependency is a prefix max computed with a
+log2(N) shift-doubling scan carrying (value, start-index) pairs so the
+database begin position of the best alignment survives to the output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphtyper_tpu.constants import (
+    SCORE_CLIP,
+    SCORE_GAP_EXTEND,
+    SCORE_GAP_OPEN,
+    SCORE_MATCH,
+    SCORE_MISMATCH,
+)
+
+NEG = -(10**6)  # plain python int: jnp scalars would be captured consts
+
+
+def _shift_right(x: jnp.ndarray, k: int, fill, lane_iota: jnp.ndarray) -> jnp.ndarray:
+    rolled = jnp.roll(x, k, axis=-1)
+    return jnp.where(lane_iota < k, fill, rolled)
+
+
+def _prefix_max_with_arg(v, a, lane_iota):
+    """Running (max, argpayload) along lanes via shift-doubling."""
+    n = v.shape[-1]
+    k = 1
+    while k < n:
+        v_shift = _shift_right(v, k, NEG, lane_iota)
+        a_shift = _shift_right(a, k, 0, lane_iota)
+        take = v_shift > v
+        v = jnp.where(take, v_shift, v)
+        a = jnp.where(take, a_shift, a)
+        k *= 2
+    return v, a
+
+
+def _sw_kernel(
+    q_ref,  # [Bt, M] full queries (lane-1 blocks are not lowerable)
+    qlen_ref,  # [Bt, 1]
+    d_ref,  # [Bt, N]
+    dlen_ref,  # [Bt, 1]
+    score_ref,  # [Bt, 1] out
+    begin_ref,  # [Bt, 1] out
+    end_ref,  # [Bt, 1] out
+    H_s,  # scratch [Bt, N]
+    F_s,
+    S_s,
+    bm_s,
+    sm_s,
+    *,
+    M: int,
+    N: int,
+    match: int,
+    mismatch: int,
+    go: int,
+    ge: int,
+    clip: int,
+):
+    Bt = d_ref.shape[0]
+    row = pl.program_id(1)  # 0-based query row; DP row i = row + 1
+    d = d_ref[:]
+    qlen = qlen_ref[:]
+    dlen = dlen_ref[:]
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (Bt, N), 1)
+    jprefix = jpos + 1
+    d_valid = jpos < dlen
+
+    @pl.when(row == 0)
+    def _init():
+        H_s[:] = jnp.zeros((Bt, N), jnp.int32)
+        F_s[:] = jnp.full((Bt, N), NEG, jnp.int32)
+        S_s[:] = jprefix
+        bm_s[:] = jnp.full((Bt, N), NEG, jnp.int32)
+        sm_s[:] = jnp.zeros((Bt, N), jnp.int32)
+
+    i = row + 1
+    H = H_s[:]
+    F = F_s[:]
+    S = S_s[:]
+    row_active = i <= qlen  # [Bt, 1] broadcasts over lanes
+
+    # extract query base for this row as a masked lane reduction (softmax-style
+    # reduce-then-broadcast, which Mosaic supports)
+    q_all = q_ref[:]
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, q_all.shape, 1)
+    qb = jnp.sum(jnp.where(q_iota == row, q_all, 0), axis=1, keepdims=True)  # [Bt, 1]
+    s = jnp.where(qb == d, jnp.int32(match), jnp.int32(-mismatch))
+    s = jnp.where((qb >= 4) | (d >= 4), jnp.int32(0), s)
+    s = jnp.where(d_valid, s, NEG)
+
+    is_first = i == 1
+    H_shift = _shift_right(H, 1, jnp.where(is_first, 0, NEG), jpos)
+    S_shift = _shift_right(S, 1, 0, jpos)
+    fresh_val = jnp.where(is_first, jnp.int32(0), jnp.int32(-clip))
+    use_fresh = fresh_val > H_shift
+    diag_val = jnp.where(use_fresh, fresh_val, H_shift)
+    diag_start = jnp.where(use_fresh, jpos, S_shift)
+    M_cand = diag_val + s
+
+    F_new = jnp.maximum(H - go, F - ge)
+    use_M = M_cand >= F_new
+    H_tmp = jnp.where(use_M, M_cand, F_new)
+    S_tmp = jnp.where(use_M, diag_start, S)
+
+    T = H_tmp + jprefix * ge
+    runmax, runstart = _prefix_max_with_arg(T, S_tmp, jpos)
+    runmax_sh = _shift_right(runmax, 1, NEG, jpos)
+    runstart_sh = _shift_right(runstart, 1, 0, jpos)
+    E_val = runmax_sh - go - (jprefix - 1) * ge
+    use_E = E_val > H_tmp
+    H_row = jnp.where(use_E, E_val, H_tmp)
+    S_row = jnp.where(use_E, runstart_sh, S_tmp)
+
+    H_new = jnp.where(row_active, H_row, H)
+    S_new = jnp.where(row_active, S_row, S)
+    H_s[:] = H_new
+    S_s[:] = S_new
+    F_s[:] = jnp.where(row_active, F_new, F)
+
+    # per-lane end-clip candidates for rows i < qlen
+    mid_active = row_active & (i < qlen) & d_valid
+    cand = H_new - clip
+    improve = mid_active & (cand > bm_s[:])
+    bm_s[:] = jnp.where(improve, cand, bm_s[:])
+    sm_s[:] = jnp.where(improve, S_new, sm_s[:])
+
+    @pl.when(row == M - 1)
+    def _finalize():
+        H_fin = jnp.where(d_valid, H_s[:], NEG)
+        use_clip_end = bm_s[:] > H_fin
+        val_N = jnp.where(use_clip_end, bm_s[:], H_fin)
+        start_N = jnp.where(use_clip_end, sm_s[:], S_s[:])
+        best = jnp.max(val_N, axis=1, keepdims=True)
+        is_best = val_N == best
+        fin_j = jnp.min(jnp.where(is_best, jprefix, N + 1), axis=1, keepdims=True)
+        chosen = is_best & (jprefix == fin_j)
+        fin_s = jnp.max(jnp.where(chosen, start_N, 0), axis=1, keepdims=True)
+        score_ref[:] = jnp.where(qlen > 0, best, 0)
+        begin_ref[:] = fin_s
+        end_ref[:] = fin_j
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap_open", "gap_extend", "clip", "block_b", "interpret"),
+)
+def sw_align_pallas(
+    queries: jnp.ndarray,  # [B, M]
+    q_lens: jnp.ndarray,  # [B]
+    databases: jnp.ndarray,  # [B, N]
+    d_lens: jnp.ndarray,  # [B]
+    match: int = SCORE_MATCH,
+    mismatch: int = SCORE_MISMATCH,
+    gap_open: int = SCORE_GAP_OPEN,
+    gap_extend: int = SCORE_GAP_EXTEND,
+    clip: int = SCORE_CLIP,
+    block_b: int = 32,  # best-measured tile on v5e (5.5 Gcell/s)
+    interpret: bool = False,
+):
+    B, M = queries.shape
+    _, N = databases.shape
+    pad_b = (-B) % block_b
+    if pad_b:
+        queries = jnp.pad(queries, ((0, pad_b), (0, 0)), constant_values=5)
+        databases = jnp.pad(databases, ((0, pad_b), (0, 0)), constant_values=5)
+        q_lens = jnp.pad(q_lens, (0, pad_b))
+        d_lens = jnp.pad(d_lens, (0, pad_b))
+    Bp = B + pad_b
+    grid = (Bp // block_b, M)
+    kernel = functools.partial(
+        _sw_kernel, M=M, N=N, match=match, mismatch=mismatch, go=gap_open, ge=gap_extend, clip=clip
+    )
+    out_shape = [jax.ShapeDtypeStruct((Bp, 1), jnp.int32)] * 3
+    score, begin, end = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, M), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, N), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((block_b, 1), lambda i, j: (i, 0))] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((block_b, N), jnp.int32) for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        queries.astype(jnp.int32),
+        q_lens.astype(jnp.int32).reshape(-1, 1),
+        databases.astype(jnp.int32),
+        d_lens.astype(jnp.int32).reshape(-1, 1),
+    )
+    return score[:B, 0], begin[:B, 0], end[:B, 0]
