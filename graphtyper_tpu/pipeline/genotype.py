@@ -94,3 +94,140 @@ def genotype_sv(
         force_no_break_down=True,  # SVs are not decomposed
     )
     return out_path
+
+
+def genotype(
+    ref_path: str,
+    sams: list[str],
+    region_str: str,
+    output_path: str,
+    avg_cov_by_readlen: list[float] | None = None,
+    prior_vcf: str | None = None,
+    is_extra_call_only_iteration: bool = False,
+    output_all_variants: bool = False,
+    keep_tmp: bool = False,
+) -> str:
+    """The full discovery + iterative regenotyping pipeline
+    (genotype.cpp:336-681):
+
+    it1: reference-based discovery -> sites-only VCF
+    it2..LAST-1: graph from previous sites (add-all-variants), call, extract
+                 good alleles with phasing constraints (vcf_merge_and_filter)
+    LAST: final call, merge, decompose, write the output VCF.
+    """
+    import shutil
+    import tempfile
+
+    from graphtyper_tpu.graph.coords import AbsolutePosition
+    from graphtyper_tpu.io.fasta import FastaFile
+    from graphtyper_tpu.typer.discovery import streamlined_discovery
+
+    region = GenomicRegion.parse(region_str)
+    fasta = FastaFile(ref_path)
+    if fasta.has_contig(region.chr):
+        region.end = min(region.end, fasta.contig_length(region.chr))
+    padded = GenomicRegion(region.chr, region.begin, region.end)
+    padded.pad(1000)
+    if fasta.has_contig(region.chr):
+        padded.end = min(padded.end, fasta.contig_length(region.chr))
+    contigs = list(fasta.contigs)
+    abs_pos = AbsolutePosition(contigs)
+    fasta.close()
+
+    tmp = tempfile.mkdtemp(prefix="graphtyper_tpu_")
+    os.makedirs(output_path, exist_ok=True)
+    os.makedirs(os.path.join(output_path, region.chr), exist_ok=True)
+    os.makedirs(os.path.join(output_path, "input_sites", region.chr), exist_ok=True)
+
+    # ---- iteration 1: discovery ----
+    it1 = os.path.join(tmp, "it1")
+    os.makedirs(it1, exist_ok=True)
+    sample_names: list[str] = []
+    sites_vcf = streamlined_discovery(sams, ref_path, padded.to_string(), sample_names)
+    if prior_vcf:
+        from graphtyper_tpu.io.vcf_io import VcfReader
+        from graphtyper_tpu.typer.variant import Variant as TyperVariant
+
+        for rec in VcfReader(prior_vcf).read_region(region.chr, region.begin, region.end):
+            v = TyperVariant(
+                abs_pos=abs_pos.get_absolute_position(rec.chrom, rec.pos + 1),
+                seqs=[rec.ref.encode()] + [a.encode() for a in rec.alts],
+            )
+            sites_vcf.variants.append(v)
+    it1_final = os.path.join(it1, "final.vcf.gz")
+    sites_vcf.write(it1_final, contigs, abs_pos, filter_zero_qual=False, is_dropping_genotypes=True)
+
+    # ---- iterations 2..LAST ----
+    FIRST_CALLONLY_ITERATION = 2
+    LAST_ITERATION = 3 + (1 if is_extra_call_only_iteration else 0)
+    prev_vcf = it1_final
+    out_vcf_path = os.path.join(tmp, "graphtyper.vcf.gz")
+    final_result = None
+    graph = None
+
+    for i in range(FIRST_CALLONLY_ITERATION, LAST_ITERATION + 1):
+        is_last = i == LAST_ITERATION
+        out_dir = os.path.join(tmp, f"it{i}")
+        os.makedirs(out_dir, exist_ok=True)
+        graph = construct_graph(
+            ref_path, prev_vcf, padded.to_string(), is_sv_graph=False, use_index=True, add_all_variants=True
+        )
+        index = index_graph(graph)
+        result = call_pool(
+            graph,
+            index,
+            sams,
+            region=padded,
+            avg_cov_by_readlen=avg_cov_by_readlen,
+            is_writing_calls_vcf=is_last,
+            is_writing_hap=not is_last,
+        )
+        if not is_last:
+            next_vcf = os.path.join(out_dir, "final.vcf.gz")
+            vcf_merge_and_filter([result.vcf], next_vcf, result.ph, graph)
+            prev_vcf = next_vcf
+        else:
+            final_result = result
+            vcf_merge_and_break(
+                [result.vcf],
+                out_vcf_path,
+                region.to_string(),
+                graph,
+                filter_zero_qual=output_all_variants,
+            )
+
+    # ---- copy results ----
+    sites_dst = os.path.join(output_path, "input_sites", region.to_file_string() + ".vcf.gz")
+    shutil.copyfile(prev_vcf, sites_dst)
+    final_name = f"{region.begin + 1:09d}-{region.end:09d}.vcf.gz"
+    dst = os.path.join(output_path, region.chr, final_name)
+    shutil.copyfile(out_vcf_path, dst)
+    if os.path.exists(out_vcf_path + ".tbi"):
+        shutil.copyfile(out_vcf_path + ".tbi", dst + ".tbi")
+    if not keep_tmp:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dst
+
+
+def genotype_regions(
+    ref_path: str,
+    sams: list[str],
+    region_str: str,
+    output_path: str,
+    max_region_size: int = 50_000,
+    **kw,
+) -> list[str]:
+    """Split the region into <=50kb chunks and genotype each serially
+    (genotype.cpp:683-741, main.cpp:30-58)."""
+    from graphtyper_tpu.graph.coords import split_region
+    from graphtyper_tpu.io.fasta import FastaFile
+
+    region = GenomicRegion.parse(region_str)
+    fasta = FastaFile(ref_path)
+    if fasta.has_contig(region.chr):
+        region.end = min(region.end, fasta.contig_length(region.chr))
+    fasta.close()
+    outs = []
+    for sub in split_region(region, max_region_size):
+        outs.append(genotype(ref_path, sams, sub.to_string(), output_path, **kw))
+    return outs

@@ -34,20 +34,39 @@ def _needleman_wunsch_edits(ref: bytes, alt: bytes) -> list[tuple[int, bytes, by
         run = np.maximum.accumulate(best + idx)
         score[i, 1:] = np.maximum(run - idx, score[i, 0] - idx)
         # note: scan assumes gap = -1 per column which matches GAP
-    # traceback
+    # traceback; sticky gaps: on score ties prefer continuing the current gap
+    # direction so indels stay contiguous blocks (linear gap costs make
+    # 1+3 vs 4 splits equal-score otherwise)
     i, j = n, m
     ops: list[tuple[str, int, int]] = []  # (op, ref_idx, alt_idx)
+    last_op = ""
     while i > 0 or j > 0:
-        if i > 0 and j > 0 and score[i, j] == score[i - 1, j - 1] + (MATCH if a[i - 1] == b[j - 1] else MISMATCH):
-            ops.append(("M" if a[i - 1] == b[j - 1] else "X", i - 1, j - 1))
+        can_diag = i > 0 and j > 0 and score[i, j] == score[i - 1, j - 1] + (
+            MATCH if a[i - 1] == b[j - 1] else MISMATCH
+        )
+        can_del = i > 0 and score[i, j] == score[i - 1, j] + GAP
+        can_ins = j > 0 and score[i, j] == score[i, j - 1] + GAP
+        if last_op == "D" and can_del:
+            op = "D"
+        elif last_op == "I" and can_ins:
+            op = "I"
+        elif can_diag:
+            op = "M" if a[i - 1] == b[j - 1] else "X"
+        elif can_del:
+            op = "D"
+        else:
+            op = "I"
+        if op in ("M", "X"):
+            ops.append((op, i - 1, j - 1))
             i -= 1
             j -= 1
-        elif i > 0 and score[i, j] == score[i - 1, j] + GAP:
+        elif op == "D":
             ops.append(("D", i - 1, j))
             i -= 1
         else:
             ops.append(("I", i, j - 1))
             j -= 1
+        last_op = op if op in ("D", "I") else ""
     ops.reverse()
     # collapse runs of non-matches into edits
     edits: list[tuple[int, bytes, bytes]] = []
