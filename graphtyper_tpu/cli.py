@@ -1,0 +1,253 @@
+"""Command-line interface.
+
+Mirrors the reference's subcommands (src/main.cpp:1373-1415): genotype,
+genotype_sv, genotype_camou, genotype_lr, construct, check, bamshrink,
+vcf_break_down, vcf_concatenate, vcf_merge, discover, and the deprecated
+`index`. genotype_hla is WIP in the reference and here.
+
+Usage: python -m graphtyper_tpu.cli <subcommand> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _read_sams_arg(args) -> list[str]:
+    """--sam / --sams file-of-files handling (main.cpp subcommand pattern)."""
+    sams: list[str] = []
+    if getattr(args, "sam", None):
+        sams.append(args.sam)
+    if getattr(args, "sams", None):
+        with open(args.sams) as f:
+            sams.extend(l.strip() for l in f if l.strip())
+    if getattr(args, "sam_positional", None):
+        sams.extend(args.sam_positional)
+    return sams
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--output", "-O", default="results", help="Output directory")
+    p.add_argument("--region", default=".", help="Genomic region chr[:begin[-end]]")
+    p.add_argument("--sam", help="One SAM/BAM file")
+    p.add_argument("--sams", help="File with one SAM/BAM path per line")
+    p.add_argument("sam_positional", nargs="*", help="SAM/BAM files")
+    p.add_argument("--threads", type=int, default=os.cpu_count())
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--vverbose", action="store_true")
+    p.add_argument("--log", default="", help="Log file ('-' for stderr)")
+    p.add_argument("--no_bamshrink", action="store_true")
+    p.add_argument("--no_decompose", action="store_true")
+    p.add_argument("--no_cleanup", action="store_true")
+    p.add_argument("--output_all_variants", action="store_true")
+
+
+def cmd_genotype(args) -> int:
+    from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf, genotype_regions
+
+    sams = _read_sams_arg(args)
+    if not sams:
+        print("error: no SAM/BAM files given", file=sys.stderr)
+        return 1
+    if args.vcf:
+        out = genotype_only_with_a_vcf(args.ref, sams, args.vcf, args.region, args.output)
+        print(out)
+    else:
+        outs = genotype_regions(
+            args.ref,
+            sams,
+            args.region,
+            args.output,
+            prior_vcf=args.prior_vcf or None,
+            output_all_variants=args.output_all_variants,
+        )
+        for o in outs:
+            print(o)
+    return 0
+
+
+def cmd_genotype_sv(args) -> int:
+    from graphtyper_tpu.pipeline.genotype import genotype_sv
+
+    sams = _read_sams_arg(args)
+    out = genotype_sv(args.ref, args.sv_vcf, sams, args.region, args.output)
+    print(out)
+    return 0
+
+
+def cmd_genotype_lr(args) -> int:
+    from graphtyper_tpu.pipeline.genotype_lr import genotype_lr
+
+    sams = _read_sams_arg(args)
+    out = genotype_lr(args.ref, sams, args.region, args.output)
+    print(out)
+    return 0
+
+
+def cmd_genotype_camou(args) -> int:
+    from graphtyper_tpu.pipeline.genotype_camou import genotype_camou
+
+    sams = _read_sams_arg(args)
+    out = genotype_camou(args.ref, args.interval_bed, sams, args.output)
+    print(out)
+    return 0
+
+
+def cmd_discover(args) -> int:
+    from graphtyper_tpu.graph.coords import AbsolutePosition
+    from graphtyper_tpu.io.fasta import FastaFile
+    from graphtyper_tpu.typer.discovery import streamlined_discovery
+
+    sams = _read_sams_arg(args)
+    vcf = streamlined_discovery(sams, args.ref, args.region, [])
+    fasta = FastaFile(args.ref)
+    os.makedirs(args.output, exist_ok=True)
+    out = os.path.join(args.output, "discovered.vcf.gz")
+    vcf.write(out, fasta.contigs, AbsolutePosition(fasta.contigs), is_dropping_genotypes=True)
+    print(out)
+    return 0
+
+
+def cmd_construct(args) -> int:
+    from graphtyper_tpu.graph.build import construct_graph
+
+    g = construct_graph(args.ref, args.vcf or "", args.region, is_sv_graph=args.sv_graph)
+    g.save(args.graph)
+    print(f"Graph constructed: {len(g.ref_nodes)} ref nodes, {len(g.var_nodes)} var nodes -> {args.graph}")
+    return 0
+
+
+def cmd_check(args) -> int:
+    from graphtyper_tpu.graph.graph import Graph
+
+    g = Graph.load(args.graph)
+    ok = g.check()
+    print(f"Graph {args.graph}: size={g.size()} check={'OK' if ok else 'FAILED'}")
+    return 0 if ok else 1
+
+
+def cmd_index(args) -> int:
+    print("The 'index' subcommand is deprecated: the k-mer index is built in-memory per iteration.", file=sys.stderr)
+    return 0
+
+
+def cmd_bamshrink(args) -> int:
+    from graphtyper_tpu.graph.coords import GenomicRegion
+    from graphtyper_tpu.pipeline.bamshrink import bamshrink
+
+    region = GenomicRegion.parse(args.region)
+    out = bamshrink(args.sam, region.chr, region.begin, region.end, args.output_sam, args.avg_cov_by_readlen)
+    print(out)
+    return 0
+
+
+def cmd_vcf_break_down(args) -> int:
+    from graphtyper_tpu.pipeline.vcf_tools import vcf_break_down_file
+
+    vcf_break_down_file(args.graph, args.vcf, args.output, region=args.region)
+    return 0
+
+
+def cmd_vcf_concatenate(args) -> int:
+    from graphtyper_tpu.pipeline.vcf_operations import vcf_concatenate
+
+    vcf_concatenate(args.vcfs, args.output)
+    return 0
+
+
+def cmd_vcf_merge(args) -> int:
+    from graphtyper_tpu.pipeline.vcf_tools import vcf_merge_files
+
+    vcf_merge_files(args.vcfs, args.output)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="graphtyper-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("genotype", help="Discover and genotype SNPs/indels")
+    p.add_argument("ref", help="Reference FASTA")
+    p.add_argument("--vcf", default="", help="Genotype only the sites of this VCF (single iteration)")
+    p.add_argument("--prior_vcf", default="", help="Add these prior sites to discovery")
+    _add_common(p)
+    p.set_defaults(fn=cmd_genotype)
+
+    p = sub.add_parser("genotype_sv", help="Genotype structural variants from an SV VCF")
+    p.add_argument("ref")
+    p.add_argument("sv_vcf")
+    _add_common(p)
+    p.set_defaults(fn=cmd_genotype_sv)
+
+    p = sub.add_parser("genotype_lr", help="Genotype from long-read pileups")
+    p.add_argument("ref")
+    _add_common(p)
+    p.set_defaults(fn=cmd_genotype_lr)
+
+    p = sub.add_parser("genotype_camou", help="Genotype camouflaged (multi-copy) regions")
+    p.add_argument("ref")
+    p.add_argument("interval_bed")
+    _add_common(p)
+    p.set_defaults(fn=cmd_genotype_camou)
+
+    p = sub.add_parser("discover", help="Run only the discovery step, emit a sites VCF")
+    p.add_argument("ref")
+    _add_common(p)
+    p.set_defaults(fn=cmd_discover)
+
+    p = sub.add_parser("construct", help="Construct a graph from FASTA + VCF")
+    p.add_argument("graph", help="Output graph file (.npz)")
+    p.add_argument("ref")
+    p.add_argument("--vcf", default="")
+    p.add_argument("--region", default=".")
+    p.add_argument("--sv_graph", action="store_true")
+    p.set_defaults(fn=cmd_construct)
+
+    p = sub.add_parser("check", help="Check a constructed graph")
+    p.add_argument("graph")
+    p.set_defaults(fn=cmd_check)
+
+    p = sub.add_parser("index", help="(deprecated)")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("bamshrink", help="Filter and shrink reads for a region")
+    p.add_argument("sam")
+    p.add_argument("output_sam")
+    p.add_argument("--region", required=True)
+    p.add_argument("--avg_cov_by_readlen", type=float, default=-1.0)
+    p.set_defaults(fn=cmd_bamshrink)
+
+    p = sub.add_parser("vcf_break_down", help="Decompose variants of a VCF")
+    p.add_argument("graph")
+    p.add_argument("vcf")
+    p.add_argument("--output", required=True)
+    p.add_argument("--region", default=".")
+    p.set_defaults(fn=cmd_vcf_break_down)
+
+    p = sub.add_parser("vcf_concatenate", help="Concatenate VCF files")
+    p.add_argument("vcfs", nargs="+")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_vcf_concatenate)
+
+    p = sub.add_parser("vcf_merge", help="Merge sample-pool VCF files")
+    p.add_argument("vcfs", nargs="+")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_vcf_merge)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from graphtyper_tpu.utils.log import setup_logging
+
+    setup_logging(
+        getattr(args, "log", ""), getattr(args, "verbose", False), getattr(args, "vverbose", False)
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

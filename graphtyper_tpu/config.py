@@ -1,0 +1,108 @@
+"""Framework configuration: the full option catalog of the reference
+(include/graphtyper/utilities/options.hpp:14-117) as an explicit immutable
+dataclass passed through call chains — no mutable global singleton.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+from graphtyper_tpu.constants import SPLIT_VAR_THRESHOLD
+
+
+@dataclass
+class Options:
+    # general
+    log: str = ""
+    output_dir: str = "results"
+    threads: int = os.cpu_count() or 1
+    verbose: bool = False
+    vverbose: bool = False
+    no_cleanup: bool = False
+    no_asterisks: bool = False
+    no_decompose: bool = False
+    no_bamshrink: bool = False
+    no_sample_name_reordering: bool = False
+    no_variant_overlapping: bool = False
+    normal_and_no_variant_overlapping: bool = False
+    is_all_biallelic: bool = False
+    is_only_cigar_discovery: bool = False
+    is_discovery_only_for_paired_reads: bool = False
+    is_sam_merging_allowed: bool = False
+    ploidy: int = 2
+    is_dropping_genotypes: bool = False
+    split_var_threshold: int = SPLIT_VAR_THRESHOLD
+    is_segment_calling: bool = False
+    is_lr_calling: bool = False
+    force_ignore_segment: bool = False
+    uncompressed_sample_names: bool = False
+    encoding: str = "v"  # 'v' VCF, 'p' popVCF
+    bgzf_compression_level: int = -1
+
+    # filtering
+    filter_on_mapq: bool = True
+    filter_on_proper_pairs: bool = True
+    filter_on_read_bias: bool = True
+    filter_on_strand_bias: bool = True
+    no_filter_on_begin_pos: bool = False
+    no_filter_on_coverage: bool = False
+    lr_mapq_filter: int = 5
+    lr_coverage_filter: int = 100
+
+    # bamshrink
+    bamshrink_max_fraglen: int = 1000
+    bamshrink_min_matching: int = 55
+    bamshrink_is_not_filtering_mapq0: bool = False
+    bamshrink_min_readlen: int = 75
+    bamshrink_min_readlen_low_mapq: int = 94
+    bamshrink_min_unpair_readlen: int = 94
+    bamshrink_as_filter_threshold: int = 40
+    force_use_input_ref_for_cram_reading: bool = False
+
+    # constructor
+    vcf: str = ""
+    prior_vcf: str = ""
+    add_all_variants: bool = False
+
+    # indexing
+    max_index_labels: int = 75
+
+    # calling
+    hq_reads: bool = False
+    is_csi: bool = False
+    force_align_both_orientations: bool = False
+    sam_flag_filter: int = 3840
+    max_files_open: int = 864
+    soft_cap_of_variants_in_100_bp_window: int = 22
+    get_sample_names_from_filename: bool = False
+    output_all_variants: bool = False
+    is_one_genotype_per_haplotype: bool = False
+    force_no_filter_bad_alts: bool = False
+    force_no_filter_zero_qual: bool = False
+    variant_suffix_id: str = ""
+    primer_bedpe: str = ""
+    is_extra_call_only_iteration: bool = False
+    genotype_aln_min_support: int = 4
+    genotype_aln_min_support_ratio: float = 0.21
+    genotype_dis_min_support: int = 8
+    genotype_dis_min_support_ratio: float = 0.30
+    num_alleles_in_batch: int = 250
+
+    # haplotype extraction
+    max_extracted_haplotypes: int = 100
+    minimum_extract_variant_support: int = 2
+    minimum_extract_score_over_homref: int = 27
+    impurity_threshold: float = 0.15
+
+    def with_cohort_size(self, num_samples: int) -> "Options":
+        """Cohort-size parameter adaptation (genotype.cpp:693-732)."""
+        opts = self
+        if num_samples >= 1000:
+            opts = replace(opts, genotype_aln_min_support=7, genotype_aln_min_support_ratio=0.26)
+        if num_samples >= 500:
+            opts = replace(opts, is_all_biallelic=True)
+        return opts
+
+
+DEFAULT_OPTIONS = Options()

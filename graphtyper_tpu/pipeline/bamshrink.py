@@ -1,0 +1,295 @@
+"""bamshrink: read-preprocessing copy step.
+
+Reference semantics: src/utilities/bamshrink.cpp — region slice padded by
+maxFragLen-100 (:685-688), paired filters (:735-773: MAPQ gates, length >= 75,
+clip/match/base-quality gates), unpaired filters (:715-733: MAPQ >= 40,
+length >= 94), AS-XS alignment-score filter threshold 40 + adapter removal
+(:606), soft-clip trimming (:463), N-end trimming (:502), per-50bp-bin
+coverage cap avgCov*50*2.5 (:709-711), base-quality binarization to two
+levels ('?' for >= 24 else ',', :85-89), and compact base-93 read renaming
+(:48-64).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from graphtyper_tpu.config import Options
+from graphtyper_tpu.io.bam import AlignedRead, read_alignments
+from graphtyper_tpu.io.sam_writer import write_sam
+
+CHAR_SET_SIZE = 93
+
+
+def _long_to_ascii(v: int) -> str:
+    if v >= 31:
+        v += 1
+    return chr(ord("!") + v)
+
+
+def decimal_to_read_name(v: int) -> str:
+    out = []
+    while v >= CHAR_SET_SIZE:
+        out.append(_long_to_ascii(v % CHAR_SET_SIZE))
+        v //= CHAR_SET_SIZE
+    out.append(_long_to_ascii(v))
+    return "".join(out)
+
+
+def _count_matching(cigar) -> int:
+    return sum(c for op, c in cigar if op == 0)
+
+
+def _count_high_base_quality(qual: np.ndarray) -> int:
+    return int((qual >= 20).sum())
+
+
+def _is_clipped_both_ends(cigar, min_clip: int = 15) -> bool:
+    return (
+        len(cigar) >= 1
+        and cigar[0][0] == 4
+        and cigar[-1][0] == 4
+        and cigar[0][1] + cigar[-1][1] >= min_clip
+    )
+
+
+def _is_one_end_clipped(cigar, min_clip: int = 0) -> bool:
+    return (
+        len(cigar) == 0
+        or (cigar[0][0] == 4 and cigar[0][1] >= min_clip)
+        or (cigar[-1][0] == 4 and cigar[-1][1] >= min_clip)
+    )
+
+
+def _binarize_qual(qual: np.ndarray) -> np.ndarray:
+    # '?'-33 = 30, ','-33 = 11
+    return np.where(qual >= 24, 30, 11).astype(np.uint8)
+
+
+def _remove_hard_clipped(cigar) -> list:
+    out = list(cigar)
+    if out and out[0][0] == 5:
+        out = out[1:]
+    if len(out) >= 2 and out[-1][0] == 5:
+        out = out[:-1]
+    return out
+
+
+def _trim_n_ends(read: AlignedRead, opts: Options) -> bool:
+    """removeNsAtEnds (bamshrink.cpp:502-560)."""
+    seq = read.seq
+    n = 0
+    while n < len(seq) - 1 and seq[n : n + 1] == b"N":
+        n += 1
+    if n > 0:
+        read.seq = seq[n:]
+        read.qual = read.qual[n:]
+        shift, read.cigar = _reset_cigar_begin(read.cigar, n)
+        read.pos += shift
+    if len(read.seq) < opts.bamshrink_min_readlen or (
+        read.mapq < 25 and len(read.seq) < opts.bamshrink_min_readlen_low_mapq
+    ):
+        return False
+    seq = read.seq
+    n = 0
+    while n < len(seq) - 1 and seq[len(seq) - 1 - n : len(seq) - n] == b"N":
+        n += 1
+    if n > 0:
+        read.seq = seq[:-n]
+        read.qual = read.qual[:-n]
+        read.cigar = _reset_cigar_end(read.cigar, n)
+    return not (
+        len(read.seq) < opts.bamshrink_min_readlen
+        or (read.mapq < 25 and len(read.seq) < opts.bamshrink_min_readlen_low_mapq)
+    )
+
+
+def _reset_cigar_begin(cigar, n_removed: int):
+    """bamshrink.cpp resetCigarStringBegin: consume n query bases from the
+    CIGAR front; returns (ref_shift, new_cigar)."""
+    cigar = list(cigar)
+    shift = 0
+    while n_removed > 0 and cigar:
+        op, cnt = cigar[0]
+        consumes_query = op in (0, 1, 4, 7, 8)
+        consumes_ref = op in (0, 2, 3, 7, 8)
+        if not consumes_query:
+            if consumes_ref:
+                shift += cnt
+            cigar.pop(0)
+            continue
+        take = min(cnt, n_removed)
+        if consumes_ref:
+            shift += take
+        n_removed -= take
+        if take == cnt:
+            cigar.pop(0)
+        else:
+            cigar[0] = (op, cnt - take)
+    # leading deletion after trim is dropped
+    if cigar and cigar[0][0] == 2:
+        shift += cigar[0][1]
+        cigar.pop(0)
+    return shift, cigar
+
+
+def _reset_cigar_end(cigar, n_removed: int):
+    cigar = list(cigar)
+    while n_removed > 0 and cigar:
+        op, cnt = cigar[-1]
+        consumes_query = op in (0, 1, 4, 7, 8)
+        if not consumes_query:
+            cigar.pop()
+            continue
+        take = min(cnt, n_removed)
+        n_removed -= take
+        if take == cnt:
+            cigar.pop()
+        else:
+            cigar[-1] = (op, cnt - take)
+    if cigar and cigar[-1][0] == 2:
+        cigar.pop()
+    return cigar
+
+
+def _process_tags(read: AlignedRead, opts: Options) -> bool:
+    """AS/XS alignment-score gate (bamshrink.cpp process_tags); keeps only
+    RG/AS/XS/WS tags."""
+    as_ = read.tags.get("AS", -1)
+    xs = read.tags.get("XS", -1)
+    ws = read.tags.get("WS", -1)
+    if as_ != -1 and ws == -1:
+        ws = as_
+    is_paired = bool(read.flag & 0x1)
+    mate_unmapped = bool(read.flag & 0x8)
+    if ws != -1 and xs != -1 and (not is_paired or mate_unmapped):
+        if ws <= xs + 5:
+            return False
+        matches = sum(c for op, c in read.cigar if op == 0)
+        indels = sum(c + 2 for op, c in read.cigar if op in (1, 2))
+        if max(ws, as_) + opts.bamshrink_as_filter_threshold <= matches - indels:
+            return False
+    read.tags = {k: v for k, v in read.tags.items() if k in ("RG", "AS", "XS", "WS")}
+    return True
+
+
+def bamshrink(
+    sam_path: str,
+    chrom: str,
+    region_begin: int,
+    region_end: int,
+    out_path: str,
+    avg_cov_by_readlen: float = -1.0,
+    opts: Options | None = None,
+) -> str:
+    """Filter + trim + rename reads of one sample over one region; writes a
+    SAM file of the kept reads sorted by position."""
+    opts = opts or Options()
+    header, reads = read_alignments(sam_path, parse_tags=True)
+    pad = opts.bamshrink_max_fraglen - 100
+    lo = max(0, region_begin - pad)
+    hi = region_end + pad
+    max_bin_sum = (2**30) if opts.no_filter_on_coverage or avg_cov_by_readlen <= 0 else int(avg_cov_by_readlen * 50.0 * 2.5)
+
+    kept: list[AlignedRead] = []
+    read_num = 0
+    first_pos = -1
+    bin_counts: dict[int, int] = {}
+
+    def filter_unpaired(r: AlignedRead) -> bool:
+        if r.pos + len(r.seq) < region_begin or r.pos > region_end:
+            return False
+        if (
+            r.mapq < 40
+            or len(r.seq) < opts.bamshrink_min_unpair_readlen
+            or _is_one_end_clipped(r.cigar, 12)
+            or _is_clipped_both_ends(r.cigar, 5)
+            or _count_matching(r.cigar) < opts.bamshrink_min_matching + 5
+            or _count_high_base_quality(r.qual) < len(r.seq) // 4
+        ):
+            return False
+        return True
+
+    def filter_paired(r: AlignedRead) -> bool:
+        if not opts.bamshrink_is_not_filtering_mapq0 and r.mapq <= 1:
+            return False
+        if r.pos + len(r.seq) < region_begin and r.pos + r.tlen < region_begin:
+            return False
+        if r.pos > region_end and r.pos + r.tlen - len(r.seq) > region_end:
+            return False
+        if r.flag & 0x4:
+            return True  # unmapped with mapped mate allowed
+        if (
+            len(r.seq) < opts.bamshrink_min_readlen
+            or (r.mapq < 55 and _is_clipped_both_ends(r.cigar, 12))
+            or (r.mapq < 5 and _is_one_end_clipped(r.cigar, len(r.seq) // 4))
+            or _is_clipped_both_ends(r.cigar, len(r.seq) // 3)
+            or _count_matching(r.cigar) < opts.bamshrink_min_matching
+            or _count_high_base_quality(r.qual) <= len(r.seq) // 10
+        ):
+            return False
+        return True
+
+    for r in reads:
+        if r.ref_id < 0 or header.ref_names[r.ref_id] != chrom:
+            continue
+        if r.pos < lo or r.pos > hi:
+            continue
+        if (r.flag & opts.sam_flag_filter) or (r.tlen != 0 and abs(r.tlen) < opts.bamshrink_min_readlen):
+            continue
+        is_paired = bool(r.flag & 0x1)
+        if is_paired:
+            if not filter_paired(r):
+                continue
+        else:
+            if not filter_unpaired(r):
+                continue
+        if not _process_tags(r, opts):
+            continue
+        if not _trim_n_ends(r, opts):
+            continue
+        if first_pos < 0:
+            first_pos = r.pos
+        b = (r.pos - first_pos) // 50
+        if bin_counts.get(b, 0) >= max_bin_sum // 3:
+            bin_counts[b] = bin_counts.get(b, 0) + 1
+            continue
+        bin_counts[b] = bin_counts.get(b, 0) + 1
+        r.qual = _binarize_qual(r.qual)
+        r.cigar = _remove_hard_clipped(r.cigar)
+        kept.append(r)
+
+    # compact base-93 read renaming; mates share the original name, so they
+    # share the new name too (bamshrink.cpp:48-64 CHANGE_READ_NAMES)
+    name_map: dict[str, str] = {}
+    for r in kept:
+        new = name_map.get(r.name)
+        if new is None:
+            new = decimal_to_read_name(len(name_map))
+            name_map[r.name] = new
+        r.name = new
+    kept.sort(key=lambda x: x.pos)
+    write_sam(out_path, header, kept)
+    return out_path
+
+
+def run_bamshrink(
+    sams: list[str],
+    region,
+    tmp_dir: str,
+    avg_cov_by_readlen: list[float] | None = None,
+    opts: Options | None = None,
+) -> list[str]:
+    """genotype.cpp:48-121 — fan out bamshrink per sample into tmp files."""
+    import os
+
+    os.makedirs(os.path.join(tmp_dir, "bams"), exist_ok=True)
+    out = []
+    for i, sam in enumerate(sams):
+        cov = avg_cov_by_readlen[i] if avg_cov_by_readlen else -1.0
+        dst = os.path.join(tmp_dir, "bams", f"{i:04d}.sam")
+        bamshrink(sam, region.chr, region.begin, region.end, dst, cov, opts)
+        out.append(dst)
+    return out

@@ -1,0 +1,182 @@
+"""Long-read pileup genotyping.
+
+Reference semantics: src/typer/caller.cpp — run_first_pass_lr (:1367-1505,
+qual-weighted base pileup with quals rescaled to 15-27, reads <150bp or
+MAPQ<lr_mapq_filter skipped), streamlined_lr_genotyping (:3096-3448: merge
+per-sample pileups, SNP candidates from qualsum gaps, PL directly from the
+pileup: hom(y) = total_qs - qs[y]; het(x,y) = total_qs - qs[x] - qs[y] +
+3*(cnt_x + cnt_y), normalized to min 0).
+
+The pileup accumulation is dense numpy (positions x 4 bases) — the natural
+batched/TPU-amenable layout — rather than per-bucket objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graphtyper_tpu.config import Options
+from graphtyper_tpu.graph.coords import AbsolutePosition, GenomicRegion
+from graphtyper_tpu.io.bam import read_alignments
+from graphtyper_tpu.io.fasta import FastaFile
+from graphtyper_tpu.models.genotype_model import to_index
+from graphtyper_tpu.typer.sample_call import SampleCall
+from graphtyper_tpu.typer.variant import Variant
+from graphtyper_tpu.typer.vcf_out import VcfOutput
+from graphtyper_tpu.utils.dna import encode
+
+BUCKET_SIZE = 50
+
+
+def lr_pileup(reads, region_begin: int, ref_size: int, opts: Options) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position base counts [L, 4] and qualsums [L, 4]."""
+    counts = np.zeros((ref_size, 4), dtype=np.int64)
+    qualsums = np.zeros((ref_size, 4), dtype=np.int64)
+    for r in reads:
+        if not r.cigar or len(r.seq) < 150 or r.mapq < opts.lr_mapq_filter or (r.flag & opts.sam_flag_filter):
+            continue
+        codes = encode(r.seq)
+        ref_offset = r.pos - region_begin
+        read_offset = 0
+        for op, cnt in r.cigar:
+            if op in (0, 7, 8):
+                for k in range(cnt):
+                    rp = ref_offset + k
+                    if rp < 0:
+                        continue
+                    if rp >= ref_size:
+                        break
+                    qp = read_offset + k
+                    if qp >= len(codes):
+                        break
+                    c = codes[qp]
+                    q = int(r.qual[qp])
+                    if q == 0 or c >= 4:
+                        continue
+                    q = min(q, 60)
+                    tr_qual = 15 + round(q * 12.0 / 60.0)
+                    counts[rp, c] += 1
+                    qualsums[rp, c] += tr_qual
+                read_offset += cnt
+                ref_offset += cnt
+            elif op == 1:
+                read_offset += cnt
+            elif op in (2, 3):
+                ref_offset += cnt
+            elif op == 4:
+                read_offset += cnt
+    return counts, qualsums
+
+
+def streamlined_lr_genotyping(
+    hts_paths: list[str], ref_path: str, region_str: str, opts: Options | None = None
+) -> VcfOutput:
+    """caller.cpp:3096-3448."""
+    opts = opts or Options()
+    region = GenomicRegion.parse(region_str)
+    fasta = FastaFile(ref_path)
+    if fasta.has_contig(region.chr):
+        region.end = min(region.end, fasta.contig_length(region.chr))
+    reference = fasta.fetch(region.chr, region.begin, region.end)
+    ref_codes = encode(reference)
+    ref_size = len(reference)
+    abs_pos = AbsolutePosition(fasta.contigs)
+    chromosome_offset = abs_pos.get_absolute_position(region.chr, 1)
+    contigs = list(fasta.contigs)
+    fasta.close()
+
+    # per-sample pileups (merging same-named samples)
+    sample_names: list[str] = []
+    counts_by_sample: list[np.ndarray] = []
+    qs_by_sample: list[np.ndarray] = []
+    name_to_idx: dict[str, int] = {}
+    for path in hts_paths:
+        header, reads = read_alignments(path)
+        reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
+        name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
+        counts, qs = lr_pileup(reads, region.begin, ref_size, opts)
+        if name in name_to_idx:
+            i = name_to_idx[name]
+            counts_by_sample[i] += counts
+            qs_by_sample[i] += qs
+        else:
+            name_to_idx[name] = len(sample_names)
+            sample_names.append(name)
+            counts_by_sample.append(counts)
+            qs_by_sample.append(qs)
+
+    # SNP candidates from merged qualsum gaps (caller.cpp:3246-3290)
+    total_counts = np.sum(counts_by_sample, axis=0)
+    total_qs = np.sum(qs_by_sample, axis=0)
+    snp_events: set[tuple[int, int]] = set()  # (region-local pos, base code)
+    for p in range(ref_size):
+        ref_idx = int(ref_codes[p])
+        if ref_idx >= 4:
+            continue
+        qs = total_qs[p]
+        bc = total_counts[p]
+        order = np.argsort(qs, kind="stable")
+        first, second, third = int(order[3]), int(order[2]), int(order[1])
+        if first != ref_idx and bc[first] >= 3 and (
+            (qs[first] - qs[second]) >= 30 or (qs[first] - qs[third]) >= 50
+        ):
+            snp_events.add((p, first))
+        if (
+            second != ref_idx
+            and bc[second] >= 4
+            and (qs[second] - qs[third]) >= 50
+            and qs.sum() > 0
+            and (qs[second] / qs.sum()) > 0.3
+        ):
+            snp_events.add((p, second))
+
+    vcf = VcfOutput(sample_names=sample_names)
+    by_pos: dict[int, list[int]] = {}
+    for p, base in sorted(snp_events):
+        by_pos.setdefault(p, []).append(base)
+
+    BASES = b"ACGT"
+    for p in sorted(by_pos):
+        bases = by_pos[p]
+        ref_idx = int(ref_codes[p])
+        variant = Variant()
+        variant.abs_pos = p + region.begin + chromosome_offset
+        variant.seqs = [BASES[ref_idx : ref_idx + 1]] + [BASES[b : b + 1] for b in bases]
+        variant.type = "X"
+        cnum = len(variant.seqs)
+        seq_b2i = [ref_idx] + bases
+        for s in range(len(sample_names)):
+            bc = counts_by_sample[s][p]
+            qs = qs_by_sample[s][p]
+            call = SampleCall(
+                phred=np.zeros(cnum * (cnum + 1) // 2, dtype=np.int64),
+                coverage=np.zeros(cnum, dtype=np.int64),
+            )
+            for y in range(4):
+                if y in seq_b2i:
+                    call.coverage[seq_b2i.index(y)] += int(bc[y])
+                else:
+                    call.ambiguous_depth += int(bc[y])
+            total_qualsum = int(qs.sum())
+            new_phred = np.zeros(cnum * (cnum + 1) // 2, dtype=np.int64)
+            i = 0
+            for y in range(cnum):
+                for x in range(y + 1):
+                    if x == y:
+                        new_phred[i] = total_qualsum - int(qs[seq_b2i[y]])
+                    else:
+                        xi, yi = seq_b2i[x], seq_b2i[y]
+                        new_phred[i] = (
+                            total_qualsum - int(qs[xi]) - int(qs[yi]) + 3 * (int(bc[xi]) + int(bc[yi]))
+                        )
+                    i += 1
+            new_phred -= new_phred.min()
+            call.phred = np.minimum(new_phred, 255)
+            variant.calls.append(call)
+        variant.generate_infos(is_sv_graph=False)
+        variant.infos.pop("MQ", None)
+        vcf.variants.append(variant)
+
+    vcf._contigs = contigs
+    vcf._abs_pos = abs_pos
+    return vcf

@@ -1,0 +1,75 @@
+"""CLI, bamshrink, and long-read mode tests."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from graphtyper_tpu.cli import main as cli_main
+
+
+def test_construct_check_cli(tmp_path, data_dir, capsys):
+    g = str(tmp_path / "g.npz")
+    rc = cli_main(["construct", g, str(data_dir / "index_test.fa"), "--vcf", str(data_dir / "index_test.vcf.gz"), "--region", "chr2"])
+    assert rc == 0
+    rc = cli_main(["check", g])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "check=OK" in out
+
+
+def test_bamshrink_filters_and_renames(tmp_path):
+    rng = np.random.default_rng(2)
+    ref = "".join(rng.choice(list("ACGT"), 300))
+    lines = ["@HD\tVN:1.6", "@SQ\tSN:c\tLN:300", "@RG\tID:rg\tSM:s"]
+    L = 100
+    # good pair
+    s = 50
+    lines.append(f"good\t99\tc\t{s+1}\t60\t{L}M\t=\t{s+21}\t{L+20}\t{ref[s:s+L]}\t{'I'*L}")
+    lines.append(f"good\t147\tc\t{s+21}\t60\t{L}M\t=\t{s+1}\t{-(L+20)}\t{ref[s+20:s+20+L]}\t{'I'*L}")
+    # low mapq read -> dropped
+    lines.append(f"bad1\t99\tc\t{s+1}\t1\t{L}M\t=\t{s+21}\t{L+20}\t{ref[s:s+L]}\t{'I'*L}")
+    # short read -> dropped (tlen filter)
+    lines.append(f"bad2\t99\tc\t{s+1}\t60\t50M\t=\t{s+11}\t60\t{ref[s:s+50]}\t{'I'*50}")
+    sam = tmp_path / "in.sam"
+    sam.write_text("\n".join(lines) + "\n")
+    from graphtyper_tpu.pipeline.bamshrink import bamshrink
+
+    out = bamshrink(str(sam), "c", 0, 300, str(tmp_path / "out.sam"))
+    text = open(out).read()
+    body = [l for l in text.split("\n") if l and not l.startswith("@")]
+    assert len(body) == 2  # only the good pair
+    names = {l.split("\t")[0] for l in body}
+    assert names == {"!"}  # renamed, mates share the name
+    assert set(body[0].split("\t")[10]) <= {"?", ","}  # binarized quals
+
+
+def test_lr_genotyping(tmp_path):
+    rng = np.random.default_rng(9)
+    ref = "".join(rng.choice(list("ACGT"), 400))
+    fa = tmp_path / "lr.fa"
+    with open(fa, "w") as f:
+        f.write(">chrL\n")
+        for i in range(0, 400, 70):
+            f.write(ref[i : i + 70] + "\n")
+    alt_base = "A" if ref[150] != "A" else "G"
+    hap2 = ref[:150] + alt_base + ref[151:]
+    lines = ["@HD\tVN:1.6\tSO:coordinate", "@SQ\tSN:chrL\tLN:400", "@RG\tID:rg\tSM:lr1"]
+    recs = []
+    for i in range(30):
+        hap = ref if i % 2 == 0 else hap2
+        s = int(rng.integers(0, 200))
+        seq = hap[s : s + 200]
+        recs.append((s, f"lr{i}\t0\tchrL\t{s+1}\t50\t200M\t*\t0\t0\t{seq}\t{'F'*200}"))
+    recs.sort()
+    sam = tmp_path / "lr.sam"
+    sam.write_text("\n".join(lines + [r[1] for r in recs]) + "\n")
+    from graphtyper_tpu.pipeline.genotype_lr import genotype_lr
+
+    out = genotype_lr(str(fa), [str(sam)], "chrL", str(tmp_path / "out"))
+    body = [l for l in gzip.open(out, "rt").read().split("\n") if l and not l.startswith("#")]
+    assert len(body) == 1
+    f = body[0].split("\t")
+    assert f[1] == "151"
+    assert f[4] == alt_base
+    assert f[9].split(":")[0] == "0/1"
