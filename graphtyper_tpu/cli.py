@@ -95,6 +95,26 @@ def cmd_genotype_camou(args) -> int:
     return 0
 
 
+def cmd_genotype_hla(args) -> int:
+    from graphtyper_tpu.pipeline.genotype_hla import genotype_hla
+
+    sams = _read_sams_arg(args)
+    out = genotype_hla(args.ref, args.hla_vcf, sams, args.region, args.output)
+    print(out)
+    return 0
+
+
+def cmd_popvcf(args) -> int:
+    from graphtyper_tpu.io.popvcf import decode_file, encode_file
+
+    if args.mode == "encode":
+        encode_file(args.input, args.output)
+    else:
+        decode_file(args.input, args.output)
+    print(args.output)
+    return 0
+
+
 def cmd_discover(args) -> int:
     from graphtyper_tpu.graph.coords import AbsolutePosition
     from graphtyper_tpu.io.fasta import FastaFile
@@ -191,6 +211,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("interval_bed")
     _add_common(p)
     p.set_defaults(fn=cmd_genotype_camou)
+
+    p = sub.add_parser("genotype_hla", help="Genotype HLA alleles (WIP, as in the reference)")
+    p.add_argument("ref")
+    p.add_argument("hla_vcf")
+    _add_common(p)
+    p.set_defaults(fn=cmd_genotype_hla)
+
+    p = sub.add_parser("popvcf", help="Encode/decode population VCFs (popVCF)")
+    p.add_argument("mode", choices=["encode", "decode"])
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_popvcf)
 
     p = sub.add_parser("discover", help="Run only the discovery step, emit a sites VCF")
     p.add_argument("ref")

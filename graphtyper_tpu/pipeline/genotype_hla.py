@@ -1,0 +1,61 @@
+"""HLA genotyping pipeline (src/utilities/genotype_hla.cpp, WIP in the
+reference per main.cpp:1378): graph from a known-HLA VCF whose sample
+columns are HLA alleles, reads aligned and scored per site, then every
+diploid pair of HLA alleles scored to emit one allele-level <H> record.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from graphtyper_tpu.graph.build import construct_graph
+from graphtyper_tpu.graph.coords import GenomicRegion
+from graphtyper_tpu.index.build import index_graph
+from graphtyper_tpu.pipeline.caller import call_pool
+from graphtyper_tpu.pipeline.vcf_tools import read_vcf_with_calls
+from graphtyper_tpu.typer.hla import add_hla_haplotypes, build_allele_hap_gts
+from graphtyper_tpu.typer.vcf_out import VcfOutput
+
+
+def genotype_hla(
+    ref_path: str,
+    hla_vcf_fn: str,
+    sams: list[str],
+    region_str: str,
+    output_path: str,
+) -> str:
+    from graphtyper_tpu.io.fasta import FastaFile
+
+    region = GenomicRegion.parse(region_str)
+    fasta = FastaFile(ref_path)
+    if fasta.has_contig(region.chr):
+        region.end = min(region.end, fasta.contig_length(region.chr))
+    fasta.close()
+    padded = GenomicRegion(region.chr, region.begin, region.end)
+    padded.pad(1000)
+
+    graph = construct_graph(ref_path, hla_vcf_fn, padded.to_string(), use_index=True)
+    index = index_graph(graph)
+
+    hla_vcf, _contigs = read_vcf_with_calls(hla_vcf_fn)
+    allele_names, allele_hap_gts = build_allele_hap_gts(graph, hla_vcf)
+
+    result = call_pool(graph, index, sams, region=padded, is_writing_hap=False)
+
+    out = VcfOutput(sample_names=result.vcf.sample_names)
+    add_hla_haplotypes(out, result.scorer, allele_hap_gts, graph)
+    for var in out.variants:
+        var.scan_calls()
+        # name alleles in INFO so the <H> indices are interpretable
+        var.infos["HLA_ALLELES"] = ",".join(allele_names)
+
+    os.makedirs(os.path.join(output_path, region.chr), exist_ok=True)
+    dst = os.path.join(output_path, region.chr, f"{region.begin + 1:09d}-{region.end:09d}.hla.vcf.gz")
+    tmp = tempfile.mkdtemp(prefix="graphtyper_tpu_hla_")
+    out_tmp = os.path.join(tmp, "hla.vcf.gz")
+    out.write(out_tmp, graph.contigs, graph.abs_pos, filter_zero_qual=False, output_all_variants=True)
+    shutil.copyfile(out_tmp, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dst
