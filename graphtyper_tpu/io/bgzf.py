@@ -134,9 +134,18 @@ class BgzfReader:
 
 
 def decompress_all(path: str) -> bytes:
-    """Decompress an entire bgzf/gzip file (handles concatenated members)."""
+    """Decompress an entire bgzf/gzip file (handles concatenated members).
+    Uses the native libdeflate path when built (native/libgt_native.so)."""
     with open(path, "rb") as f:
         raw = f.read()
+    try:
+        from graphtyper_tpu.io import native
+
+        out_native = native.bgzf_decompress(raw)
+        if out_native is not None:
+            return out_native
+    except Exception:
+        pass
     out = []
     d = zlib.decompressobj(wbits=31)
     while raw:

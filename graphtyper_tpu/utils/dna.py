@@ -91,6 +91,15 @@ def pack_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     n = len(codes) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=bool)
+    if k == 32:
+        try:
+            from graphtyper_tpu.io import native
+
+            out = native.pack_kmers_native(codes)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     ok = codes < 4
     # sliding validity via cumulative sum of invalid flags
     bad = (~ok).astype(np.int32)

