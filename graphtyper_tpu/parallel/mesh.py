@@ -14,7 +14,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graphtyper_tpu.ops.genotype_step import genotype_forward
@@ -37,13 +40,15 @@ def sharded_genotype_step(mesh: Mesh, max_mismatches: int = 10):
         depth = jax.lax.psum(B.sum(axis=0), axis_name="data")
         return delta, depth
 
-    fn = shard_map(
-        step,
+    specs = dict(
         mesh=mesh,
         in_specs=(P("data", None), P(None, None), P(None, None), P("data")),
         out_specs=(P(), P()),
-        check_rep=False,
     )
+    try:
+        fn = shard_map(step, check_vma=False, **specs)
+    except TypeError:  # older jax spells it check_rep
+        fn = shard_map(step, check_rep=False, **specs)
     return jax.jit(fn)
 
 
