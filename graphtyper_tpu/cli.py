@@ -19,7 +19,8 @@ def _read_sams_arg(args) -> list[str]:
     """--sam / --sams file-of-files handling (main.cpp subcommand pattern)."""
     sams: list[str] = []
     if getattr(args, "sam", None):
-        sams.append(args.sam)
+        sam = args.sam
+        sams.extend(sam if isinstance(sam, list) else [sam])
     if getattr(args, "sams", None):
         with open(args.sams) as f:
             sams.extend(l.strip() for l in f if l.strip())
@@ -31,7 +32,7 @@ def _read_sams_arg(args) -> list[str]:
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output", "-O", default="results", help="Output directory")
     p.add_argument("--region", default=".", help="Genomic region chr[:begin[-end]]")
-    p.add_argument("--sam", help="One SAM/BAM file")
+    p.add_argument("--sam", action="append", help="One SAM/BAM file (repeatable)")
     p.add_argument("--sams", help="File with one SAM/BAM path per line")
     p.add_argument("sam_positional", nargs="*", help="SAM/BAM files")
     p.add_argument("--threads", type=int, default=os.cpu_count())

@@ -114,11 +114,17 @@ def read_pool_records(
     for path in hts_paths:
         header, reads = read_alignments(path, parse_tags=True)
         if header.sample_names:
-            base_sample = header.sample_names[0]
+            file_samples = header.sample_names
         else:
-            base_sample = path.rsplit("/", 1)[-1].split(".")[0]
-        sample_i = len(sample_names)
-        sample_names.append(base_sample)
+            file_samples = [path.rsplit("/", 1)[-1].split(".")[0]]
+        base_idx = {}
+        for s in file_samples:
+            base_idx[s] = len(sample_names)
+            sample_names.append(s)
+        default_i = base_idx[file_samples[0]]
+        # merged files (pipeline/sam_merge.py) carry several samples; records
+        # resolve to samples via their RG tag (hts_reader.cpp RG->sample)
+        multi = len(file_samples) > 1
         for r in reads:
             if region is not None:
                 # region filter: read overlaps [begin, end) on the region contig
@@ -126,6 +132,11 @@ def read_pool_records(
                     continue
                 if header.ref_names[r.ref_id] != region.chr:
                     continue
+            if multi:
+                sm = header.rg_to_sample.get(r.tags.get("RG"))
+                sample_i = base_idx.get(sm, default_i)
+            else:
+                sample_i = default_i
             pooled.append((r, sample_i, sample_i))
     pooled.sort(key=lambda t: (t[0].ref_id, t[0].pos, t[0].seq))
     return sample_names, pooled

@@ -139,6 +139,13 @@ def genotype(
     os.makedirs(os.path.join(output_path, region.chr), exist_ok=True)
     os.makedirs(os.path.join(output_path, "input_sites", region.chr), exist_ok=True)
 
+    # very large cohorts: merge per-sample inputs in chunks so pool readers
+    # open fewer files (genotype.cpp:174-260)
+    from graphtyper_tpu.config import DEFAULT_OPTIONS
+    from graphtyper_tpu.pipeline.sam_merge import run_sam_merge
+
+    sams = run_sam_merge(list(sams), tmp, DEFAULT_OPTIONS)
+
     # ---- iteration 1: discovery ----
     it1 = os.path.join(tmp, "it1")
     os.makedirs(it1, exist_ok=True)

@@ -11,14 +11,14 @@ from graphtyper_tpu.graph.build import construct_graph
 from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
 
 
-def simulate_sam(path, chrom, contig_len, haplotypes, n_pairs, read_len=63, seed=1):
+def simulate_sam(path, chrom, contig_len, haplotypes, n_pairs, read_len=63, seed=1, sample="sample1"):
     """Write a SAM with proper read pairs sampled alternately from two
     haplotype sequences."""
     rng = np.random.default_rng(seed)
     lines = [
         "@HD\tVN:1.6\tSO:coordinate",
         f"@SQ\tSN:{chrom}\tLN:{contig_len}",
-        "@RG\tID:rg1\tSM:sample1",
+        f"@RG\tID:rg1\tSM:{sample}",
     ]
     records = []
     for i in range(n_pairs):
