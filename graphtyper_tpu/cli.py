@@ -29,6 +29,84 @@ def _read_sams_arg(args) -> list[str]:
     return sams
 
 
+def _add_advanced(p: argparse.ArgumentParser) -> None:
+    """The reference's advanced option catalog (main.cpp subcmd_genotype
+    "advanced" flags), mapped 1:1 onto config.Options fields."""
+    g = p.add_argument_group("advanced")
+    g.add_argument("--no_asterisks", action="store_true")
+    g.add_argument("--no_filter_on_mapq", action="store_true")
+    g.add_argument("--no_filter_on_proper_pairs", action="store_true")
+    g.add_argument("--no_filter_on_read_bias", action="store_true")
+    g.add_argument("--no_filter_on_strand_bias", action="store_true")
+    g.add_argument("--no_filter_on_begin_pos", action="store_true")
+    g.add_argument("--no_filter_on_coverage", action="store_true")
+    g.add_argument("--force_no_filter_zero_qual", action="store_true")
+    g.add_argument("--get_sample_names_from_filename", action="store_true")
+    g.add_argument("--no_sample_name_reordering", action="store_true")
+    g.add_argument("--no_variant_overlapping", action="store_true")
+    g.add_argument("--normal_and_no_variant_overlapping", action="store_true")
+    g.add_argument("--is_all_biallelic", action="store_true")
+    g.add_argument("--is_sam_merging_allowed", action="store_true")
+    g.add_argument("--max_files_open", type=int, default=None)
+    g.add_argument("--genotype_aln_min_support", type=int, default=None)
+    g.add_argument("--genotype_aln_min_support_ratio", type=float, default=None)
+    g.add_argument("--genotype_dis_min_support", type=int, default=None)
+    g.add_argument("--genotype_dis_min_support_ratio", type=float, default=None)
+    g.add_argument("--bamshrink_max_fraglen", type=int, default=None)
+    g.add_argument("--bamshrink_min_matching", type=int, default=None)
+    g.add_argument("--bamshrink_min_readlen", type=int, default=None)
+    g.add_argument("--bamshrink_min_readlen_low_mapq", type=int, default=None)
+    g.add_argument("--bamshrink_is_not_filtering_mapq0", action="store_true")
+    g.add_argument("--primer_bedpe", default=None)
+    g.add_argument("--encoding", choices=["vcf", "popvcf"], default=None)
+
+
+def _options_from_args(args):
+    """Build a config.Options from parsed CLI flags (only fields the user
+    actually set are overridden)."""
+    from dataclasses import replace
+
+    from graphtyper_tpu.config import DEFAULT_OPTIONS
+
+    opts = DEFAULT_OPTIONS
+    over = {}
+    for store_true in (
+        "no_asterisks", "no_filter_on_begin_pos", "no_filter_on_coverage",
+        "force_no_filter_zero_qual", "get_sample_names_from_filename",
+        "no_sample_name_reordering", "no_variant_overlapping",
+        "normal_and_no_variant_overlapping", "is_all_biallelic",
+        "is_sam_merging_allowed", "bamshrink_is_not_filtering_mapq0",
+        "no_decompose", "no_cleanup", "no_bamshrink", "output_all_variants",
+    ):
+        if getattr(args, store_true, False):
+            over[store_true] = True
+    # negative flags -> positive Options fields
+    for flag, field_name in (
+        ("no_filter_on_mapq", "filter_on_mapq"),
+        ("no_filter_on_proper_pairs", "filter_on_proper_pairs"),
+        ("no_filter_on_read_bias", "filter_on_read_bias"),
+        ("no_filter_on_strand_bias", "filter_on_strand_bias"),
+    ):
+        if getattr(args, flag, False):
+            over[field_name] = False
+    for value_opt in (
+        "max_files_open", "genotype_aln_min_support", "genotype_aln_min_support_ratio",
+        "genotype_dis_min_support", "genotype_dis_min_support_ratio",
+        "bamshrink_max_fraglen", "bamshrink_min_matching", "bamshrink_min_readlen",
+        "bamshrink_min_readlen_low_mapq", "primer_bedpe",
+    ):
+        v = getattr(args, value_opt, None)
+        if v is not None:
+            over[value_opt] = v
+    if getattr(args, "encoding", None):
+        over["encoding"] = "p" if args.encoding == "popvcf" else "v"
+    if getattr(args, "threads", None):
+        over["threads"] = args.threads
+    if getattr(args, "output", None):
+        over["output_dir"] = args.output
+    return replace(opts, **over) if over else opts
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output", "-O", default="results", help="Output directory")
     p.add_argument("--region", default=".", help="Genomic region chr[:begin[-end]]")
@@ -52,20 +130,33 @@ def cmd_genotype(args) -> int:
     if not sams:
         print("error: no SAM/BAM files given", file=sys.stderr)
         return 1
-    if args.vcf:
-        out = genotype_only_with_a_vcf(args.ref, sams, args.vcf, args.region, args.output)
-        print(out)
-    else:
-        outs = genotype_regions(
-            args.ref,
-            sams,
-            args.region,
-            args.output,
-            prior_vcf=args.prior_vcf or None,
-            output_all_variants=args.output_all_variants,
-        )
-        for o in outs:
-            print(o)
+    regions = [args.region]
+    if args.region_file:
+        with open(args.region_file) as f:
+            regions = [l.strip() for l in f if l.strip()]
+    avg_cov = None
+    if args.avg_cov_by_readlen:
+        with open(args.avg_cov_by_readlen) as f:
+            avg_cov = [float(l.strip()) for l in f if l.strip()]
+        if len(avg_cov) != len(sams):
+            print("error: --avg_cov_by_readlen line count != number of SAM/BAM files", file=sys.stderr)
+            return 1
+    for region in regions:
+        if args.vcf:
+            out = genotype_only_with_a_vcf(args.ref, sams, args.vcf, region, args.output)
+            print(out)
+        else:
+            outs = genotype_regions(
+                args.ref,
+                sams,
+                region,
+                args.output,
+                avg_cov_by_readlen=avg_cov,
+                prior_vcf=args.prior_vcf or None,
+                output_all_variants=args.output_all_variants,
+            )
+            for o in outs:
+                print(o)
     return 0
 
 
@@ -82,7 +173,9 @@ def cmd_genotype_lr(args) -> int:
     from graphtyper_tpu.pipeline.genotype_lr import genotype_lr
 
     sams = _read_sams_arg(args)
-    out = genotype_lr(args.ref, sams, args.region, args.output)
+    from graphtyper_tpu.config import current_options
+
+    out = genotype_lr(args.ref, sams, args.region, args.output, opts=current_options())
     print(out)
     return 0
 
@@ -91,7 +184,9 @@ def cmd_genotype_camou(args) -> int:
     from graphtyper_tpu.pipeline.genotype_camou import genotype_camou
 
     sams = _read_sams_arg(args)
-    out = genotype_camou(args.ref, args.interval_bed, sams, args.output)
+    from graphtyper_tpu.config import current_options
+
+    out = genotype_camou(args.ref, args.interval_bed, sams, args.output, opts=current_options())
     print(out)
     return 0
 
@@ -193,30 +288,41 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("ref", help="Reference FASTA")
     p.add_argument("--vcf", default="", help="Genotype only the sites of this VCF (single iteration)")
     p.add_argument("--prior_vcf", default="", help="Add these prior sites to discovery")
+    p.add_argument("--region_file", default="", help="File with one region per line")
+    p.add_argument(
+        "--avg_cov_by_readlen",
+        default="",
+        help="File with average coverage divided by read length, one value per line (one per SAM)",
+    )
     _add_common(p)
+    _add_advanced(p)
     p.set_defaults(fn=cmd_genotype)
 
     p = sub.add_parser("genotype_sv", help="Genotype structural variants from an SV VCF")
     p.add_argument("ref")
     p.add_argument("sv_vcf")
     _add_common(p)
+    _add_advanced(p)
     p.set_defaults(fn=cmd_genotype_sv)
 
     p = sub.add_parser("genotype_lr", help="Genotype from long-read pileups")
     p.add_argument("ref")
     _add_common(p)
+    _add_advanced(p)
     p.set_defaults(fn=cmd_genotype_lr)
 
     p = sub.add_parser("genotype_camou", help="Genotype camouflaged (multi-copy) regions")
     p.add_argument("ref")
     p.add_argument("interval_bed")
     _add_common(p)
+    _add_advanced(p)
     p.set_defaults(fn=cmd_genotype_camou)
 
     p = sub.add_parser("genotype_hla", help="Genotype HLA alleles (WIP, as in the reference)")
     p.add_argument("ref")
     p.add_argument("hla_vcf")
     _add_common(p)
+    _add_advanced(p)
     p.set_defaults(fn=cmd_genotype_hla)
 
     p = sub.add_parser("popvcf", help="Encode/decode population VCFs (popVCF)")
@@ -228,6 +334,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("discover", help="Run only the discovery step, emit a sites VCF")
     p.add_argument("ref")
     _add_common(p)
+    _add_advanced(p)
     p.set_defaults(fn=cmd_discover)
 
     p = sub.add_parser("construct", help="Construct a graph from FASTA + VCF")
@@ -274,11 +381,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from graphtyper_tpu.config import set_options
     from graphtyper_tpu.utils.log import setup_logging
 
     setup_logging(
         getattr(args, "log", ""), getattr(args, "verbose", False), getattr(args, "vverbose", False)
     )
+    set_options(_options_from_args(args))
     return args.fn(args)
 
 

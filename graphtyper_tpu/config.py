@@ -106,3 +106,18 @@ class Options:
 
 
 DEFAULT_OPTIONS = Options()
+
+# Process-wide options set once by the CLI at startup (the reference uses a
+# mutable Options::instance() singleton, options.hpp; here the instance is an
+# immutable dataclass swapped in whole so library callers can still pass
+# their own `opts` explicitly).
+_CURRENT: Options = DEFAULT_OPTIONS
+
+
+def set_options(opts: Options) -> None:
+    global _CURRENT
+    _CURRENT = opts
+
+
+def current_options() -> Options:
+    return _CURRENT

@@ -28,6 +28,7 @@ def genotype_only_with_a_vcf(
     """Single-iteration genotyping from a known-variants VCF
     (genotype.cpp:262-334). Returns the output VCF path."""
     region = GenomicRegion.parse(region_str)
+    _clamp_region_to_contig(region, ref_path)
     padded = GenomicRegion(region.chr, region.begin, region.end)
     padded.pad(1000)
 
@@ -45,7 +46,11 @@ def genotype_only_with_a_vcf(
         is_writing_hap=False,
     )
 
-    out_path = os.path.join(output_dir, "graphtyper.vcf.gz")
+    # region-structured output, <out>/<chr>/<start>-<end>.vcf.gz, like the
+    # iterative pipeline (genotype.cpp:606-659) so multi-region runs never
+    # overwrite each other
+    out_path = os.path.join(output_dir, region.to_file_string() + ".vcf.gz")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     vcf_merge_and_break(
         [result.vcf],
         out_path,
@@ -53,7 +58,25 @@ def genotype_only_with_a_vcf(
         graph,
         filter_zero_qual=False,
     )
+    # keep a stable top-level name for the common single-region case
+    legacy = os.path.join(output_dir, "graphtyper.vcf.gz")
+    import shutil
+
+    shutil.copyfile(out_path, legacy)
+    if os.path.exists(out_path + ".tbi"):
+        shutil.copyfile(out_path + ".tbi", legacy + ".tbi")
     return out_path
+
+
+def _clamp_region_to_contig(region: GenomicRegion, ref_path: str) -> None:
+    from graphtyper_tpu.io.fasta import FastaFile
+
+    fasta = FastaFile(ref_path)
+    try:
+        if fasta.has_contig(region.chr):
+            region.end = min(region.end, fasta.contig_length(region.chr))
+    finally:
+        fasta.close()
 
 
 def genotype_sv(
@@ -66,6 +89,7 @@ def genotype_sv(
 ) -> str:
     """Single-iteration SV genotyping (genotype_sv.cpp:26-180)."""
     region = GenomicRegion.parse(region_str)
+    _clamp_region_to_contig(region, ref_path)
     padded = GenomicRegion(region.chr, region.begin, region.end)
     padded.pad_end(200000)
     padded.pad(1000)
@@ -85,15 +109,22 @@ def genotype_sv(
     )
 
     out_path = os.path.join(output_dir, "graphtyper.sv.vcf.gz")
+    out_region = os.path.join(output_dir, region.to_file_string() + ".vcf.gz")
+    os.makedirs(os.path.dirname(out_region), exist_ok=True)
     vcf_merge_and_break(
         [result.vcf],
-        out_path,
+        out_region,
         region.to_string(),
         graph,
         filter_zero_qual=True,
         force_no_break_down=True,  # SVs are not decomposed
     )
-    return out_path
+    import shutil
+
+    shutil.copyfile(out_region, out_path)
+    if os.path.exists(out_region + ".tbi"):
+        shutil.copyfile(out_region + ".tbi", out_path + ".tbi")
+    return out_region
 
 
 def genotype(
@@ -141,10 +172,10 @@ def genotype(
 
     # very large cohorts: merge per-sample inputs in chunks so pool readers
     # open fewer files (genotype.cpp:174-260)
-    from graphtyper_tpu.config import DEFAULT_OPTIONS
+    from graphtyper_tpu.config import current_options
     from graphtyper_tpu.pipeline.sam_merge import run_sam_merge
 
-    sams = run_sam_merge(list(sams), tmp, DEFAULT_OPTIONS)
+    sams = run_sam_merge(list(sams), tmp, current_options())
 
     # ---- iteration 1: discovery ----
     it1 = os.path.join(tmp, "it1")

@@ -285,7 +285,15 @@ def run_first_pass(
             info = bucket.events[ev]
             begin = max(0, ev.pos - region_begin)
             cov = cov_at(begin)
-            if not info.has_good_support(cov):
+            gate_kw = {}
+            if opts is not None:
+                gate_kw = dict(
+                    filter_on_proper_pairs=getattr(opts, "filter_on_proper_pairs", True),
+                    no_filter_on_begin_pos=getattr(opts, "no_filter_on_begin_pos", False),
+                    filter_on_read_bias=getattr(opts, "filter_on_read_bias", True),
+                    filter_on_strand_bias=getattr(opts, "filter_on_strand_bias", True),
+                )
+            if not info.has_good_support(cov, **gate_kw):
                 del bucket.events[ev]
 
     # indel realignment-support gates (caller.cpp:993-1190)
@@ -746,7 +754,9 @@ def streamlined_discovery(
         if sample_names_out is not None:
             name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
             sample_names_out.append(name)
-        buckets, sample_haps = run_first_pass(reads, region_begin, reference)
+        from graphtyper_tpu.config import current_options
+
+        buckets, sample_haps = run_first_pass(reads, region_begin, reference, opts=current_options())
         # fix file index on surviving indels
         for b in buckets:
             for ev, info in b.events.items():
