@@ -216,14 +216,14 @@ def call_pool(
         if prev_key is not None and key == prev_key:
             num_duplicated += 1
             update_bin_count(read, sample_i)
-            genos = copy.deepcopy(prev_genos)
+            genos = [g.clone() for g in prev_genos]
         else:
             if not update_bin_count(read, sample_i):
                 num_records -= 1
                 continue
             prev_genos = align_read(graph, index, read, force_align_both_orientations)
             prev_key = key
-            genos = copy.deepcopy(prev_genos)
+            genos = [g.clone() for g in prev_genos]
         process(read, sample_i, rg_i, genos)
 
     # leftover mates (SV only — reference drops them otherwise)
@@ -231,7 +231,7 @@ def call_pool(
         for rg_i, map_gpaths in enumerate(maps):
             sample_i = rg_i
             for name, genos in map_gpaths.items():
-                other = copy.deepcopy(genos)
+                other = [g.clone() for g in genos]
                 for g in other:
                     g.flags ^= IS_FIRST_IN_PAIR | IS_REVERSED
                 better = get_better_paths(genos, other)

@@ -53,34 +53,75 @@ def to_uint64_list(codes: np.ndarray, i: int) -> list[int]:
     return keys
 
 
-def query_index(codes: np.ndarray, index: KmerIndex) -> list[list[tuple[int, int, int]]]:
-    """Labels for kmers at stride K-1 over the read."""
+def _stride_keys(codes: np.ndarray) -> list[list[int]]:
+    """Packed keys per stride-(K-1) kmer position; ambiguous kmers fork via
+    to_uint64_list. Bulk-packs the read once (native fast path) instead of
+    Horner-packing each kmer in Python."""
+    nk = num_kmers(len(codes))
+    if nk <= 0:
+        return []
+    from graphtyper_tpu.utils.dna import pack_kmers
+
+    kmers, valid = pack_kmers(codes, K)
     out = []
-    for i in range(num_kmers(len(codes))):
-        keys = to_uint64_list(codes, (K - 1) * i)
-        labels: list[tuple[int, int, int]] = []
-        for key in keys:
-            labels.extend(index.get(key))
-        out.append(labels)
+    for i in range(nk):
+        p = (K - 1) * i
+        if valid[p]:
+            out.append([int(kmers[p])])
+        else:
+            out.append(to_uint64_list(codes, p))
     return out
 
 
-def query_index_hamming1(codes: np.ndarray, index: KmerIndex) -> list[list[tuple[int, int, int]]]:
-    out = []
-    for i in range(num_kmers(len(codes))):
-        keys = to_uint64_list(codes, (K - 1) * i)
-        labels: list[tuple[int, int, int]] = []
-        if len(keys) == 1:
-            for key in hamming1_keys(np.array(keys, dtype=np.uint64))[0]:
-                labels.extend(index.get(int(key)))
-        out.append(labels)
+def _expand_spans(index: KmerIndex, begin: np.ndarray, end: np.ndarray, rows: np.ndarray, n_rows: int) -> list[list[tuple[int, int, int]]]:
+    """Materialize label tuples per row from multi_get spans (only hits)."""
+    out: list[list[tuple[int, int, int]]] = [[] for _ in range(n_rows)]
+    ls, le, lv = index.label_start, index.label_end, index.label_var_id
+    for h in np.nonzero(end > begin)[0]:
+        a, b = int(begin[h]), int(end[h])
+        out[rows[h]].extend((int(ls[j]), int(le[j]), int(lv[j])) for j in range(a, b))
     return out
+
+
+def query_index(codes: np.ndarray, index: KmerIndex, keys_per_pos=None) -> list[list[tuple[int, int, int]]]:
+    """Labels for kmers at stride K-1 over the read (one batched lookup)."""
+    if keys_per_pos is None:
+        keys_per_pos = _stride_keys(codes)
+    if not keys_per_pos:
+        return []
+    flat: list[int] = []
+    rows: list[int] = []
+    for i, keys in enumerate(keys_per_pos):
+        flat.extend(keys)
+        rows.extend([i] * len(keys))
+    if not flat:
+        return [[] for _ in keys_per_pos]
+    begin, end = index.multi_get(np.array(flat, dtype=np.uint64))
+    return _expand_spans(index, begin, end, np.array(rows), len(keys_per_pos))
+
+
+def query_index_hamming1(codes: np.ndarray, index: KmerIndex, keys_per_pos=None) -> list[list[tuple[int, int, int]]]:
+    """Hamming-1 probing: one batched lookup over all 96*Q mutated keys
+    (kmer_help_functions.cpp:93-119; ambiguous kmers are skipped)."""
+    if keys_per_pos is None:
+        keys_per_pos = _stride_keys(codes)
+    if not keys_per_pos:
+        return []
+    base_rows = [i for i, keys in enumerate(keys_per_pos) if len(keys) == 1]
+    if not base_rows:
+        return [[] for _ in keys_per_pos]
+    base = np.array([keys_per_pos[i][0] for i in base_rows], dtype=np.uint64)
+    muts = hamming1_keys(base)  # [Q, 96] in reference probe order
+    begin, end = index.multi_get(muts.reshape(-1))
+    rows = np.repeat(np.array(base_rows), muts.shape[1])
+    return _expand_spans(index, begin, end, rows, len(keys_per_pos))
 
 
 def find_genotype_paths(graph, index: KmerIndex, codes: np.ndarray, geno: GenotypePaths) -> None:
     """find_genotype_paths_of_one_of_the_sequences (alignment.cpp:23-103)."""
-    h0 = query_index(codes, index)
-    h1 = query_index_hamming1(codes, index)
+    keys_per_pos = _stride_keys(codes)
+    h0 = query_index(codes, index, keys_per_pos)
+    h1 = query_index_hamming1(codes, index, keys_per_pos)
     assert len(h0) > 0
 
     # Stop if all kmers are extremely common

@@ -40,6 +40,22 @@ class GenotypePaths:
     read2: np.ndarray | None = None  # read codes (set after alignment)
     qual2: np.ndarray | None = None
 
+    def clone(self) -> "GenotypePaths":
+        """Fast deep copy; read2/qual2 arrays are shared (only reassigned,
+        never mutated in place, by update_paths)."""
+        return GenotypePaths(
+            flags=self.flags,
+            read_length=self.read_length,
+            paths=[p.clone() for p in self.paths],
+            longest_path_length=self.longest_path_length,
+            original_pos=self.original_pos,
+            score_diff=self.score_diff,
+            mapq=self.mapq,
+            ml_insert_size=self.ml_insert_size,
+            read2=self.read2,
+            qual2=self.qual2,
+        )
+
     def longest_path_size(self) -> int:
         return self.longest_path_length
 
