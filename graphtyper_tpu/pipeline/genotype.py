@@ -247,16 +247,32 @@ def genotype(
     return dst
 
 
+def _genotype_one(args_tuple):
+    ref_path, sams, sub_str, output_path, jax_platform, kw = args_tuple
+    if jax_platform:
+        # spawn children must inherit the parent's platform choice (e.g.
+        # tests force CPU after import; a child defaulting to the TPU would
+        # contend for the single chip)
+        import jax
+
+        jax.config.update("jax_platforms", jax_platform)
+    return genotype(ref_path, sams, sub_str, output_path, **kw)
+
+
 def genotype_regions(
     ref_path: str,
     sams: list[str],
     region_str: str,
     output_path: str,
     max_region_size: int = 50_000,
+    processes: int | None = None,
     **kw,
 ) -> list[str]:
-    """Split the region into <=50kb chunks and genotype each serially
-    (genotype.cpp:683-741, main.cpp:30-58)."""
+    """Split the region into <=50kb chunks and genotype each
+    (genotype.cpp:683-741, main.cpp:30-58). Regions are independent, so with
+    processes > 1 they fan out over a process pool — the within-host analog
+    of the reference's threaded region loop (one Python process per region
+    sidesteps the GIL on the host-bound caller)."""
     from graphtyper_tpu.graph.coords import split_region
     from graphtyper_tpu.io.fasta import FastaFile
 
@@ -265,7 +281,29 @@ def genotype_regions(
     if fasta.has_contig(region.chr):
         region.end = min(region.end, fasta.contig_length(region.chr))
     fasta.close()
-    outs = []
-    for sub in split_region(region, max_region_size):
-        outs.append(genotype(ref_path, sams, sub.to_string(), output_path, **kw))
-    return outs
+    subs = list(split_region(region, max_region_size))
+    if processes is None:
+        from graphtyper_tpu.config import current_options
+
+        processes = getattr(current_options(), "threads", 1)
+    if processes > 1 and len(subs) > 1:
+        import multiprocessing as mp
+        import sys
+        from concurrent.futures import ProcessPoolExecutor
+
+        jax_platform = None
+        if "jax" in sys.modules:
+            try:
+                jax_platform = sys.modules["jax"].config.jax_platforms
+            except Exception:
+                pass
+        jobs = [(ref_path, sams, s.to_string(), output_path, jax_platform, kw) for s in subs]
+        ctx = mp.get_context("spawn")  # fork is unsafe under a live JAX runtime
+        try:
+            with ProcessPoolExecutor(max_workers=min(processes, len(subs)), mp_context=ctx) as pool:
+                return list(pool.map(_genotype_one, jobs))
+        except Exception:
+            # spawn needs an importable __main__ (breaks under stdin/REPL
+            # drivers) — fall back to the serial loop rather than failing
+            pass
+    return [genotype(ref_path, sams, s.to_string(), output_path, **kw) for s in subs]

@@ -116,3 +116,17 @@ def vcf_merge_files(vcf_paths: list[str], output_path: str) -> None:
         var.infos = {}
         var.generate_infos(ref)
     merged.write(output_path, contigs, ref.abs_pos)
+
+
+def vcf_update_info(vcf_path: str, output_path: str) -> None:
+    """Re-generate INFO fields of a VCF with calls and rewrite it
+    (vcf_operations.cpp vcf_update_info:1027-1080)."""
+    vcf, contigs = read_vcf_with_calls(vcf_path)
+    ref = _RefProxy(contigs)
+    out = VcfOutput(sample_names=vcf.sample_names)
+    for var in vcf.variants:
+        var.scan_calls()
+        if vcf.sample_names:
+            var.generate_infos(ref)
+        out.variants.append(var)
+    out.write(output_path, contigs, ref.abs_pos)
