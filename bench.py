@@ -1,8 +1,15 @@
 """Driver benchmark: prints ONE JSON line.
 
 Measures the flagship device compute path — the fused batched genotyping
-step (read-vs-haplotype one-hot mismatch matmul + explains masking +
+step (read-vs-haplotype one-hot int8 matmul + explains masking +
 PL-triangle Gram update) — in reads aligned+genotyped per second per chip.
+
+Methodology: the step is iterated INSIDE one jit via lax.scan (inputs varied
+on-device per step), so one dispatch + one scalar readback covers n steps.
+Per-step time = (t(n_big) - t(n_small)) / (n_big - n_small), best of 3 —
+immune to host<->device round-trip latency and to any transport-level
+caching of repeated dispatches (both of which skew per-call timing by >10x
+on tunneled devices).
 
 vs_baseline compares against the reference implementation's single-core
 throughput proxy: graphtyper's AVX512-era design targets roughly 10k reads
@@ -23,6 +30,7 @@ REFERENCE_READS_PER_SEC_PER_CORE = 10_000.0
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from graphtyper_tpu.ops.genotype_step import genotype_forward
 
@@ -37,23 +45,34 @@ def main() -> None:
     hap_allele[np.arange(H), rng.integers(0, A, size=H)] = 1.0
     eps = rng.integers(4, 9, size=R).astype(np.float32)
 
-    reads_d = jax.device_put(reads)
-    haps_d = jax.device_put(haps)
-    hap_allele_d = jax.device_put(hap_allele)
-    eps_d = jax.device_put(eps)
+    def make_many(n_steps: int):
+        @jax.jit
+        def many(seed_reads, haps_d, hap_allele_d, eps_d):
+            def body(c, i):
+                batch = jnp.roll(seed_reads, i, axis=0)  # distinct input per step
+                delta, B = genotype_forward(batch, haps_d, hap_allele_d, eps_d)
+                return c + delta.sum() + B.sum(), None
 
-    # compile
-    delta, B = genotype_forward(reads_d, haps_d, hap_allele_d, eps_d)
-    delta.block_until_ready()
+            return jax.lax.scan(body, 0.0, jnp.arange(n_steps))[0]
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        delta, B = genotype_forward(reads_d, haps_d, hap_allele_d, eps_d)
-    delta.block_until_ready()
-    dt = time.perf_counter() - t0
+        return many
 
-    reads_per_sec = R * iters / dt
+    args = [jax.device_put(x) for x in (reads, haps, hap_allele, eps)]
+    n_small, n_big = 10, 510
+    small, big = make_many(n_small), make_many(n_big)
+    float(small(*args))  # compile + warm
+    float(big(*args))
+    per_step = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(small(*args))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(big(*args))
+        t_big = time.perf_counter() - t0
+        per_step = min(per_step, (t_big - t_small) / (n_big - n_small))
+
+    reads_per_sec = R / per_step
     print(
         json.dumps(
             {
