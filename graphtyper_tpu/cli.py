@@ -59,6 +59,7 @@ def _add_advanced(p: argparse.ArgumentParser) -> None:
     g.add_argument("--bamshrink_is_not_filtering_mapq0", action="store_true")
     g.add_argument("--primer_bedpe", default=None)
     g.add_argument("--encoding", choices=["vcf", "popvcf"], default=None)
+    g.add_argument("--stats", default=None, help="Directory for debug stats dumps (per-read/per-path TSVs)")
 
 
 def _options_from_args(args):
@@ -93,7 +94,7 @@ def _options_from_args(args):
         "max_files_open", "genotype_aln_min_support", "genotype_aln_min_support_ratio",
         "genotype_dis_min_support", "genotype_dis_min_support_ratio",
         "bamshrink_max_fraglen", "bamshrink_min_matching", "bamshrink_min_readlen",
-        "bamshrink_min_readlen_low_mapq", "primer_bedpe",
+        "bamshrink_min_readlen_low_mapq", "primer_bedpe", "stats",
     ):
         v = getattr(args, value_opt, None)
         if v is not None:

@@ -15,6 +15,7 @@ from graphtyper_tpu.constants import SPLIT_VAR_THRESHOLD
 class Options:
     # general
     log: str = ""
+    stats: str = ""  # debug stats dump dir (vcf_writer.cpp:442, main.cpp:660)
     output_dir: str = "results"
     threads: int = os.cpu_count() or 1
     verbose: bool = False

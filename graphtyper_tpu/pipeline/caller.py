@@ -142,6 +142,61 @@ def read_pool_records(
     return sample_names, pooled
 
 
+class _StatsWriter:
+    """--stats debug dumps: per-read and per-path TSVs, appended per sample
+    (vcf_writer.cpp update_statistics/print_geno_statistics:442-540; the
+    reference gzips per line-batch, here one gzip member per pool)."""
+
+    def __init__(self, stats_dir: str, sample_names: list[str], graph):
+        import os
+
+        os.makedirs(stats_dir, exist_ok=True)
+        self.dir = stats_dir
+        self.samples = sample_names
+        self.graph = graph
+        self.read_lines: list[dict] = [dict() for _ in sample_names]
+        self.reads: list[list[str]] = [[] for _ in sample_names]
+        self.paths: list[list[str]] = [[] for _ in sample_names]
+
+    def add(self, geno, read, sample_i: int) -> None:
+        from graphtyper_tpu.constants import IS_FIRST_IN_PAIR, IS_REVERSED
+        from graphtyper_tpu.utils.dna import decode
+
+        rid = f"{self.samples[sample_i]}_{read.name}/{1 if geno.flags & IS_FIRST_IN_PAIR else 2}"
+        seq = decode(geno.read2) if geno.read2 is not None else ""
+        qual = (
+            "".join(chr(q + 33) for q in geno.qual2) if geno.qual2 is not None else ""
+        )
+        ins = geno.ml_insert_size if geno.ml_insert_size != 0x7FFFFFFF else "."
+        self.reads[sample_i].append(
+            f"{rid}\t{self.samples[sample_i]}\t{seq}\t{qual}\t{geno.longest_path_length}\t"
+            f"{geno.original_pos}\t{ins}"
+        )
+        for p, path in enumerate(geno.paths):
+            chrom, start = self.graph.abs_pos.get_contig_position(path.start)
+            _, end = self.graph.abs_pos.get_contig_position(path.end)
+            strand = "F" if (geno.flags & IS_REVERSED) == 0 else "B"
+            overlapping = ",".join(
+                f"{vo}:{sorted(nums)}" for vo, nums in zip(path.var_order, path.nums)
+            ) or "."
+            self.paths[sample_i].append(
+                f"{rid}\t{p}\t{path.read_start_index}\t{path.read_end_index}\t"
+                f"{path.mismatches}\t{strand}\t{chrom}\t{start}\t{end}\t{overlapping}"
+            )
+
+    def flush(self) -> None:
+        import gzip
+        import os
+
+        for i, sample in enumerate(self.samples):
+            if self.reads[i]:
+                with gzip.open(os.path.join(self.dir, f"{sample}_read_details.tsv.gz"), "at") as f:
+                    f.write("\n".join(self.reads[i]) + "\n")
+            if self.paths[i]:
+                with gzip.open(os.path.join(self.dir, f"{sample}_read_path_details.tsv.gz"), "at") as f:
+                    f.write("\n".join(self.paths[i]) + "\n")
+
+
 def call_pool(
     graph,
     index: KmerIndex,
@@ -183,6 +238,11 @@ def call_pool(
         bin_counts[sample_i][b] = cnt + 1
         return True
 
+    from graphtyper_tpu.config import current_options
+
+    stats_dir = getattr(current_options(), "stats", "")
+    stats = _StatsWriter(stats_dir, sample_names, graph) if stats_dir else None
+
     def process(read: AlignedRead, sample_i: int, rg_i: int, genos) -> None:
         map_gpaths = maps[rg_i]
         found = map_gpaths.get(read.name)
@@ -193,6 +253,8 @@ def call_pool(
             else:
                 selected = update_unpaired_read_paths(genos, read)
                 if selected is not None:
+                    if stats is not None:
+                        stats.add(selected, read, sample_i)
                     scorer.update_haplotype_scores(selected, sample_i)
         else:
             update_paths(genos, read)
@@ -203,6 +265,9 @@ def call_pool(
                 if is_sv and reference_depth is not None:
                     reference_depth.add_genotype_paths(better[0], sample_i)
                     reference_depth.add_genotype_paths(better[1], sample_i)
+                if stats is not None:
+                    stats.add(better[0], read, sample_i)
+                    stats.add(better[1], read, sample_i)
                 scorer.update_haplotype_scores_pair(better[0], better[1], sample_i)
             del map_gpaths[read.name]
 
@@ -239,6 +304,9 @@ def call_pool(
                     reference_depth.add_genotype_paths(better[0], sample_i)
                     scorer.update_haplotype_scores(better[0], sample_i)
         maps = []
+
+    if stats is not None:
+        stats.flush()
 
     ph = compute_ph_map(scorer) if is_writing_hap else {}
 

@@ -218,6 +218,12 @@ def update_paths(genos: tuple[GenotypePaths, GenotypePaths], read: AlignedRead) 
         geno2.flags |= IS_MAPQ_BAD
     geno2.mapq = geno1.mapq
     geno2.ml_insert_size = geno1.ml_insert_size
+    # base qualities oriented with each alignment (raw phred; the reference
+    # stores ascii and subtracts 33 at use, alignment.cpp:397-401 +
+    # vcf_writer.cpp:562-563)
+    if read.qual is not None and len(read.qual):
+        geno1.qual2 = read.qual
+        geno2.qual2 = read.qual[::-1]
 
 
 def update_unpaired_read_paths(genos: tuple[GenotypePaths, GenotypePaths], read: AlignedRead) -> GenotypePaths | None:
@@ -238,6 +244,8 @@ def update_unpaired_read_paths(genos: tuple[GenotypePaths, GenotypePaths], read:
     if _clipped_count(read) > 3:
         geno.flags |= IS_CLIPPED
     geno.score_diff = _score_diff(read)
+    if read.qual is not None and len(read.qual):
+        geno.qual2 = read.qual if cmp == 1 else read.qual[::-1]
     return geno
 
 

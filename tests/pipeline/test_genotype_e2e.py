@@ -119,3 +119,35 @@ def test_homalt_multiallelic(data_dir, tmp_path):
             found_ins = True
             assert f[9].split(":")[0] == "1/1"
     assert found_ins
+
+
+def test_low_base_quality_penalty(chr1_setup):
+    """Low base quality reduces per-read evidence weight (epsilon - 2,
+    haplotype.cpp:470-475 via qual2, vcf_writer.cpp:562-563)."""
+    fa, vcf, g, tmp_path = chr1_setup
+    ref = g.get_all_ref()
+    alt = ref[:36] + b"G" + ref[37:]
+
+    def run(qual_char, name):
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        lines = ["@HD\tVN:1.6\tSO:coordinate", "@SQ\tSN:chr1\tLN:66", "@RG\tID:rg1\tSM:s1"]
+        recs = []
+        for i in range(3):
+            hap = [ref, alt][i % 2]
+            s1, s2 = sorted(rng.integers(0, 4, size=2).tolist())
+            L = 63
+            recs.append((s1, f"r{i}\t99\tchr1\t{s1+1}\t60\t{L}M\t=\t{s2+1}\t{s2+L-s1}\t{hap[s1:s1+L].decode()}\t{qual_char*L}"))
+            recs.append((s2, f"r{i}\t147\tchr1\t{s2+1}\t60\t{L}M\t=\t{s1+1}\t{-(s2+L-s1)}\t{hap[s2:s2+L].decode()}\t{qual_char*L}"))
+        recs.sort()
+        sam = tmp_path / f"{name}.sam"
+        sam.write_text("\n".join(lines + [r[1] for r in recs]) + "\n")
+        out = genotype_only_with_a_vcf(fa, [str(sam)], vcf, "chr1:1-66", str(tmp_path / f"out_{name}"))
+        _, body = _read_vcf_gz(out)
+        return [int(x) for x in body[0].split("\t")[9].split(":")[-1].split(",")]
+
+    pl_hq = run("I", "hq")   # phred 40
+    pl_lq = run(",", "lq")   # phred 11 < 25 -> low-qual penalty
+    assert pl_hq[1] == 0 and pl_lq[1] == 0  # both still het
+    assert pl_lq[0] < pl_hq[0] and pl_lq[2] < pl_hq[2]  # weaker evidence
