@@ -62,8 +62,10 @@ def main() -> None:
     small, big = make_many(n_small), make_many(n_big)
     float(small(*args))  # compile + warm
     float(big(*args))
+    # best-of-8: the tunneled device has multi-minute degraded phases; the
+    # minimum over repeats reflects actual chip throughput
     per_step = float("inf")
-    for _ in range(3):
+    for _ in range(8):
         t0 = time.perf_counter()
         float(small(*args))
         t_small = time.perf_counter() - t0
