@@ -65,7 +65,7 @@ def count_mismatches(read: np.ndarray, seq: np.ndarray, max_mismatches: int) -> 
     a, b = read[:n], seq[:n]
     if (b == 6).any():
         return max_mismatches + 1
-    mism = int(((a != b) & (a != 4) & (b != 4)).sum())
+    mism = int(((a != b) & (a < 4) & (b < 4)).sum())  # any ambiguity code matches freely
     return mism
 
 
@@ -74,7 +74,7 @@ def count_mismatches_backward(read: np.ndarray, seq: np.ndarray, max_mismatches:
     a, b = read[len(read) - n :], seq[len(seq) - n :]
     if (b == 6).any():
         return max_mismatches + 1
-    return int(((a != b) & (a != 4) & (b != 4)).sum())
+    return int(((a != b) & (a < 4) & (b < 4)).sum())
 
 
 def get_locations_of_a_position(graph, pos: int, path) -> list[Location]:

@@ -35,21 +35,31 @@ def num_kmers(length: int) -> int:
 
 
 def to_uint64_list(codes: np.ndarray, i: int) -> list[int]:
-    """Packed keys of codes[i:i+K] with ambiguity fork (type_conversions.cpp
-    to_uint64_vec:208-266; any non-ACGT read base forks 4 ways, capped 97)."""
+    """Packed keys of codes[i:i+K] with per-letter IUPAC fork
+    (type_conversions.cpp to_uint64_vec:208-266): each ambiguity letter forks
+    exactly its base set (W->2, B->3, N->4 keys), capped at 97 keys. Key order
+    matches the reference: the existing slot takes the LAST member (A<C<G<T
+    order) in place, earlier members are appended."""
+    from graphtyper_tpu.utils.dna import IUPAC_SETS_BY_CODE
+
     keys = [0]
     for j in range(i, i + K):
-        c = int(codes[j])
         if len(keys) > 97:
             return []
-        if c < 4:
-            keys = [(k << 2) | c for k in keys]
+        c = int(codes[j])
+        members = IUPAC_SETS_BY_CODE[c] if c < len(IUPAC_SETS_BY_CODE) else (0, 1, 2, 3)
+        if len(members) == 1:
+            m = members[0]
+            keys = [(k << 2) | m for k in keys]
         else:
-            new_keys = []
-            for k in keys:
-                base = k << 2
-                new_keys.extend((base | 3, base, base | 1, base | 2))
-            keys = new_keys
+            appended: list[int] = []
+            last = members[-1]
+            for idx in range(len(keys)):
+                base = keys[idx] << 2
+                for m in members[:-1]:
+                    appended.append(base | m)
+                keys[idx] = base | last
+            keys.extend(appended)
     return keys
 
 

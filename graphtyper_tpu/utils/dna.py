@@ -9,13 +9,19 @@ from __future__ import annotations
 
 import numpy as np
 
-# Byte → code lookup. IUPAC ambiguity codes map to their own ids >= 4 so we
-# can expand them when k-mer packing (to_uint64_vec semantics,
-# type_conversions.cpp:~300 IUPAC expansion).
+# Byte → code lookup. Each IUPAC ambiguity letter gets its own id >= 4 so the
+# k-mer packer can fork exactly its base set (to_uint64_vec semantics,
+# type_conversions.cpp IUPAC expansion: W forks 2 ways, B forks 3, N forks 4).
+# Codes >= 4 act like N everywhere else (mismatch counting, SW, index walks).
 _CODE = np.full(256, 4, dtype=np.uint8)
 for i, b in enumerate(b"ACGT"):
     _CODE[b] = i
     _CODE[ord(chr(b).lower())] = i
+_CODE[ord("U")] = _CODE[ord("u")] = 3
+_IUPAC_LETTERS = "NRYSWKMBDHV"  # codes 4..14
+for i, ch in enumerate(_IUPAC_LETTERS):
+    _CODE[ord(ch)] = 4 + i
+    _CODE[ord(ch.lower())] = 4 + i
 
 _DECODE = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
@@ -29,9 +35,25 @@ IUPAC = {
     ord("V"): (0, 1, 2), ord("N"): (0, 1, 2, 3),
 }
 
+# code (0..14) -> base set in A<C<G<T order (for exact-order kmer forking)
+IUPAC_SETS_BY_CODE = [
+    (0,), (1,), (2,), (3,),  # A C G T
+    (0, 1, 2, 3),  # N
+    (0, 2), (1, 3), (1, 2), (0, 3), (2, 3), (0, 1),  # R Y S W K M
+    (1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2),  # B D H V
+]
+
 _COMPLEMENT = np.arange(256, dtype=np.uint8)
 for a, b in zip(b"ACGTacgtNn", b"TGCAtgcaNn"):
     _COMPLEMENT[a] = b
+for a, b in zip(b"RYSWKMBDHVryswkmbdhv", b"YRSWMKVHDByrswmkvhdb"):
+    _COMPLEMENT[a] = b
+
+# code-level complement: A<->T C<->G, R(AG)<->Y(CT), K(GT)<->M(AC),
+# B(CGT)<->V(ACG), D(AGT)<->H(ACT); S/W/N self-complementary
+_CODE_COMPLEMENT = np.arange(256, dtype=np.uint8)
+for a, b in ((0, 3), (1, 2), (5, 6), (9, 10), (11, 14), (12, 13)):
+    _CODE_COMPLEMENT[a], _CODE_COMPLEMENT[b] = b, a
 
 
 # Graph-label encoding: tag characters ('<SV:NNNNNNN>' etc.) get code 6 so
@@ -71,11 +93,9 @@ def revcomp_ascii(seq: bytes) -> bytes:
 
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
-    """Reverse complement of a code array; N (4) maps to N."""
-    out = codes[::-1].copy()
-    acgt = out < 4
-    out[acgt] = 3 - out[acgt]
-    return out
+    """Reverse complement of a code array; IUPAC sets complement as sets
+    (R<->Y etc.), N maps to N."""
+    return _CODE_COMPLEMENT[codes[::-1]]
 
 
 def pack_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
