@@ -83,3 +83,15 @@ def test_dna_kmers():
     _, valid_n = pack_kmers(seq_n, 32)
     assert not valid_n[0] and valid_n[5]
     assert revcomp_ascii(b"ACGGT") == b"ACCGT"
+
+
+def test_read_index_test_vcf_golden(data_dir):
+    """Golden port of test/typer/test_vcf_io.cpp:13-44: first record abs pos
+    and allele counts of the shared fixture VCF."""
+    from graphtyper_tpu.pipeline.vcf_tools import read_vcf_with_calls
+
+    vcf, contigs = read_vcf_with_calls(str(data_dir / "index_test.vcf.gz"))
+    vars_ = vcf.variants
+    assert vars_[0].abs_pos == 37
+    assert [len(v.seqs) for v in vars_[:5]] == [2, 2, 2, 3, 2]
+    assert vcf.sample_names == []
