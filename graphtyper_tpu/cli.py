@@ -60,6 +60,8 @@ def _add_advanced(p: argparse.ArgumentParser) -> None:
     g.add_argument("--primer_bedpe", default=None)
     g.add_argument("--encoding", choices=["vcf", "popvcf"], default=None)
     g.add_argument("--stats", default=None, help="Directory for debug stats dumps (per-read/per-path TSVs)")
+    g.add_argument("--force_device_sw", action="store_true",
+                   help="Route large realignment batches to the Pallas TPU Smith-Waterman kernel")
 
 
 def _options_from_args(args):
@@ -76,7 +78,7 @@ def _options_from_args(args):
         "force_no_filter_zero_qual", "get_sample_names_from_filename",
         "no_sample_name_reordering", "no_variant_overlapping",
         "normal_and_no_variant_overlapping", "is_all_biallelic",
-        "is_sam_merging_allowed", "bamshrink_is_not_filtering_mapq0",
+        "is_sam_merging_allowed", "bamshrink_is_not_filtering_mapq0", "force_device_sw",
         "no_decompose", "no_cleanup", "no_bamshrink", "output_all_variants",
     ):
         if getattr(args, store_true, False):

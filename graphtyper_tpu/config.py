@@ -71,6 +71,7 @@ class Options:
 
     # calling
     hq_reads: bool = False
+    force_device_sw: bool = False  # route big SW batches to the Pallas TPU kernel
     is_csi: bool = False
     force_align_both_orientations: bool = False
     sam_flag_filter: int = 3840

@@ -53,6 +53,17 @@ def _running_argmax(T: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return cummax, run_arg
 
 
+def _tpu_available() -> bool:
+    import sys
+
+    if "jax" not in sys.modules:
+        return False
+    try:
+        return sys.modules["jax"].default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def align_batch(
     queries: np.ndarray,  # [B, M] uint8 codes, pad=5
     q_lens: np.ndarray,  # [B]
@@ -63,9 +74,39 @@ def align_batch(
     gap_open: int = SCORE_GAP_OPEN,
     gap_extend: int = SCORE_GAP_EXTEND,
     clip: int = SCORE_CLIP,
+    device: bool | None = None,
 ) -> SWResult:
     B, M = queries.shape
     _, N = databases.shape
+    # The Pallas TPU kernel (5.5 Gcell/s/chip) is opt-in via
+    # --force_device_sw: scores match the host DP exactly, but equal-score
+    # alignment ENDPOINTS can tie-break differently on hardware (measured 1
+    # in 256 at discovery shapes), and clip counts come back as -1 (no
+    # pipeline consumer needs them).
+    if device is None:
+        from graphtyper_tpu.config import current_options
+
+        device = (
+            getattr(current_options(), "force_device_sw", False)
+            and B >= 128
+            and _tpu_available()
+        )
+    if device:
+        try:
+            from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
+
+            s, bg, en = sw_align_pallas(
+                queries, q_lens, databases, d_lens, match, mismatch, gap_open, gap_extend, clip
+            )
+            return SWResult(
+                np.asarray(s),
+                np.asarray(bg),
+                np.asarray(en),
+                np.full(B, -1, dtype=np.int32),
+                np.full(B, -1, dtype=np.int32),
+            )
+        except Exception:
+            pass  # fall back to the host DP
     ge = gap_extend
     go = gap_open
 
