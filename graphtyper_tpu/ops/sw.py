@@ -79,10 +79,10 @@ def align_batch(
     B, M = queries.shape
     _, N = databases.shape
     # The Pallas TPU kernel (5.5 Gcell/s/chip) is opt-in via
-    # --force_device_sw: scores match the host DP exactly, but equal-score
-    # alignment ENDPOINTS can tie-break differently on hardware (measured 1
-    # in 256 at discovery shapes), and clip counts come back as -1 (no
-    # pipeline consumer needs them).
+    # --force_device_sw: score/begin/end match the host DP exactly on real
+    # hardware (lexicographic tie keys make the reduction order-independent);
+    # clip counts come back as -1 (no pipeline consumer needs them). Opt-in
+    # because the first compile per shape costs minutes over a tunnel.
     if device is None:
         from graphtyper_tpu.config import current_options
 

@@ -66,6 +66,7 @@ def _sw_kernel(
     S_s,
     bm_s,
     sm_s,
+    rm_s,  # row where each lane's best clip-end candidate was set
     *,
     M: int,
     N: int,
@@ -91,6 +92,7 @@ def _sw_kernel(
         S_s[:] = jprefix
         bm_s[:] = jnp.full((Bt, N), NEG, jnp.int32)
         sm_s[:] = jnp.zeros((Bt, N), jnp.int32)
+        rm_s[:] = jnp.zeros((Bt, N), jnp.int32)
 
     i = row + 1
     H = H_s[:]
@@ -142,17 +144,27 @@ def _sw_kernel(
     improve = mid_active & (cand > bm_s[:])
     bm_s[:] = jnp.where(improve, cand, bm_s[:])
     sm_s[:] = jnp.where(improve, S_new, sm_s[:])
+    rm_s[:] = jnp.where(improve, i, rm_s[:])
 
     @pl.when(row == M - 1)
     def _finalize():
+        # tie-breaks mirror the host DP exactly (ops/sw.py): the full-query
+        # category wins over clip-end on equal score GLOBALLY (not per lane),
+        # then the earliest (row, j) clip candidate / smallest-j final cell
+        # is chosen via a lexicographic key so the lane-reduction order on
+        # hardware cannot change the answer
         H_fin = jnp.where(d_valid, H_s[:], NEG)
-        use_clip_end = bm_s[:] > H_fin
-        val_N = jnp.where(use_clip_end, bm_s[:], H_fin)
-        start_N = jnp.where(use_clip_end, sm_s[:], S_s[:])
-        best = jnp.max(val_N, axis=1, keepdims=True)
+        best_fin = jnp.max(H_fin, axis=1, keepdims=True)
+        best_clip = jnp.max(bm_s[:], axis=1, keepdims=True)
+        use_clip = best_clip > best_fin  # [Bt, 1], strict: ties keep full query
+        val_N = jnp.where(use_clip, bm_s[:], H_fin)
+        start_N = jnp.where(use_clip, sm_s[:], S_s[:])
+        best = jnp.where(use_clip, best_clip, best_fin)
         is_best = val_N == best
-        fin_j = jnp.min(jnp.where(is_best, jprefix, N + 1), axis=1, keepdims=True)
-        chosen = is_best & (jprefix == fin_j)
+        key = jnp.where(use_clip, rm_s[:] * (N + 2) + jprefix, jprefix)
+        sel_key = jnp.min(jnp.where(is_best, key, (M + 2) * (N + 2)), axis=1, keepdims=True)
+        chosen = is_best & (key == sel_key)
+        fin_j = jnp.max(jnp.where(chosen, jprefix, 0), axis=1, keepdims=True)
         fin_s = jnp.max(jnp.where(chosen, start_N, 0), axis=1, keepdims=True)
         score_ref[:] = jnp.where(qlen > 0, best, 0)
         begin_ref[:] = fin_s
@@ -201,7 +213,7 @@ def sw_align_pallas(
         ],
         out_specs=[pl.BlockSpec((block_b, 1), lambda i, j: (i, 0))] * 3,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((block_b, N), jnp.int32) for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((block_b, N), jnp.int32) for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
