@@ -84,13 +84,17 @@ def test_variant_all_alts_with_n_removes_variant():
     assert len(g.var_nodes) == 0
 
 
-def test_two_adjacent_variants_do_not_overlap():
-    # test_graph.cpp:714-810 — SNPs at pos 3 and 4 stay separate sites
-    g = _build(b"ACCGGGAAAA", [_rec(3, b"G", [b"A"]), _rec(4, b"G", [b"A"])])
-    assert len(g.ref_nodes) == 3
-    assert len(g.var_nodes) == 4
-    assert g.ref_nodes[1].label.dna == b""  # empty ref between adjacent sites
-    assert [g.var_nodes[i].label.order for i in range(4)] == [4, 4, 5, 5]
+def test_two_adjacent_variants_join_under_add_all():
+    # G>T at pos 2 and C>G,T at pos 3 under add-all-variants: the LIVE merge
+    # path (graph.cpp:89-167, MAX_VAR_MERGE_DIST) joins them into one site
+    # enumerating all 6 two-base haplotypes. (test_graph.cpp:714's
+    # kept-separate expectation is commented out upstream.)
+    g = _build(b"ACGCTAA", [_rec(2, b"G", [b"T"]), _rec(3, b"C", [b"G", b"T"])], add_all_variants=True)
+    assert len(g.ref_nodes) == 2
+    assert len(g.var_nodes) == 6
+    assert g.ref_nodes[0].label.dna == b"AC"
+    assert {v.label.dna for v in g.var_nodes} == {b"GC", b"GG", b"GT", b"TC", b"TG", b"TT"}
+    assert g.ref_nodes[1].label.dna == b"TAA"
 
 
 def test_overlapping_variants_merge():
@@ -119,3 +123,54 @@ def test_reference_can_start_with_ns():
     assert g.ref_nodes[0].label.dna == b"NNCGGG"
     assert [g.var_nodes[i].label.dna for i in range(3)] == [b"A", b"AT", b"G"]
     assert g.ref_nodes[1].label.dna == b"AAA"
+
+
+def test_overlap_second_variant_reaches_further():
+    # test_graph.cpp:629-713 — GGT>T and GTA>C merge; exact node labels
+    g = _build(b"ACGGTAA", [_rec(2, b"GGT", [b"T"]), _rec(3, b"GTA", [b"C"])])
+    assert len(g.ref_nodes) == 2
+    assert len(g.var_nodes) == 3
+    assert g.ref_nodes[0].out_var_ids == [0, 1, 2]
+    assert g.ref_nodes[0].label.dna == b"AC"
+    assert g.var_nodes[0].label.dna == b"GGTA"
+    assert g.var_nodes[1].label.dna == b"GC"
+    assert g.var_nodes[2].label.dna == b"TA"
+    assert [g.ref_nodes[0].label.order, g.ref_nodes[1].label.order] == [1, 7]
+    assert all(v.label.order == 3 for v in g.var_nodes)
+
+
+def test_two_variants_three_bp_apart_join():
+    # test_graph.cpp:811-869 — C>T snp and T>G,A 3bp later joined into one
+    # site enumerating all six haplotype sequences
+    g = _build(b"ACGCTAA", [_rec(1, b"C", [b"T"]), _rec(4, b"T", [b"G", b"A"])], add_all_variants=True)
+    assert len(g.ref_nodes) == 2
+    assert len(g.var_nodes) == 6
+    assert g.ref_nodes[0].label.dna == b"A"
+    dnas = {v.label.dna for v in g.var_nodes}
+    assert dnas == {b"CGCT", b"CGCG", b"CGCA", b"TGCG", b"TGCA", b"TGCT"}
+    assert g.ref_nodes[1].label.dna == b"AA"
+
+
+def test_four_variants_joined():
+    # test_graph.cpp:1118-1235 — a deletion plus three snps (with non-ACGT
+    # alt letters a/b/c/d as markers) join into one site whose haplotypes
+    # enumerate every combination not summing to the reference
+    g = _build(
+        b"SGTACGE",
+        [
+            _rec(1, b"GTACG", [b"G"]),
+            _rec(1, b"G", [b"a", b"b"]),
+            _rec(2, b"T", [b"c"]),
+            _rec(4, b"C", [b"d"]),
+        ],
+        add_all_variants=True,
+    )
+    assert g.ref_nodes[0].label.dna == b"S"
+    dnas = {v.label.dna for v in g.var_nodes}
+    expected = {
+        b"G", b"GTACG", b"GTAdG", b"GcACG", b"GcAdG",
+        b"aTACG", b"aTAdG", b"acACG", b"acAdG",
+        b"bTACG", b"bTAdG", b"bcACG", b"bcAdG",
+    }
+    assert dnas == expected
+    assert g.ref_nodes[1].label.dna == b"E"
