@@ -17,6 +17,12 @@ def _build(reference, records, add_all_variants=False):
     return g
 
 
+def _build_region(reference, records, region, add_all_variants=False):
+    g = Graph()
+    g.add_genomic_region(reference, records, region, add_all_variants=add_all_variants)
+    return g
+
+
 def test_reference_can_contain_ns():
     # test_graph.cpp:297-392
     g = _build(b"ACCGNGAAAA", [_rec(3, b"G", [b"GT"]), _rec(6, b"A", [b"AT", b"G"])])
@@ -174,3 +180,45 @@ def test_four_variants_joined():
     }
     assert dnas == expected
     assert g.ref_nodes[1].label.dna == b"E"
+
+
+def test_start_at_any_reference_location():
+    # test_graph.cpp:469-552 — region "chr1:2" shifts contig-local orders
+    g = _build_region(
+        b"CCGGTAAAT",
+        [_rec(3, b"GG", [b"GT"]), _rec(6, b"A", [b"AT", b"G"])],
+        GenomicRegion.parse("chr1:2"),
+    )
+    assert len(g.ref_nodes) == 3
+    assert len(g.var_nodes) == 5
+    assert [g.ref_nodes[i].label.order for i in range(3)] == [2, 6, 8]
+    assert [g.var_nodes[i].label.order for i in range(5)] == [4, 4, 7, 7, 7]
+    assert g.ref_nodes[0].label.dna == b"CC"
+    assert g.var_nodes[0].label.dna == b"GG"
+    assert g.var_nodes[1].label.dna == b"GT"
+    assert g.ref_nodes[1].label.dna == b"T"
+    assert g.var_nodes[2].label.dna == b"A"
+
+
+def test_three_variants_joined_with_trailing_indel():
+    # test_graph.cpp:1236-1345 — deletion + two snps + a GEE>Ge indel join;
+    # all listed haplotypes must be enumerated
+    g = _build(
+        b"SGTACGEEF",
+        [
+            _rec(1, b"GTACG", [b"G"]),
+            _rec(1, b"G", [b"a", b"b"]),
+            _rec(2, b"T", [b"c"]),
+            _rec(4, b"C", [b"d"]),
+            _rec(5, b"GEE", [b"Ge"]),
+        ],
+        add_all_variants=True,
+    )
+    assert g.ref_nodes[0].label.dna == b"S"
+    dnas = {v.label.dna for v in g.var_nodes}
+    for expected in (
+        b"GEE", b"GTACGEE", b"GTACGe", b"GTAdGEE", b"GTAdGe",
+        b"GcACGEE", b"GcACGe", b"GcAdGEE", b"GcAdGe",
+        b"aTACGEE", b"aTACGe", b"aTAdGEE", b"aTAdGe",
+    ):
+        assert expected in dnas, expected
