@@ -72,6 +72,11 @@ class Options:
     # calling
     hq_reads: bool = False
     force_device_sw: bool = False  # route big SW batches to the Pallas TPU kernel
+    # batched device scoring of the PL-triangle/coverage/stats updates
+    # (ops/site_scoring.py); "on" | "off". Bit-identical to the per-read host
+    # path (tests/typer/test_device_scoring.py asserts parity), so it is on
+    # by default; "off" keeps the reference-shaped per-read loop.
+    device_scoring: str = "on"
     is_csi: bool = False
     force_align_both_orientations: bool = False
     sam_flag_filter: int = 3840

@@ -1,0 +1,327 @@
+"""Batched device scoring for the production caller.
+
+The reference applies each read to each overlapped variant site one at a
+time (haplotype.cpp:462-585 explain_to_score — the diploid PL-triangle
+update — plus coverage_to_gts :315-361 and the VarStats accumulators
+:228-313). Every one of those updates is an integer accumulation, so summed
+over a batch of (read, site) observations they decompose into exact
+segment-sums and a Gram-matrix term:
+
+    delta[x, y] = u_x + u_y + W_xy
+    u = B^T (eps - 1),   W = B^T diag(2 - eps) B
+
+over the per-observation explains bitmap B [N, A] and epsilon exponents
+eps [N] (see ops/likelihood.py for the derivation). This module batches the
+whole pool's observations per allele-count tier and applies them in one
+jitted device pass per tier — the TPU-native replacement for the reference's
+per-read scalar loop, bit-identical to it: all sums are int32-exact and
+order-independent, and the read-depth saturation gate
+(haplotype.cpp:528-533) is preserved via the host-tracked `apply_score`
+mask.
+
+Observation extraction (which reads explain which alleles) happens in
+typer/scoring.py; this module only turns buffered observations into site
+state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+
+# coverage class encoding for buffered observations (host codes NO/MULTI_*
+# as large sentinels; the device buffer uses small negatives so real allele
+# classes can index per-allele segment sums directly)
+COV_MULTI_ALT = -1
+COV_MULTI_REF = -2
+COV_PAD = -3
+
+ALLELE_TIERS = (2, 4, 8, 16, 32, 64)
+
+#: columns of one observation row, in buffer order
+OBS_FIELDS = (
+    "site",
+    "sample",
+    "eps",
+    "apply_score",
+    "bits_lo",
+    "bits_hi",
+    "cov",
+    "clipped_scaled",
+    "clipped_flag",
+    "mapq_sq",
+    "mm_scaled",
+    "sdiff",
+    "strand",
+    "proper",
+)
+
+
+def tier_for(cnum: int) -> int | None:
+    for t in ALLELE_TIERS:
+        if cnum <= t:
+            return t
+    return None  # host fallback for >64-allele sites (rare)
+
+
+@lru_cache(maxsize=None)
+def _triangle_xy(A: int) -> tuple[np.ndarray, np.ndarray]:
+    xs, ys = [], []
+    for y in range(A):
+        for x in range(y + 1):
+            xs.append(x)
+            ys.append(y)
+    return np.asarray(xs), np.asarray(ys)
+
+
+@lru_cache(maxsize=1)
+def _jitted_apply_tier():
+    """Build the jitted observation-application kernel (jax imported lazily
+    so importing the scorer does not pull in the device runtime)."""
+    from functools import partial
+
+    import jax
+
+    return partial(jax.jit, static_argnames=("A", "n_sites", "n_samples"))(_apply_tier_impl)
+
+
+def _apply_tier_impl(obs: dict, A: int, n_sites: int, n_samples: int) -> dict:
+    """One chunk of observations -> segment-summed state deltas.
+
+    All inputs are int32 (bits_* uint32) of equal length N. Padding rows
+    carry eps=0, bits=0, cov=COV_PAD, zero scalars and contribute nothing.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    S = n_sites * n_samples
+    xs, ys = _triangle_xy(A)
+
+    site = obs["site"]
+    sample = obs["sample"]
+    cov = obs["cov"]
+    apply_score = obs["apply_score"]
+
+    # explains bitmap [N, A]
+    lo_bits = (obs["bits_lo"][:, None] >> jnp.arange(min(A, 32), dtype=jnp.uint32)[None, :]) & 1
+    if A > 32:
+        hi_bits = (obs["bits_hi"][:, None] >> jnp.arange(A - 32, dtype=jnp.uint32)[None, :]) & 1
+        B = jnp.concatenate([lo_bits, hi_bits], axis=1).astype(jnp.int32)
+    else:
+        B = lo_bits.astype(jnp.int32)
+
+    seg = site * n_samples + sample
+
+    # -- PL triangle (explain_to_score) --------------------------------
+    e = jnp.where(apply_score > 0, obs["eps"], 0)
+    Bm = B * (apply_score > 0)[:, None].astype(jnp.int32)
+    u = jax.ops.segment_sum((e - 1)[:, None] * Bm, seg, num_segments=S)  # [S, A]
+    BB = (Bm[:, :, None] * Bm[:, None, :]) * (2 - e)[:, None, None]  # [N, A, A]
+    W = jax.ops.segment_sum(BB.reshape(-1, A * A), seg, num_segments=S).reshape(S, A, A)
+    dense = u[:, :, None] + u[:, None, :] + W
+    log_delta = dense[:, xs, ys]  # [S, T] triangle layout, index = x + y(y+1)/2
+
+    # -- coverage_to_gts ------------------------------------------------
+    is_allele = cov >= 0
+    cov_oh = (cov[:, None] == jnp.arange(A)[None, :]).astype(jnp.int32)
+    gt_cov = jax.ops.segment_sum(cov_oh, seg, num_segments=S)  # [S, A]
+    is_multi = (cov == COV_MULTI_REF) | (cov == COV_MULTI_ALT)
+    amb = jax.ops.segment_sum(is_multi.astype(jnp.int32), seg, num_segments=S)
+    amb_alt = jax.ops.segment_sum((cov == COV_MULTI_ALT).astype(jnp.int32), seg, num_segments=S)
+    alt_pp = jax.ops.segment_sum(
+        (((cov == COV_MULTI_ALT) | (is_allele & (cov > 0))) & (obs["proper"] > 0)).astype(jnp.int32),
+        seg,
+        num_segments=S,
+    )
+
+    # -- VarStats (per site) --------------------------------------------
+    # every observation has coverage != NO_COVERAGE (explains is non-empty),
+    # so the site-level accumulators take every real row
+    clip_reads = jax.ops.segment_sum(obs["clipped_flag"], site, num_segments=n_sites)
+    site_mapq_sq = jax.ops.segment_sum(obs["mapq_sq"], site, num_segments=n_sites)
+
+    # per-allele accumulators only when the read supports exactly one allele
+    acov = jnp.where(is_allele, cov, 0)
+    aseg = site * A + acov
+    amask = is_allele.astype(jnp.int32)
+    SA = n_sites * A
+    pa_clip = jax.ops.segment_sum(obs["clipped_scaled"] * amask, aseg, num_segments=SA)
+    pa_mapq = jax.ops.segment_sum(obs["mapq_sq"] * amask, aseg, num_segments=SA)
+    pa_mm = jax.ops.segment_sum(obs["mm_scaled"] * amask, aseg, num_segments=SA)
+    pa_sdiff = jax.ops.segment_sum(obs["sdiff"] * amask, aseg, num_segments=SA)
+    strand_seg = aseg * 4 + obs["strand"]
+    pa_strand = jax.ops.segment_sum(amask, strand_seg, num_segments=SA * 4)
+
+    return dict(
+        log_delta=log_delta,
+        gt_cov=gt_cov,
+        amb=amb,
+        amb_alt=amb_alt,
+        alt_pp=alt_pp,
+        clip_reads=clip_reads,
+        site_mapq_sq=site_mapq_sq,
+        pa_clip=pa_clip.reshape(n_sites, A),
+        pa_mapq=pa_mapq.reshape(n_sites, A),
+        pa_mm=pa_mm.reshape(n_sites, A),
+        pa_sdiff=pa_sdiff.reshape(n_sites, A),
+        pa_strand=pa_strand.reshape(n_sites, A, 4),
+    )
+
+
+def _chunk_rows(A: int) -> int:
+    """Rows per device call, sized so the [N, A, A] Gram tensor stays small."""
+    return max(4096, min(1 << 18, (1 << 23) // (A * A)))
+
+
+@dataclass
+class _TierBuffer:
+    A: int
+    site_ids: list[int] = field(default_factory=list)  # global site index per slot
+    slot_of: dict[int, int] = field(default_factory=dict)
+    cols: dict[str, list] = field(default_factory=lambda: {k: [] for k in OBS_FIELDS})
+
+    def slot(self, global_site: int) -> int:
+        s = self.slot_of.get(global_site)
+        if s is None:
+            s = len(self.site_ids)
+            self.slot_of[global_site] = s
+            self.site_ids.append(global_site)
+        return s
+
+
+class ObsBatcher:
+    """Accumulates per-(read, site) observations and applies them to the
+    HaplotypeSite states in chunked device passes per allele tier."""
+
+    def __init__(self, sites, n_samples: int):
+        self.sites = sites
+        self.n_samples = n_samples
+        self.tiers: dict[int, _TierBuffer] = {}
+        # exact saturation tracking (haplotype.cpp:528-533): max_log_score is
+        # the running sum of applied eps; a read is skipped for scoring once
+        # the sum reaches 0xFFFF - eps
+        self._eps_sum = np.zeros((len(sites), n_samples), dtype=np.int64)
+
+    def add(
+        self,
+        site_idx: int,
+        cnum: int,
+        sample: int,
+        eps: int,
+        explains,
+        cov_code: int,
+        clipped_scaled: int,
+        clipped_flag: int,
+        mapq_sq: int,
+        mm_scaled: int,
+        sdiff: int,
+        strand: int,
+        proper: int,
+    ) -> None:
+        tier = tier_for(cnum)
+        buf = self.tiers.get(tier)
+        if buf is None:
+            buf = self.tiers[tier] = _TierBuffer(A=tier)
+        apply_score = self._eps_sum[site_idx, sample] < 0xFFFF - eps
+        if apply_score:
+            self._eps_sum[site_idx, sample] += eps
+        lo = 0
+        hi = 0
+        for a in explains:
+            if a < cnum:
+                if a < 32:
+                    lo |= 1 << a
+                else:
+                    hi |= 1 << (a - 32)
+        c = buf.cols
+        c["site"].append(buf.slot(site_idx))
+        c["sample"].append(sample)
+        c["eps"].append(eps)
+        c["apply_score"].append(1 if apply_score else 0)
+        c["bits_lo"].append(lo)
+        c["bits_hi"].append(hi)
+        c["cov"].append(cov_code)
+        c["clipped_scaled"].append(clipped_scaled)
+        c["clipped_flag"].append(clipped_flag)
+        c["mapq_sq"].append(mapq_sq)
+        c["mm_scaled"].append(mm_scaled)
+        c["sdiff"].append(sdiff)
+        c["strand"].append(strand)
+        c["proper"].append(proper)
+
+    # ------------------------------------------------------------------
+
+    def finalize(self) -> None:
+        """Run the device passes and materialize all accumulated site state."""
+        for tier, buf in self.tiers.items():
+            n = len(buf.cols["site"])
+            if n == 0:
+                continue
+            A = buf.A
+            n_sites = len(buf.site_ids)
+            chunk = _chunk_rows(A)
+            totals: dict[str, np.ndarray] | None = None
+            for lo_i in range(0, n, chunk):
+                hi_i = min(n, lo_i + chunk)
+                rows = hi_i - lo_i
+                # pad rows to bucketed sizes to bound jit recompiles
+                n_pad = 1 << max(10, (rows - 1).bit_length())
+                arrs = {}
+                for k, vals in buf.cols.items():
+                    dtype = np.uint32 if k.startswith("bits") else np.int32
+                    a = np.zeros(n_pad, dtype=dtype)
+                    a[:rows] = np.asarray(vals[lo_i:hi_i], dtype=dtype)
+                    arrs[k] = a
+                if n_pad > rows:
+                    arrs["cov"][rows:] = COV_PAD
+                import jax.numpy as jnp
+
+                out = _jitted_apply_tier()(
+                    {k: jnp.asarray(v) for k, v in arrs.items()},
+                    A=A,
+                    n_sites=n_sites,
+                    n_samples=self.n_samples,
+                )
+                out = {k: np.asarray(v) for k, v in out.items()}
+                if totals is None:
+                    totals = out
+                else:
+                    for k in totals:
+                        totals[k] += out[k]
+            self._materialize(buf, totals, A)
+
+    def _materialize(self, buf: _TierBuffer, out: dict, A: int) -> None:
+        P = self.n_samples
+        for slot, gsite in enumerate(buf.site_ids):
+            site = self.sites[gsite]
+            cnum = site.gt.num
+            T = cnum * (cnum + 1) // 2
+            vs = site.var_stats
+            vs.clipped_reads += int(out["clip_reads"][slot])
+            vs.mapq_squared += int(out["site_mapq_sq"][slot])
+            for a in range(cnum):
+                pa = vs.per_allele[a]
+                pa.clipped_bp += int(out["pa_clip"][slot, a])
+                pa.mapq_squared += int(out["pa_mapq"][slot, a])
+                pa.mismatches += int(out["pa_mm"][slot, a])
+                pa.score_diff += int(out["pa_sdiff"][slot, a])
+                rs = vs.read_strand[a]
+                rs.r1_forward += int(out["pa_strand"][slot, a, 0])
+                rs.r2_forward += int(out["pa_strand"][slot, a, 1])
+                rs.r1_reverse += int(out["pa_strand"][slot, a, 2])
+                rs.r2_reverse += int(out["pa_strand"][slot, a, 3])
+            for p in range(P):
+                s = slot * P + p
+                hs = site.hap_samples[p]
+                # the padded-A triangle enumerates (x<=y, y ascending), so the
+                # first T entries are exactly the cnum-allele triangle
+                hs.log_score[:T] += out["log_delta"][s][:T]
+                hs.max_log_score += int(self._eps_sum[gsite, p])
+                hs.gt_coverage[:cnum] = np.minimum(
+                    hs.gt_coverage[:cnum] + out["gt_cov"][s][:cnum], 0xFFFF
+                )
+                hs.ambiguous_depth = min(hs.ambiguous_depth + int(out["amb"][s]), 0xFF)
+                hs.ambiguous_depth_alt = min(hs.ambiguous_depth_alt + int(out["amb_alt"][s]), 0xFF)
+                hs.alt_proper_pair_depth = min(hs.alt_proper_pair_depth + int(out["alt_pp"][s]), 0xFF)

@@ -308,6 +308,9 @@ def call_pool(
     if stats is not None:
         stats.flush()
 
+    # apply all buffered device observations before state is consumed
+    scorer.finalize()
+
     ph = compute_ph_map(scorer) if is_writing_hap else {}
 
     vcf = VcfOutput(sample_names=list(sample_names))

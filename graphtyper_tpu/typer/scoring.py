@@ -11,12 +11,29 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from graphtyper_tpu.constants import IS_FIRST_IN_PAIR, IS_REVERSED
 from graphtyper_tpu.models.genotype_model import (
+    MULTI_ALT_COVERAGE,
     MULTI_REF_COVERAGE,
     NO_COVERAGE,
     HaplotypeSite,
 )
+from graphtyper_tpu.ops.site_scoring import COV_MULTI_ALT, COV_MULTI_REF
 from graphtyper_tpu.typer.genotype_paths import GenotypePaths
+
+
+def _add_cov(cov: int, c: int) -> int:
+    """The coverage state machine (haplotype.cpp:180-225) as a pure function;
+    the final class depends only on the set of added values."""
+    if cov == NO_COVERAGE:
+        return c
+    if cov == MULTI_ALT_COVERAGE:
+        return MULTI_REF_COVERAGE if c == 0 else MULTI_ALT_COVERAGE
+    if cov == MULTI_REF_COVERAGE:
+        return MULTI_REF_COVERAGE
+    if cov != c:
+        return MULTI_REF_COVERAGE if (cov == 0 or c == 0) else MULTI_ALT_COVERAGE
+    return cov
 
 
 def are_genotype_paths_good(geno: GenotypePaths, graph, hq_reads: bool = False) -> bool:
@@ -41,9 +58,24 @@ def are_genotype_paths_good(geno: GenotypePaths, graph, hq_reads: bool = False) 
 
 class SiteScorer:
     """Reference's VcfWriter scoring half: one HaplotypeSite per variant
-    site, updated read-by-read."""
+    site, updated read-by-read.
 
-    def __init__(self, graph, sample_names: list[str], hq_reads: bool = False):
+    Two application backends produce bit-identical state:
+    - device (default): per-read observations are extracted on the host and
+      buffered; `finalize()` applies them all in batched jitted segment-sum /
+      Gram-matmul passes (ops/site_scoring.py) — the TPU-native data path.
+    - host: the reference-shaped per-read scalar loop, kept as fallback and
+      as the parity oracle (also used for >64-allele sites, which fall
+      outside the device bitmask tiers).
+    """
+
+    def __init__(
+        self,
+        graph,
+        sample_names: list[str],
+        hq_reads: bool = False,
+        device_scoring: bool | None = None,
+    ):
         self.graph = graph
         self.hq_reads = hq_reads
         self.sites = [HaplotypeSite(gt) for gt in graph.genotypes()]
@@ -56,6 +88,22 @@ class SiteScorer:
         self.connections: list[list[dict[int, dict[int, np.ndarray]]]] = [
             [dict() for _ in sample_names] for _ in self.sites
         ]
+        if device_scoring is None:
+            from graphtyper_tpu.config import current_options
+
+            device_scoring = current_options().device_scoring != "off"
+        self.batcher = None
+        if device_scoring:
+            from graphtyper_tpu.ops.site_scoring import ObsBatcher, tier_for
+
+            self.batcher = ObsBatcher(self.sites, len(sample_names))
+            self._tier_for = tier_for
+
+    def finalize(self) -> None:
+        """Apply all buffered device observations; must run after the last
+        read and before site state is consumed."""
+        if self.batcher is not None:
+            self.batcher.finalize()
 
     def _add_connections(self, merged, pn_index: int) -> None:
         """vcf_writer.cpp:120-141/229-251: accumulate into per-sample maps."""
@@ -120,16 +168,18 @@ class SiteScorer:
         mismatches = geno.paths[0].mismatches
         has_low_quality_snp = False
 
+        # -- extraction: per-site explains set + coverage class --------------
+        site_explains: dict[int, set[int]] = {}
+        site_cov: dict[int, int] = {}
         recent_ids: dict[int, bool] = {}
         new_connections: dict[tuple[int, int], list[tuple[int, int]]] = {}
 
         for path in geno.paths:
             for i, var_order in enumerate(path.var_order):
-                hap_id = self.id2hap[var_order]
-                if len(path.nums[i]) == 0:
-                    continue
-                hap = self.sites[hap_id]
                 num = path.nums[i]
+                if len(num) == 0:
+                    continue
+                hap_id = self.id2hap[var_order]
                 MIN_OFFSET = 3
                 is_overlapping = (
                     path.start_ref_reach_pos(graph) + MIN_OFFSET <= var_order
@@ -137,44 +187,92 @@ class SiteScorer:
                 )
                 recent_ids[hap_id] = recent_ids.get(hap_id, False) or is_overlapping
 
-                if not has_low_quality_snp and graph.is_snp(hap.gt) and geno.qual2 is not None:
+                if not has_low_quality_snp and graph.is_snp(self.sites[hap_id].gt) and geno.qual2 is not None:
                     offset = var_order - path.start_correct_pos(graph)
                     if 0 <= offset < len(geno.qual2):
                         has_low_quality_snp = int(geno.qual2[offset]) < 25
 
-                hap.explains |= num
+                ex = site_explains.get(hap_id)
+                if ex is None:
+                    ex = site_explains[hap_id] = set()
+                    site_cov[hap_id] = NO_COVERAGE
+                ex |= num
+                cov = site_cov[hap_id]
                 if len(num) == 1:
-                    hap.add_coverage(next(iter(num)))
+                    cov = _add_cov(cov, next(iter(num)))
                 else:
-                    hap.add_coverage(1)
-                    if 0 in num:
-                        hap.add_coverage(0)
-                    else:
-                        hap.add_coverage(2)
+                    cov = _add_cov(cov, 1)
+                    cov = _add_cov(cov, 0 if 0 in num else 2)
+                site_cov[hap_id] = cov
 
         # phasing connections (vcf_writer.cpp:587-638); recent_ids iterated in
         # sorted order like the reference's std::map
         sorted_ids = sorted(recent_ids.keys())
         for idx1, hap_id1 in enumerate(sorted_ids):
-            hap1 = self.sites[hap_id1]
-            n1 = len(hap1.explains)
+            ex1 = site_explains[hap_id1]
+            n1 = len(ex1)
             if n1 == 0 or n1 > 64:
                 continue
-            for b1 in sorted(hap1.explains):
+            for b1 in sorted(ex1):
                 conn = new_connections.setdefault((hap_id1, b1), [])
                 for hap_id2 in sorted_ids[idx1 + 1 :]:
-                    hap2 = self.sites[hap_id2]
-                    n2 = len(hap2.explains)
+                    ex2 = site_explains[hap_id2]
+                    n2 = len(ex2)
                     if n2 == 0 or n2 > 64:
                         continue
                     weight = n1 * n2
                     repeat = (6 // weight) if weight >= 3 else 1
-                    for b2 in sorted(hap2.explains):
+                    for b2 in sorted(ex2):
                         for _ in range(repeat):
                             conn.append((hap_id2, b2))
 
+        # -- application: batched device path or per-read host path ----------
+        proper_pair = bool(geno.flags & 0x2)
+        if self.batcher is not None:
+            read_length = geno.read_length
+            clipped_scaled = (clipped_bp * 1000) // read_length if clipped_bp else 0
+            mapq_sq = 0 if geno.mapq == 255 else geno.mapq * geno.mapq
+            mm_scaled = (mismatches * 1000) // read_length if mismatches else 0
+            forward = (geno.flags & IS_REVERSED) == 0
+            first = (geno.flags & IS_FIRST_IN_PAIR) != 0
+            strand = (0 if forward else 2) + (0 if first else 1)
         for hap_id in sorted_ids:
             hap = self.sites[hap_id]
+            cov = site_cov[hap_id]
+            if self.batcher is not None and self._tier_for(hap.gt.num) is not None:
+                eps = HaplotypeSite.epsilon_exponent(
+                    non_unique_paths,
+                    geno.flags,
+                    fully_aligned,
+                    recent_ids[hap_id],
+                    has_low_quality_snp,
+                    mismatches,
+                )
+                if cov == MULTI_ALT_COVERAGE:
+                    cov_code = COV_MULTI_ALT
+                elif cov == MULTI_REF_COVERAGE:
+                    cov_code = COV_MULTI_REF
+                else:
+                    cov_code = cov
+                self.batcher.add(
+                    hap_id,
+                    hap.gt.num,
+                    pn_index,
+                    eps,
+                    site_explains[hap_id],
+                    cov_code,
+                    clipped_scaled,
+                    1 if clipped_bp else 0,
+                    mapq_sq,
+                    mm_scaled,
+                    geno.score_diff,
+                    strand,
+                    1 if proper_pair else 0,
+                )
+                continue
+            # host path (fallback / parity oracle / >64-allele sites)
+            hap.explains = site_explains[hap_id]
+            hap.coverage = cov
             hap.clipped_reads_to_stats(clipped_bp, geno.read_length)
             hap.mapq_to_stats(geno.mapq)
             hap.strand_to_stats(geno.flags)
@@ -189,8 +287,8 @@ class SiteScorer:
                 has_low_quality_snp,
                 mismatches,
             )
-            hap.coverage_to_gts(pn_index, bool(geno.flags & 0x2))
+            hap.coverage_to_gts(pn_index, proper_pair)
             hap.coverage = NO_COVERAGE
-            hap.explains.clear()
+            hap.explains = set()
 
         return new_connections
