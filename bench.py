@@ -1,46 +1,82 @@
 """Driver benchmark: prints ONE JSON line.
 
-Measures the flagship device compute path — the fused batched genotyping
-step (read-vs-haplotype one-hot int8 matmul + explains masking +
-PL-triangle Gram update) — in reads aligned+genotyped per second per chip.
-
-Methodology: the step is iterated INSIDE one jit via lax.scan (inputs varied
-on-device per step), so one dispatch + one scalar readback covers n steps.
-Per-step time = (t(n_big) - t(n_small)) / (n_big - n_small), best of 3 —
-immune to host<->device round-trip latency and to any transport-level
-caching of repeated dispatches (both of which skew per-call timing by >10x
-on tunneled devices).
+Measures the NORTH-STAR metric (BASELINE.md): reads aligned + genotyped per
+second per chip through the REAL `genotype` pipeline — discovery iteration +
+two call iterations + merge/decompose + bgzf VCF write — on a simulated
+30x 151bp cohort over a 50kb region (graphtyper's region unit). This is
+end-to-end wall clock, not a kernel microbenchmark; the fused device kernel
+number is reported as a secondary field.
 
 vs_baseline compares against the reference implementation's single-core
 throughput proxy: graphtyper's AVX512-era design targets roughly 10k reads
 aligned+genotyped/sec/core on its hot path (derived from published
 population-scale runtimes: ~30x genome, ~50kb regions, minutes/sample-region
 on deCODE's cluster; BASELINE.md notes no in-repo numbers exist).
+
+The pipeline run executes in a subprocess so a hung TPU tunnel (a known
+axon failure mode) degrades to a CPU-backend measurement instead of
+blocking the driver.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 REFERENCE_READS_PER_SEC_PER_CORE = 10_000.0
 
+REGION_LENGTH = 50_000
+COVERAGE = 30.0
 
-def main() -> None:
+
+def child_pipeline() -> None:
+    """Run inside a subprocess: simulate, genotype, print raw JSON."""
+    if os.environ.get("GT_BENCH_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
+    from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    tmp = tempfile.mkdtemp(prefix="gt_bench_")
+    # small warm-up region: compiles the device scoring kernels so the timed
+    # run measures steady-state throughput
+    warm_cfg = SimConfig(region_length=4000, coverage=10.0, seed=7)
+    warm = simulate_cohort(os.path.join(tmp, "warm"), warm_cfg)
+    genotype(warm.fasta, warm.sams, f"{warm_cfg.chrom}:1-4000", os.path.join(tmp, "warm_out"))
+
+    cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=1)
+    sim = simulate_cohort(os.path.join(tmp, "main"), cfg)
+    t0 = time.perf_counter()
+    out = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-{REGION_LENGTH}", os.path.join(tmp, "out"))
+    wall = time.perf_counter() - t0
+    import gzip
+
+    n_records = sum(1 for l in gzip.open(out, "rt") if not l.startswith("#"))
+    print(
+        "GT_BENCH_RESULT "
+        + json.dumps({"n_reads": sim.n_reads, "wall_s": wall, "n_records": n_records})
+    )
+
+
+def kernel_secondary() -> float:
+    """The fused device genotyping step (secondary metric): scan-timed inside
+    one jit, immune to dispatch latency/caching."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from graphtyper_tpu.ops.genotype_step import genotype_forward
 
     rng = np.random.default_rng(0)
     R, L, H, A = 8192, 160, 512, 16
     haps = rng.integers(0, 4, size=(H, L)).astype(np.uint8)
-    src = rng.integers(0, H, size=R)
-    reads = haps[src].copy()
-    for k in range(2):
-        reads[np.arange(R), rng.integers(0, L, size=R)] = rng.integers(0, 4, size=R).astype(np.uint8)
+    reads = haps[rng.integers(0, H, size=R)].copy()
     hap_allele = np.zeros((H, A), dtype=np.float32)
     hap_allele[np.arange(H), rng.integers(0, A, size=H)] = 1.0
     eps = rng.integers(4, 9, size=R).astype(np.float32)
@@ -49,7 +85,7 @@ def main() -> None:
         @jax.jit
         def many(seed_reads, haps_d, hap_allele_d, eps_d):
             def body(c, i):
-                batch = jnp.roll(seed_reads, i, axis=0)  # distinct input per step
+                batch = jnp.roll(seed_reads, i, axis=0)
                 delta, B = genotype_forward(batch, haps_d, hap_allele_d, eps_d)
                 return c + delta.sum() + B.sum(), None
 
@@ -60,12 +96,10 @@ def main() -> None:
     args = [jax.device_put(x) for x in (reads, haps, hap_allele, eps)]
     n_small, n_big = 10, 510
     small, big = make_many(n_small), make_many(n_big)
-    float(small(*args))  # compile + warm
+    float(small(*args))
     float(big(*args))
-    # best-of-8: the tunneled device has multi-minute degraded phases; the
-    # minimum over repeats reflects actual chip throughput
     per_step = float("inf")
-    for _ in range(8):
+    for _ in range(4):
         t0 = time.perf_counter()
         float(small(*args))
         t_small = time.perf_counter() - t0
@@ -73,19 +107,65 @@ def main() -> None:
         float(big(*args))
         t_big = time.perf_counter() - t0
         per_step = min(per_step, (t_big - t_small) / (n_big - n_small))
+    return R / per_step
 
-    reads_per_sec = R / per_step
+
+def main() -> None:
+    env = dict(os.environ)
+    raw = None
+    backend = "tpu"
+    for attempt, force_cpu in enumerate((False, True)):
+        e = dict(env)
+        if force_cpu:
+            e["GT_BENCH_FORCE_CPU"] = "1"
+            backend = "cpu-fallback"
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=e,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("GT_BENCH_RESULT "):
+                    raw = json.loads(line[len("GT_BENCH_RESULT ") :])
+                    break
+            if raw is not None:
+                break
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("bench child timed out; retrying on CPU backend\n")
+    if raw is None:
+        raise SystemExit("bench failed on both backends")
+
+    reads_per_sec = raw["n_reads"] / raw["wall_s"]
+    try:
+        kernel = kernel_secondary()
+    except Exception:
+        kernel = 0.0
     print(
         json.dumps(
             {
-                "metric": "device_genotype_reads_per_sec_per_chip",
+                "metric": "pipeline_reads_genotyped_per_sec_per_chip",
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(reads_per_sec / REFERENCE_READS_PER_SEC_PER_CORE, 2),
+                "vs_baseline": round(reads_per_sec / REFERENCE_READS_PER_SEC_PER_CORE, 3),
+                "detail": {
+                    "wall_s_50kb_30x": round(raw["wall_s"], 2),
+                    "n_reads": raw["n_reads"],
+                    "n_records": raw["n_records"],
+                    "backend": backend,
+                    "kernel_reads_per_sec": round(kernel, 1),
+                },
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child_pipeline()
+    else:
+        main()
