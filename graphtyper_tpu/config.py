@@ -72,6 +72,10 @@ class Options:
     # calling
     hq_reads: bool = False
     force_device_sw: bool = False  # route big SW batches to the Pallas TPU kernel
+    # native C++ batch aligner (native/gt_align.cpp); "on" | "off". Path-level
+    # parity with the Python aligner is asserted by
+    # tests/typer/test_native_align.py; "off" keeps the Python loop.
+    native_aligner: str = "on"
     # batched device scoring of the PL-triangle/coverage/stats updates
     # (ops/site_scoring.py); "on" | "off". Bit-identical to the per-read host
     # path (tests/typer/test_device_scoring.py asserts parity), so it is on

@@ -243,6 +243,30 @@ def call_pool(
     stats_dir = getattr(current_options(), "stats", "")
     stats = _StatsWriter(stats_dir, sample_names, graph) if stats_dir else None
 
+    # Native batch alignment: collect the first read of every consecutive
+    # (pos, seq) run (the loop below computes each unique alignment exactly
+    # once from that representative) and align them all in one C++ call.
+    # Disabled under the SV coverage filter, whose bin accounting decides
+    # per-read whether alignment happens at all.
+    aligned_iter = None
+    if current_options().native_aligner != "off" and not coverage_filter:
+        from graphtyper_tpu.typer import native_align
+
+        if native_align.available():
+            reps = []
+            rep_prev_key = None
+            for read, _si, _ri in pooled:
+                if read.flag & SAM_FLAG_FILTER:
+                    continue
+                if is_sv and not is_good_sv_read(read):
+                    continue
+                key = (read.pos, read.seq)
+                if rep_prev_key is None or key != rep_prev_key:
+                    reps.append(read)
+                    rep_prev_key = key
+            aligner = native_align.NativeAligner(graph, index)
+            aligned_iter = iter(aligner.align_batch(reps, force_align_both_orientations))
+
     def process(read: AlignedRead, sample_i: int, rg_i: int, genos) -> None:
         map_gpaths = maps[rg_i]
         found = map_gpaths.get(read.name)
@@ -286,7 +310,10 @@ def call_pool(
             if not update_bin_count(read, sample_i):
                 num_records -= 1
                 continue
-            prev_genos = align_read(graph, index, read, force_align_both_orientations)
+            if aligned_iter is not None:
+                prev_genos = next(aligned_iter)
+            else:
+                prev_genos = align_read(graph, index, read, force_align_both_orientations)
             prev_key = key
             genos = [g.clone() for g in prev_genos]
         process(read, sample_i, rg_i, genos)

@@ -1,0 +1,216 @@
+"""ctypes wrapper for the native batch aligner (native/gt_align.cpp).
+
+Prepares flat graph/index arrays once per (graph, index) pair, sends whole
+batches of reads through the C++ seeding/lattice/walk pipeline, and
+materializes the resulting paths back into GenotypePaths objects. Path-level
+parity with the Python aligner (typer/alignment.py) is asserted by
+tests/typer/test_native_align.py; the Python implementation is the oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from graphtyper_tpu.constants import IS_PAIRED, K
+from graphtyper_tpu.io.native import get_lib
+from graphtyper_tpu.typer.genotype_paths import GenotypePaths
+from graphtyper_tpu.typer.path import Path
+from graphtyper_tpu.utils.dna import encode, encode_graph, revcomp_codes
+
+_p64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def _setup_lib(lib) -> None:
+    if getattr(lib, "_align_ready", False):
+        return
+    lib.gt_align_batch.restype = ctypes.c_void_p
+    lib.gt_align_batch.argtypes = (
+        [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]  # special+sv
+        + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # reads
+        + [ctypes.c_void_p] * 3  # flags/tlen/same_ref
+        + [ctypes.c_int32, ctypes.c_int32]  # force_both, n_threads
+        + [_p64] * 3
+    )
+    lib.gt_align_fetch.restype = ctypes.c_int32
+    lib.gt_align_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
+    lib.gt_align_free.restype = None
+    lib.gt_align_free.argtypes = [ctypes.c_void_p]
+    lib._align_ready = True
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+class NativeAligner:
+    """Holds the flat array views of one graph + index (cheap to build; DNA
+    arenas use the graph-label encoding where tag characters reject)."""
+
+    def __init__(self, graph, index):
+        self.graph = graph
+        g = graph
+        self.ref_order = np.array([rn.label.order for rn in g.ref_nodes], dtype=np.int64)
+        ref_len = np.array([len(rn.label.dna) for rn in g.ref_nodes], dtype=np.int64)
+        self.ref_dna_len = ref_len
+        self.ref_dna_start = np.zeros(len(ref_len), dtype=np.int64)
+        if len(ref_len):
+            np.cumsum(ref_len[:-1], out=self.ref_dna_start[1:])
+        self.ref_arena = np.ascontiguousarray(
+            encode_graph(b"".join(rn.label.dna for rn in g.ref_nodes))
+        )
+        deg = np.array([rn.out_degree for rn in g.ref_nodes], dtype=np.int64)
+        self.ref_var_first = np.zeros(len(deg) + 1, dtype=np.int64)
+        np.cumsum(deg, out=self.ref_var_first[1:])
+
+        self.var_order = np.array([vn.label.order for vn in g.var_nodes], dtype=np.int64)
+        var_len = np.array([len(vn.label.dna) for vn in g.var_nodes], dtype=np.int64)
+        self.var_dna_len = var_len
+        self.var_dna_start = np.zeros(len(var_len), dtype=np.int64)
+        if len(var_len):
+            np.cumsum(var_len[:-1], out=self.var_dna_start[1:])
+        self.var_arena = np.ascontiguousarray(
+            encode_graph(b"".join(vn.label.dna for vn in g.var_nodes))
+        )
+        self.var_out_ref = np.array([vn.out_ref_id for vn in g.var_nodes], dtype=np.int64)
+
+        self.sp_ref_reach = np.asarray(g.ref_reach_poses, dtype=np.int64)
+        self.sp_actual = np.asarray(g.actual_poses, dtype=np.int64)
+
+        self.keys = np.ascontiguousarray(index.keys.astype(np.uint64))
+        self.offsets = np.ascontiguousarray(index.offsets.astype(np.int64))
+        self.lab_start = np.ascontiguousarray(index.label_start.astype(np.int64))
+        self.lab_end = np.ascontiguousarray(index.label_end.astype(np.int64))
+        self.lab_var = np.ascontiguousarray(index.label_var_id.astype(np.int64))
+
+    def align_batch(
+        self, reads, force_both: bool = False, n_threads: int = 0
+    ) -> list[tuple[GenotypePaths, GenotypePaths]]:
+        """align_read for a batch of AlignedReads; returns (fwd, rev) per
+        read like alignment.align_read."""
+        lib = get_lib()
+        _setup_lib(lib)
+        n = len(reads)
+        codes_list = [encode(r.seq) for r in reads]
+        read_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in codes_list], out=read_off[1:])
+        read_codes = (
+            np.concatenate(codes_list) if n else np.zeros(0, dtype=np.uint8)
+        ).astype(np.uint8)
+        flags = np.array([r.flag for r in reads], dtype=np.int32)
+        tlen = np.array(
+            [max(-0x7FFFFFFF, min(0x7FFFFFFF, r.tlen)) for r in reads], dtype=np.int32
+        )
+        same_ref = np.array([1 if r.ref_id == r.mate_ref_id else 0 for r in reads], dtype=np.uint8)
+
+        if n_threads <= 0:
+            import os
+
+            n_threads = min(8, os.cpu_count() or 1)
+
+        n_paths = ctypes.c_int64()
+        n_sites = ctypes.c_int64()
+        n_nums = ctypes.c_int64()
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        handle = lib.gt_align_batch(
+            ptr(self.ref_order), ptr(self.ref_dna_start), ptr(self.ref_dna_len),
+            ptr(self.ref_var_first), len(self.ref_order), ptr(self.ref_arena),
+            ptr(self.var_order), ptr(self.var_dna_start), ptr(self.var_dna_len),
+            ptr(self.var_out_ref), len(self.var_order), ptr(self.var_arena),
+            ptr(self.sp_ref_reach), ptr(self.sp_actual), len(self.sp_ref_reach),
+            1 if self.graph.is_sv_graph else 0,
+            ptr(self.keys), len(self.keys), ptr(self.offsets),
+            ptr(self.lab_start), ptr(self.lab_end), ptr(self.lab_var),
+            ptr(read_codes), ptr(read_off), n,
+            ptr(flags), ptr(tlen), ptr(same_ref),
+            1 if force_both else 0, n_threads,
+            ctypes.byref(n_paths), ctypes.byref(n_sites), ctypes.byref(n_nums),
+        )
+        try:
+            path_count = np.zeros(2 * n, dtype=np.int32)
+            longest = np.zeros(2 * n, dtype=np.int32)
+            p_start = np.zeros(n_paths.value, dtype=np.int64)
+            p_end = np.zeros(n_paths.value, dtype=np.int64)
+            p_rsi = np.zeros(n_paths.value, dtype=np.int32)
+            p_rei = np.zeros(n_paths.value, dtype=np.int32)
+            p_mm = np.zeros(n_paths.value, dtype=np.int32)
+            p_nsites = np.zeros(n_paths.value, dtype=np.int32)
+            s_vorder = np.zeros(n_sites.value, dtype=np.int64)
+            s_ncount = np.zeros(n_sites.value, dtype=np.int32)
+            num_vals = np.zeros(n_nums.value, dtype=np.uint16)
+            rc = lib.gt_align_fetch(
+                handle,
+                ptr(path_count), ptr(longest),
+                ptr(p_start), ptr(p_end), ptr(p_rsi), ptr(p_rei), ptr(p_mm), ptr(p_nsites),
+                ptr(s_vorder), ptr(s_ncount), ptr(num_vals),
+            )
+            if rc != 0:
+                raise RuntimeError("gt_align_fetch failed")
+        finally:
+            lib.gt_align_free(handle)
+
+        # materialize paths
+        p_start_l = p_start.tolist()
+        p_end_l = p_end.tolist()
+        p_rsi_l = p_rsi.tolist()
+        p_rei_l = p_rei.tolist()
+        p_mm_l = p_mm.tolist()
+        p_nsites_l = p_nsites.tolist()
+        s_vorder_l = s_vorder.tolist()
+        s_ncount_l = s_ncount.tolist()
+        num_vals_l = num_vals.tolist()
+        path_count_l = path_count.tolist()
+        longest_l = longest.tolist()
+
+        out = []
+        pi = 0  # path cursor
+        si = 0  # site cursor
+        ni = 0  # num cursor
+        for r, read in enumerate(reads):
+            codes = codes_list[r]
+            genos = []
+            for o in range(2):
+                g = GenotypePaths(read.flag, len(codes))
+                g.longest_path_length = longest_l[2 * r + o]
+                for _ in range(path_count_l[2 * r + o]):
+                    var_order = []
+                    nums = []
+                    for _ in range(p_nsites_l[pi]):
+                        var_order.append(s_vorder_l[si])
+                        cnt = s_ncount_l[si]
+                        nums.append(set(num_vals_l[ni : ni + cnt]))
+                        ni += cnt
+                        si += 1
+                    g.paths.append(
+                        Path(
+                            p_start_l[pi],
+                            p_end_l[pi],
+                            p_rsi_l[pi],
+                            p_rei_l[pi],
+                            var_order,
+                            nums,
+                            p_mm_l[pi],
+                        )
+                    )
+                    pi += 1
+                genos.append(g)
+            # read2 mirrors alignment.find_genotype_paths: set on orientations
+            # that were actually aligned
+            if len(codes) >= 2 * K - 1:
+                genos[0].read2 = codes
+                proper_geometry = (read.flag & IS_PAIRED) == 0 or (
+                    read.ref_id == read.mate_ref_id
+                    and -1200 < read.tlen < 1200
+                    and bool(read.flag & 0x10) != bool(read.flag & 0x20)
+                )
+                if not proper_geometry or force_both:
+                    genos[1].read2 = revcomp_codes(codes)
+            out.append((genos[0], genos[1]))
+        return out

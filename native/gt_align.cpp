@@ -1,0 +1,1395 @@
+// Native batch read-to-graph aligner for graphtyper_tpu.
+//
+// Ports the host alignment pipeline (graphtyper_tpu/typer/alignment.py,
+// genotype_paths.py, path.py, graph/dfs.py — themselves re-implementations of
+// the reference's src/typer/alignment.cpp seeding, genotype_paths.cpp lattice
+// merge, and graph.cpp:1187-1760 bounded walk enumeration) to C++ operating
+// directly on the flat graph/index arrays, processing a whole batch of reads
+// per call. Bit-identical to the Python path (tests/typer/test_native_align.py
+// asserts path-level parity); the Python implementation remains the oracle.
+//
+// Exposed as a C ABI for ctypes: gt_align_batch -> sizes + opaque handle,
+// gt_align_fetch -> flat result arrays, gt_align_free.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int K = 32;
+constexpr int64_t SPECIAL_START = 0xD0000000LL;
+constexpr int64_t INVALID_ID = 0xFFFFFFFFLL;
+constexpr int MAX_VAR_AND_REFS = 128;
+constexpr int MAX_LOCATIONS = 1024;
+constexpr int MAX_UNIQUE_KMER_POSITIONS = 512;
+constexpr int MAX_SEED_NUMBER_FOR_WALKING = 256;
+constexpr int MAX_SEED_NUMBER_ALLOWING_MISMATCHES = 64;
+constexpr int MAX_NUM_LOCATIONS_PER_PATH = 256;
+constexpr uint8_t TAG_CODE = 6;
+
+constexpr uint32_t IS_PAIRED = 0x1;
+
+// IUPAC base sets per code (utils/dna.py IUPAC_SETS_BY_CODE): codes 0..14
+static const uint8_t IUPAC_SETS[15][5] = {
+  // {count, members...} in A<C<G<T order
+  {1, 0}, {1, 1}, {1, 2}, {1, 3},
+  {4, 0, 1, 2, 3},              // N
+  {2, 0, 2}, {2, 1, 3}, {2, 1, 2}, {2, 0, 3}, {2, 2, 3}, {2, 0, 1},  // RYSWKM
+  {3, 1, 2, 3}, {3, 0, 2, 3}, {3, 0, 1, 3}, {3, 0, 1, 2},            // BDHV
+};
+
+// code-level reverse complement (utils/dna.py _CODE_COMPLEMENT)
+static const uint8_t CODE_COMP[16] = {3, 2, 1, 0, 4, 6, 5, 7, 8, 10, 9, 14, 13, 12, 11, 15};
+
+struct GraphView {
+  const int64_t * ref_order;
+  const int64_t * ref_dna_start;
+  const int64_t * ref_dna_len;
+  const int64_t * ref_var_first;  // [n_ref + 1]
+  int64_t n_ref;
+  const uint8_t * ref_arena;
+  const int64_t * var_order;
+  const int64_t * var_dna_start;
+  const int64_t * var_dna_len;
+  const int64_t * var_out_ref;
+  int64_t n_var;
+  const uint8_t * var_arena;
+  const int64_t * sp_ref_reach;  // sorted (runs per multi-degree ref node)
+  const int64_t * sp_actual;
+  int64_t n_special;
+  bool is_sv;
+
+  int64_t out_deg(int64_t r) const { return ref_var_first[r + 1] - ref_var_first[r]; }
+  int64_t ref_reach(int64_t r) const { return ref_order[r] + ref_dna_len[r] - 1; }
+  int64_t var_reach(int64_t v) const { return var_order[v] + var_dna_len[v] - 1; }
+  const uint8_t * ref_dna(int64_t r) const { return ref_arena + ref_dna_start[r]; }
+  const uint8_t * var_dna(int64_t v) const { return var_arena + var_dna_start[v]; }
+
+  bool is_special(int64_t pos) const
+  {
+    return pos >= SPECIAL_START && (pos - SPECIAL_START) < n_special;
+  }
+
+  int64_t get_ref_reach_pos(int64_t pos) const
+  {
+    return is_special(pos) ? sp_ref_reach[pos - SPECIAL_START] : pos;
+  }
+
+  int64_t get_actual_pos(int64_t pos) const
+  {
+    return is_special(pos) ? sp_actual[pos - SPECIAL_START] : pos;
+  }
+
+  // graph.get_special_pos(pos, ref_reach): index into the contiguous run of
+  // special positions sharing this ref_reach
+  int64_t get_special_pos(int64_t pos, int64_t rr) const
+  {
+    const int64_t * first = std::lower_bound(sp_ref_reach, sp_ref_reach + n_special, rr);
+    return SPECIAL_START + (first - sp_ref_reach) + (pos - rr - 1);
+  }
+
+  int64_t variant_num(int64_t v) const
+  {
+    return v - ref_var_first[var_out_ref[v] - 1];
+  }
+
+  // reach of the reference allele of v's site (dfs.py _site_ref_reach)
+  int64_t site_ref_reach(int64_t v) const
+  {
+    int64_t r = var_out_ref[v] - 1;
+    return var_reach(ref_var_first[r]);
+  }
+};
+
+struct IndexView {
+  const uint64_t * keys;
+  int64_t n_keys;
+  const int64_t * offsets;
+  const int64_t * lab_start;
+  const int64_t * lab_end;
+  const int64_t * lab_var;
+
+  // span for an exact key
+  void get(uint64_t key, int64_t & a, int64_t & b) const
+  {
+    const uint64_t * it = std::lower_bound(keys, keys + n_keys, key);
+    if (it == keys + n_keys || *it != key)
+    {
+      a = b = 0;
+      return;
+    }
+    int64_t i = it - keys;
+    a = offsets[i];
+    b = offsets[i + 1];
+  }
+};
+
+struct Label {
+  int64_t start, end, var_id;
+};
+
+struct Path {
+  int64_t start = 0, end = 0;
+  int32_t rsi = 0, rei = 0;  // read start/end index
+  int32_t mismatches = 0;
+  std::vector<int64_t> var_order;
+  std::vector<std::vector<uint16_t>> nums;  // sorted unique allele sets
+
+  int32_t size() const { return rei - rsi + 1; }
+  bool is_empty() const { return start == end; }
+
+  bool is_reference() const
+  {
+    for (auto const & n : nums)
+      if (!std::binary_search(n.begin(), n.end(), (uint16_t)0))
+        return false;
+    return true;
+  }
+};
+
+static void nums_insert(std::vector<uint16_t> & v, uint16_t x)
+{
+  auto it = std::lower_bound(v.begin(), v.end(), x);
+  if (it == v.end() || *it != x)
+    v.insert(it, x);
+}
+
+struct Geno {
+  std::vector<Path> paths;
+  int32_t longest = 0;
+  int32_t read_length = 0;
+
+  void update_longest() {
+    longest = 0;
+    for (auto const & p : paths)
+      longest = std::max(longest, p.size());
+  }
+
+  void remove_short_paths()
+  {
+    size_t w = 0;
+    for (size_t i = 0; i < paths.size(); ++i)
+      if (paths[i].size() >= longest)
+      {
+        if (w != i)
+          paths[w] = std::move(paths[i]);
+        ++w;
+      }
+    paths.resize(w);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// mismatch counting (dfs.py count_mismatches; graph_utils.hpp:7-69 semantics)
+// ---------------------------------------------------------------------------
+
+static int count_mm_fwd(const uint8_t * read, int read_len, const uint8_t * seq, int seq_len, int maxm)
+{
+  int n = std::min(read_len, seq_len);
+  for (int i = 0; i < n; ++i)
+    if (seq[i] == TAG_CODE)
+      return maxm + 1;
+  int mm = 0;
+  for (int i = 0; i < n; ++i)
+  {
+    uint8_t a = read[i], b = seq[i];
+    mm += (a != b) & (a < 4) & (b < 4);
+  }
+  return mm;
+}
+
+static int count_mm_bwd(const uint8_t * read, int read_len, const uint8_t * seq, int seq_len, int maxm)
+{
+  int n = std::min(read_len, seq_len);
+  const uint8_t * a = read + (read_len - n);
+  const uint8_t * b = seq + (seq_len - n);
+  for (int i = 0; i < n; ++i)
+    if (b[i] == TAG_CODE)
+      return maxm + 1;
+  int mm = 0;
+  for (int i = 0; i < n; ++i)
+    mm += (a[i] != b[i]) & (a[i] < 4) & (b[i] < 4);
+  return mm;
+}
+
+// ---------------------------------------------------------------------------
+// kmer packing with IUPAC fork (alignment.py to_uint64_list/_stride_keys)
+// ---------------------------------------------------------------------------
+
+static void to_uint64_list(const uint8_t * codes, std::vector<uint64_t> & keys)
+{
+  keys.assign(1, 0);
+  for (int j = 0; j < K; ++j)
+  {
+    if (keys.size() > 97)
+    {
+      keys.clear();
+      return;
+    }
+    uint8_t c = codes[j];
+    const uint8_t * set = (c < 15) ? IUPAC_SETS[c] : IUPAC_SETS[4];
+    int cnt = set[0];
+    const uint8_t * members = set + 1;
+    if (cnt == 1)
+    {
+      for (auto & k : keys)
+        k = (k << 2) | members[0];
+    }
+    else
+    {
+      // existing slot takes the LAST member in place; earlier members appended
+      size_t old = keys.size();
+      for (size_t idx = 0; idx < old; ++idx)
+      {
+        uint64_t base = keys[idx] << 2;
+        for (int m = 0; m + 1 < cnt; ++m)
+          keys.push_back(base | members[m]);
+        keys[idx] = base | members[cnt - 1];
+      }
+      // NOTE: appended keys interleave per slot in Python via a single
+      // extend after the loop; replicate that order: Python collects all
+      // appended into one list in slot-major, member-minor order, then
+      // extends. The loop above appends per slot in member order == same.
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// path label grouping + merge (path.py)
+// ---------------------------------------------------------------------------
+
+static Path path_from_label(const GraphView & G, const Label & l, int rsi, int rei, int mm)
+{
+  Path p;
+  p.start = l.start;
+  p.end = l.end;
+  p.rsi = rsi;
+  p.rei = rei;
+  p.mismatches = mm;
+  if (l.var_id != INVALID_ID)
+  {
+    p.var_order.push_back(G.var_order[l.var_id]);
+    p.nums.push_back({(uint16_t)G.variant_num(l.var_id)});
+  }
+  return p;
+}
+
+static void merge_with_current(const GraphView & G, Path & p, int64_t var_id)
+{
+  if (var_id == INVALID_ID)
+    return;
+  int64_t order = G.var_order[var_id];
+  uint16_t num = (uint16_t)G.variant_num(var_id);
+  for (size_t i = 0; i < p.var_order.size(); ++i)
+  {
+    if (p.var_order[i] == order)
+    {
+      nums_insert(p.nums[i], num);
+      return;
+    }
+  }
+  p.var_order.push_back(order);
+  p.nums.push_back({num});
+}
+
+static void find_all_nonduplicated_paths(
+  const GraphView & G, const std::vector<Label> & labels, int rsi, int rei, int mm,
+  std::vector<Path> & out)
+{
+  out.clear();
+  if (labels.empty())
+    return;
+  out.push_back(path_from_label(G, labels[0], rsi, rei, mm));
+  for (size_t i = 1; i < labels.size(); ++i)
+  {
+    bool found = false;
+    for (auto & p : out)
+    {
+      if (labels[i].start == p.start && labels[i].end == p.end)
+      {
+        merge_with_current(G, p, labels[i].var_id);
+        found = true;
+        break;
+      }
+    }
+    if (!found)
+      out.push_back(path_from_label(G, labels[i], rsi, rei, mm));
+  }
+}
+
+// Path(p1, p2) merge (path.py Path.merge): take p2, intersect shared sites,
+// union the rest; adopt p1's start. Empty intersection -> failed merge
+// (detectable: read_start_index stays p2's).
+static Path path_merge(const Path & p1, const Path & p2)
+{
+  Path np = p2;
+  for (size_t i = 0; i < p1.var_order.size(); ++i)
+  {
+    bool found = false;
+    for (size_t j = 0; j < np.var_order.size(); ++j)
+    {
+      if (p1.var_order[i] == np.var_order[j])
+      {
+        // intersect sorted vectors
+        std::vector<uint16_t> inter;
+        std::set_intersection(np.nums[j].begin(), np.nums[j].end(),
+                              p1.nums[i].begin(), p1.nums[i].end(),
+                              std::back_inserter(inter));
+        np.nums[j] = std::move(inter);
+        if (np.nums[j].empty())
+          return np;  // failed
+        found = true;
+        break;
+      }
+    }
+    if (!found)
+    {
+      np.var_order.push_back(p1.var_order[i]);
+      np.nums.push_back(p1.nums[i]);
+    }
+  }
+  np.rsi = p1.rsi;
+  np.start = p1.start;
+  np.mismatches += p1.mismatches;
+  return np;
+}
+
+// genotype_paths.py add_next_kmer_labels / add_prev_kmer_labels
+static void add_next_kmer_labels(const GraphView & G, Geno & g, const std::vector<Label> & labels,
+                                 int read_start, int read_end, int mm)
+{
+  std::vector<Path> pp;
+  find_all_nonduplicated_paths(G, labels, read_start, read_end, mm, pp);
+  size_t original_size = g.paths.size();
+  std::vector<char> matched(pp.size(), 0);
+  for (size_t i = 0; i < original_size; ++i)
+  {
+    if (g.paths[i].rei != read_start)
+      continue;
+    bool matched_once = false;
+    // the original path stays the comparison/merge source even after slot i
+    // is replaced on first match (genotype_paths.py binds it before the loop)
+    Path original_copy = g.paths[i];
+    for (size_t j = 0; j < pp.size(); ++j)
+    {
+      if (original_copy.end == pp[j].start && original_copy.rei == pp[j].rsi)
+      {
+        Path np = path_merge(original_copy, pp[j]);
+        if (np.start != original_copy.start || np.rsi != original_copy.rsi)
+          continue;
+        matched[j] = 1;
+        if (matched_once)
+          g.paths.push_back(std::move(np));
+        else
+        {
+          g.longest = std::max(np.size(), g.longest);
+          g.paths[i] = std::move(np);
+          matched_once = true;
+        }
+      }
+    }
+  }
+  for (size_t j = 0; j < pp.size(); ++j)
+  {
+    if (!matched[j])
+    {
+      g.longest = std::max(pp[j].size(), g.longest);
+      g.paths.push_back(std::move(pp[j]));
+    }
+  }
+}
+
+static void add_prev_kmer_labels(const GraphView & G, Geno & g, const std::vector<Label> & labels,
+                                 int read_start, int read_end, int mm)
+{
+  std::vector<Path> pp;
+  find_all_nonduplicated_paths(G, labels, read_start, read_end, mm, pp);
+  size_t original_size = g.paths.size();
+  std::vector<char> matched(pp.size(), 0);
+  for (size_t i = 0; i < original_size; ++i)
+  {
+    if (g.paths[i].rsi != read_end)
+      continue;
+    bool matched_once = false;
+    Path original_copy = g.paths[i];
+    for (size_t j = 0; j < pp.size(); ++j)
+    {
+      if (pp[j].end == original_copy.start && pp[j].rei == original_copy.rsi)
+      {
+        Path np = path_merge(pp[j], original_copy);
+        if (np.rsi != pp[j].rsi)
+          continue;
+        matched[j] = 1;
+        if (matched_once)
+          g.paths.push_back(std::move(np));
+        else
+        {
+          g.longest = std::max(np.size(), g.longest);
+          g.paths[i] = std::move(np);
+          matched_once = true;
+        }
+      }
+    }
+  }
+  for (size_t j = 0; j < pp.size(); ++j)
+  {
+    if (!matched[j])
+    {
+      g.longest = std::max(pp[j].size(), g.longest);
+      g.paths.push_back(std::move(pp[j]));
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// locations + bounded walk enumeration (graph/dfs.py)
+// ---------------------------------------------------------------------------
+
+struct Location {
+  char type = 'U';  // 'R', 'V', 'U'
+  int64_t node_index = 0;
+  int64_t node_order = 0;
+  int64_t offset = 0;
+
+  bool is_unavailable() const { return type == 'U'; }
+};
+
+static void get_locations_of_a_position(const GraphView & G, int64_t pos, const Path & path,
+                                        std::vector<Location> & locs)
+{
+  locs.clear();
+  bool is_special = G.is_special(pos);
+  if (is_special)
+    pos = G.get_actual_pos(pos);
+  if (G.n_ref == 0 || pos < G.ref_order[0])
+    return;
+  if (G.n_ref == 1)
+  {
+    locs.push_back({'R', 0, G.ref_order[0], pos - G.ref_order[0]});
+    return;
+  }
+  for (int64_t r = 1; r <= G.n_ref; ++r)
+  {
+    if (r < G.n_ref && G.ref_order[r] <= pos)
+      continue;
+    int64_t rr = r - 1;
+    if (pos < G.ref_order[rr] + G.ref_dna_len[rr])
+    {
+      if (!is_special)
+      {
+        locs.push_back({'R', rr, G.ref_order[rr], pos - G.ref_order[rr]});
+        break;
+      }
+      rr -= 1;
+    }
+    int64_t padding = G.is_sv ? 1000000 : 1000;
+    while (rr >= 0 && G.ref_reach(rr) + padding > pos)
+    {
+      int64_t first = G.ref_var_first[rr];
+      int64_t deg = G.out_deg(rr);
+      for (int64_t i = 0; i < deg; ++i)
+      {
+        int64_t v = first + i;
+        int64_t vo = G.var_order[v];
+        if (vo <= pos && pos <= G.var_reach(v))
+        {
+          // require the path to overlap this site with allele i allowed
+          int64_t j = -1;
+          for (size_t q = 0; q < path.var_order.size(); ++q)
+            if (path.var_order[q] == vo)
+            {
+              j = (int64_t)q;
+              break;
+            }
+          if (j < 0)
+            continue;
+          if (path.is_empty() ||
+              ((size_t)j < path.nums.size() &&
+               std::binary_search(path.nums[j].begin(), path.nums[j].end(), (uint16_t)i)))
+            locs.push_back({'V', v, vo, pos - vo});
+        }
+      }
+      rr -= 1;
+    }
+    break;
+  }
+}
+
+// candidate sequence under construction during the walk
+struct Cand {
+  std::vector<uint8_t> seq;
+  std::vector<int64_t> var_ids;
+  int64_t pos = 0;  // end_pos (forward) or start_pos (backward)
+};
+
+static void append_seq(std::vector<uint8_t> & dst, const uint8_t * src, int64_t n)
+{
+  dst.insert(dst.end(), src, src + n);
+}
+
+static void prepend_seq(std::vector<uint8_t> & dst, const uint8_t * src, int64_t n)
+{
+  dst.insert(dst.begin(), src, src + n);
+}
+
+// graph.cpp:1187-1438 via dfs.py get_labels_forward
+static int get_labels_forward(const GraphView & G, const Location & s,
+                              const uint8_t * read, int read_len, int max_mm,
+                              std::vector<Label> & labels)
+{
+  labels.clear();
+  std::vector<Cand> cands(1);
+  std::vector<int64_t> vars;
+
+  if (s.type == 'V')
+  {
+    int64_t v = s.node_index;
+    cands[0].var_ids.push_back(v);
+    append_seq(cands[0].seq, G.var_dna(v) + s.offset, G.var_dna_len[v] - s.offset);
+    if ((int)cands[0].seq.size() >= read_len)
+    {
+      int64_t ep = G.var_reach(v) - ((int64_t)cands[0].seq.size() - read_len);
+      int64_t rr = G.site_ref_reach(v);
+      if (ep > rr)
+        ep = G.get_special_pos(ep, rr);
+      cands[0].pos = ep;
+    }
+    else
+    {
+      int64_t r = G.var_out_ref[v];
+      for (int64_t i = 0; i < G.out_deg(r); ++i)
+        vars.push_back(G.ref_var_first[r] + i);
+      append_seq(cands[0].seq, G.ref_dna(r), G.ref_dna_len[r]);
+      cands[0].pos = G.ref_reach(r) - ((int64_t)cands[0].seq.size() - read_len);
+    }
+  }
+  else
+  {
+    int64_t r = s.node_index;
+    for (int64_t i = 0; i < G.out_deg(r); ++i)
+      vars.push_back(G.ref_var_first[r] + i);
+    append_seq(cands[0].seq, G.ref_dna(r) + s.offset, G.ref_dna_len[r] - s.offset);
+    cands[0].pos = G.ref_reach(r) - ((int64_t)cands[0].seq.size() - read_len);
+  }
+
+  if (!vars.empty() && (int)cands[0].seq.size() < read_len)
+  {
+    int64_t r = G.var_out_ref[vars[0]];
+    bool all_long_enough = false;
+    while (!all_long_enough && (int)cands.size() < MAX_VAR_AND_REFS && !vars.empty())
+    {
+      all_long_enough = true;
+      const uint8_t * ref_codes = G.ref_dna(r);
+      int64_t ref_len = G.ref_dna_len[r];
+      size_t original_size = cands.size();
+      size_t j = 0;
+      while (j < original_size)
+      {
+        if ((int)cands[j].seq.size() >= read_len)
+        {
+          ++j;
+          continue;
+        }
+        for (size_t i = 0; i + 1 < vars.size(); ++i)
+        {
+          int64_t v = vars[i];
+          Cand nc;
+          nc.seq = cands[j].seq;
+          append_seq(nc.seq, G.var_dna(v), G.var_dna_len[v]);
+          bool variant_is_enough = (int)nc.seq.size() >= read_len;
+          if (!variant_is_enough)
+            append_seq(nc.seq, ref_codes, ref_len);
+          if (count_mm_fwd(read, read_len, nc.seq.data(), nc.seq.size(), max_mm) <= max_mm)
+          {
+            nc.var_ids = cands[j].var_ids;
+            nc.var_ids.push_back(v);
+            if ((int)nc.seq.size() < read_len)
+              all_long_enough = false;
+            if (variant_is_enough)
+            {
+              int64_t ep = G.var_reach(v) - ((int64_t)nc.seq.size() - read_len);
+              int64_t rr = G.site_ref_reach(v);
+              if (ep > rr)
+                ep = G.get_special_pos(ep, rr);
+              nc.pos = ep;
+            }
+            else
+              nc.pos = G.ref_reach(r) - ((int64_t)nc.seq.size() - read_len);
+            cands.push_back(std::move(nc));
+          }
+        }
+        // last variant replaces the current candidate in place
+        int64_t last_v = vars.back();
+        append_seq(cands[j].seq, G.var_dna(last_v), G.var_dna_len[last_v]);
+        bool variant_is_enough = (int)cands[j].seq.size() >= read_len;
+        if (!variant_is_enough)
+          append_seq(cands[j].seq, ref_codes, ref_len);
+        if (count_mm_fwd(read, read_len, cands[j].seq.data(), cands[j].seq.size(), max_mm) <= max_mm)
+        {
+          cands[j].var_ids.push_back(last_v);
+          if ((int)cands[j].seq.size() < read_len)
+            all_long_enough = false;
+          if (variant_is_enough)
+          {
+            int64_t ep = G.var_reach(last_v) - ((int64_t)cands[j].seq.size() - read_len);
+            int64_t rr = G.site_ref_reach(last_v);
+            if (ep > rr)
+              ep = G.get_special_pos(ep, rr);
+            cands[j].pos = ep;
+          }
+          else
+            cands[j].pos = G.ref_reach(r) - ((int64_t)cands[j].seq.size() - read_len);
+          ++j;
+        }
+        else
+        {
+          cands.erase(cands.begin() + j);
+          original_size -= 1;
+        }
+      }
+      if (!all_long_enough)
+      {
+        vars.clear();
+        for (int64_t i = 0; i < G.out_deg(r); ++i)
+          vars.push_back(G.ref_var_first[r] + i);
+        r += 1;
+      }
+      else
+        break;
+    }
+  }
+
+  // choose best candidates
+  std::vector<const Cand *> best;
+  for (auto const & c : cands)
+  {
+    if ((int)c.seq.size() < read_len)
+      continue;
+    int mm = count_mm_fwd(read, read_len, c.seq.data(), c.seq.size(), max_mm);
+    if (mm > max_mm)
+      continue;
+    if (mm < max_mm)
+    {
+      max_mm = mm;
+      best.clear();
+    }
+    best.push_back(&c);
+  }
+
+  if (!best.empty())
+  {
+    int64_t start_pos = s.node_order + s.offset;
+    if (s.type == 'V')
+    {
+      int64_t rr = G.site_ref_reach(s.node_index);
+      if (start_pos > rr)
+        start_pos = G.get_special_pos(start_pos, rr);
+    }
+    for (auto const * c : best)
+    {
+      if (c->var_ids.empty())
+        labels.push_back({start_pos, c->pos, INVALID_ID});
+      else
+        for (int64_t v : c->var_ids)
+          labels.push_back({start_pos, c->pos, v});
+    }
+  }
+  return max_mm;
+}
+
+// graph.cpp:1441-1700 via dfs.py get_labels_backward
+static int get_labels_backward(const GraphView & G, const Location & e,
+                               const uint8_t * read, int read_len, int max_mm,
+                               std::vector<Label> & labels)
+{
+  labels.clear();
+  std::vector<Cand> cands(1);
+  std::vector<int64_t> vars;
+
+  if (e.type == 'V')
+  {
+    int64_t v = e.node_index;
+    cands[0].var_ids.push_back(v);
+    append_seq(cands[0].seq, G.var_dna(v), e.offset + 1);
+    if ((int)cands[0].seq.size() >= read_len)
+    {
+      int64_t sp = G.var_order[v] + ((int64_t)cands[0].seq.size() - read_len);
+      int64_t rr = G.site_ref_reach(v);
+      if (sp > rr)
+        sp = G.get_special_pos(sp, rr);
+      cands[0].pos = sp;
+    }
+    else
+    {
+      int64_t r = G.var_out_ref[v] - 1;
+      prepend_seq(cands[0].seq, G.ref_dna(r), G.ref_dna_len[r]);
+      cands[0].pos = G.ref_order[r] + ((int64_t)cands[0].seq.size() - read_len);
+      if (r != 0)
+        for (int64_t i = 0; i < G.out_deg(r - 1); ++i)
+          vars.push_back(G.ref_var_first[r - 1] + i);
+    }
+  }
+  else
+  {
+    int64_t r = e.node_index;
+    if (r != 0)
+      for (int64_t i = 0; i < G.out_deg(r - 1); ++i)
+        vars.push_back(G.ref_var_first[r - 1] + i);
+    append_seq(cands[0].seq, G.ref_dna(r), e.offset + 1);
+    cands[0].pos = G.ref_order[r] + ((int64_t)cands[0].seq.size() - read_len);
+  }
+
+  if (!vars.empty() && (int)cands[0].seq.size() < read_len)
+  {
+    int64_t r = G.var_out_ref[vars[0]] - 1;
+    bool all_long_enough = false;
+    while (!all_long_enough && (int)cands.size() < MAX_VAR_AND_REFS && !vars.empty())
+    {
+      all_long_enough = true;
+      const uint8_t * ref_codes = G.ref_dna(r);
+      int64_t ref_len = G.ref_dna_len[r];
+      size_t original_size = cands.size();
+      size_t j = 0;
+      while (j < original_size)
+      {
+        if ((int)cands[j].seq.size() >= read_len)
+        {
+          ++j;
+          continue;
+        }
+        for (size_t i = 0; i + 1 < vars.size(); ++i)
+        {
+          if ((int)cands[j].seq.size() >= read_len)
+            continue;  // Python re-checks inside the loop
+          int64_t v = vars[i];
+          Cand nc;
+          nc.seq.reserve(G.var_dna_len[v] + cands[j].seq.size() + ref_len);
+          append_seq(nc.seq, G.var_dna(v), G.var_dna_len[v]);
+          append_seq(nc.seq, cands[j].seq.data(), cands[j].seq.size());
+          bool variant_is_enough = (int)nc.seq.size() >= read_len;
+          if (!variant_is_enough)
+            prepend_seq(nc.seq, ref_codes, ref_len);
+          if (count_mm_bwd(read, read_len, nc.seq.data(), nc.seq.size(), max_mm) <= max_mm)
+          {
+            nc.var_ids = cands[j].var_ids;
+            nc.var_ids.push_back(v);
+            if ((int)nc.seq.size() < read_len)
+              all_long_enough = false;
+            if (variant_is_enough)
+            {
+              int64_t sp = G.var_order[v] + ((int64_t)nc.seq.size() - read_len);
+              int64_t rr = G.site_ref_reach(v);
+              if (sp > rr)
+                sp = G.get_special_pos(sp, rr);
+              nc.pos = sp;
+            }
+            else
+              nc.pos = G.ref_order[r] + ((int64_t)nc.seq.size() - read_len);
+            cands.push_back(std::move(nc));
+          }
+        }
+        int64_t last_v = vars.back();
+        prepend_seq(cands[j].seq, G.var_dna(last_v), G.var_dna_len[last_v]);
+        bool variant_is_enough = (int)cands[j].seq.size() >= read_len;
+        if (!variant_is_enough)
+          prepend_seq(cands[j].seq, ref_codes, ref_len);
+        if (count_mm_bwd(read, read_len, cands[j].seq.data(), cands[j].seq.size(), max_mm) <= max_mm)
+        {
+          cands[j].var_ids.push_back(last_v);
+          if ((int)cands[j].seq.size() < read_len)
+            all_long_enough = false;
+          if (variant_is_enough)
+          {
+            int64_t sp = G.var_order[last_v] + ((int64_t)cands[j].seq.size() - read_len);
+            int64_t rr = G.site_ref_reach(last_v);
+            if (sp > rr)
+              sp = G.get_special_pos(sp, rr);
+            cands[j].pos = sp;
+          }
+          else
+            cands[j].pos = G.ref_order[r] + ((int64_t)cands[j].seq.size() - read_len);
+          ++j;
+        }
+        else
+        {
+          cands.erase(cands.begin() + j);
+          original_size -= 1;
+        }
+      }
+      if (!all_long_enough)
+      {
+        if (r != 0)
+        {
+          r -= 1;
+          vars.clear();
+          for (int64_t i = 0; i < G.out_deg(r); ++i)
+            vars.push_back(G.ref_var_first[r] + i);
+        }
+        else
+        {
+          vars.clear();
+          break;
+        }
+      }
+      else
+        break;
+    }
+  }
+
+  // NOTE the backward variant uses strict < / == instead of <=/push like
+  // forward (dfs.py:362-374)
+  std::vector<const Cand *> best;
+  for (auto const & c : cands)
+  {
+    if ((int)c.seq.size() < read_len)
+      continue;
+    int mm = count_mm_bwd(read, read_len, c.seq.data(), c.seq.size(), max_mm);
+    if (mm < max_mm)
+    {
+      max_mm = mm;
+      best.clear();
+      best.push_back(&c);
+    }
+    else if (mm == max_mm)
+      best.push_back(&c);
+  }
+
+  if (!best.empty())
+  {
+    int64_t end_pos = e.node_order + e.offset;
+    if (e.type == 'V')
+    {
+      int64_t rr = G.site_ref_reach(e.node_index);
+      if (end_pos > rr)
+        end_pos = G.get_special_pos(end_pos, rr);
+    }
+    for (auto const * c : best)
+    {
+      if (c->var_ids.empty())
+        labels.push_back({c->pos, end_pos, INVALID_ID});
+      else
+        for (int64_t v : c->var_ids)
+          labels.push_back({c->pos, end_pos, v});
+    }
+  }
+  return max_mm;
+}
+
+// graph.cpp:1703-1760 via dfs.py iterative_dfs
+static int iterative_dfs(const GraphView & G, const std::vector<Location> & starts,
+                         const std::vector<Location> & ends,
+                         const uint8_t * subread, int sub_len, int max_mm,
+                         std::vector<Label> & labels)
+{
+  labels.clear();
+  if ((int)starts.size() > MAX_LOCATIONS || (int)ends.size() > MAX_LOCATIONS)
+    return max_mm;
+
+  std::vector<Label> new_labels;
+  auto add_if_better = [&](int mm) {
+    if (!new_labels.empty())
+    {
+      if (mm < max_mm)
+      {
+        max_mm = mm;
+        labels = new_labels;
+      }
+      else if (mm == max_mm)
+        labels.insert(labels.end(), new_labels.begin(), new_labels.end());
+    }
+  };
+
+  if (starts.size() == 1 && starts[0].is_unavailable())
+  {
+    for (auto const & e : ends)
+    {
+      int mm = get_labels_backward(G, e, subread, sub_len, max_mm, new_labels);
+      add_if_better(mm);
+    }
+  }
+  else
+  {
+    for (auto const & s : starts)
+    {
+      int mm = get_labels_forward(G, s, subread, sub_len, max_mm, new_labels);
+      add_if_better(mm);
+    }
+  }
+  return max_mm;
+}
+
+// ---------------------------------------------------------------------------
+// walks + filters (genotype_paths.py)
+// ---------------------------------------------------------------------------
+
+static void walk_read_ends(const GraphView & G, Geno & g, const uint8_t * seq, int seq_len)
+{
+  if (g.paths.empty() || g.paths[0].size() == seq_len)
+    return;
+  if ((int)g.paths.size() > MAX_SEED_NUMBER_FOR_WALKING)
+    return;
+  int maximum_mismatches = -1;
+  if ((int)g.paths.size() > MAX_SEED_NUMBER_ALLOWING_MISMATCHES)
+    maximum_mismatches = 0;
+  int best_mismatches = 7;
+  std::vector<std::vector<Label>> best_labels;
+  std::vector<int> best_end_indexes;
+  std::vector<Location> s_locs;
+  std::vector<Label> new_labels;
+  for (auto const & path : g.paths)
+  {
+    if (path.rei == seq_len - 1)
+      continue;
+    get_locations_of_a_position(G, path.end, path, s_locs);
+    if (s_locs.empty() || (int)s_locs.size() > MAX_NUM_LOCATIONS_PER_PATH)
+      continue;
+    const uint8_t * kmer = seq + path.rei;
+    int kmer_len = seq_len - path.rei;
+    int mm = (maximum_mismatches < 0) ? std::min(2 + kmer_len / 11, best_mismatches)
+                                      : maximum_mismatches;
+    std::vector<Location> unavailable(1);
+    mm = iterative_dfs(G, s_locs, unavailable, kmer, kmer_len, mm, new_labels);
+    if (!new_labels.empty())
+    {
+      if (mm < best_mismatches)
+      {
+        best_labels.assign(1, new_labels);
+        best_end_indexes.assign(1, path.rei);
+        best_mismatches = mm;
+      }
+      else if (mm == best_mismatches)
+      {
+        best_labels.push_back(new_labels);
+        best_end_indexes.push_back(path.rei);
+      }
+    }
+  }
+  for (size_t i = 0; i < best_labels.size(); ++i)
+    add_next_kmer_labels(G, g, best_labels[i], best_end_indexes[i], seq_len - 1, best_mismatches);
+}
+
+static void walk_read_starts(const GraphView & G, Geno & g, const uint8_t * seq, int seq_len)
+{
+  if (g.paths.empty() || g.paths[0].size() == seq_len)
+    return;
+  if ((int)g.paths.size() > MAX_SEED_NUMBER_FOR_WALKING)
+    return;
+  int maximum_mismatches = -1;
+  if ((int)g.paths.size() > MAX_SEED_NUMBER_ALLOWING_MISMATCHES)
+    maximum_mismatches = 0;
+  int best_mismatches = 7;
+  std::vector<std::vector<Label>> best_labels;
+  std::vector<int> best_start_indexes;
+  std::vector<Location> e_locs;
+  std::vector<Label> new_labels;
+  for (auto const & path : g.paths)
+  {
+    if (path.rsi == 0)
+      continue;
+    int kmer_len = path.rsi + 1;
+    get_locations_of_a_position(G, path.start, path, e_locs);
+    if (e_locs.empty() || (int)e_locs.size() > MAX_NUM_LOCATIONS_PER_PATH)
+      continue;
+    int mm = (maximum_mismatches < 0) ? std::min(2 + kmer_len / 11, best_mismatches)
+                                      : maximum_mismatches;
+    std::vector<Location> unavailable(1);
+    mm = iterative_dfs(G, unavailable, e_locs, seq, kmer_len, mm, new_labels);
+    if (!new_labels.empty())
+    {
+      if (mm < best_mismatches)
+      {
+        best_labels.assign(1, new_labels);
+        best_start_indexes.assign(1, path.rsi);
+        best_mismatches = mm;
+      }
+      else if (mm == best_mismatches)
+      {
+        best_labels.push_back(new_labels);
+        best_start_indexes.push_back(path.rsi);
+      }
+    }
+  }
+  for (size_t i = 0; i < best_labels.size(); ++i)
+    add_prev_kmer_labels(G, g, best_labels[i], 0, best_start_indexes[i], best_mismatches);
+}
+
+static bool all_paths_unique(const Geno & g)
+{
+  for (size_t i = 1; i < g.paths.size(); ++i)
+    if (g.paths[0].start != g.paths[i].start && g.paths[0].end != g.paths[i].end)
+      return false;
+  return true;
+}
+
+static void remove_paths_with_too_many_mismatches(Geno & g)
+{
+  if (g.paths.empty())
+    return;
+  int min_mm = 10;
+  for (auto const & p : g.paths)
+    min_mm = std::min(min_mm, p.mismatches);
+  size_t w = 0;
+  for (size_t i = 0; i < g.paths.size(); ++i)
+    if (g.paths[i].mismatches <= min_mm)
+    {
+      if (w != i)
+        g.paths[w] = std::move(g.paths[i]);
+      ++w;
+    }
+  g.paths.resize(w);
+}
+
+static void remove_non_ref_paths_when_read_matches_ref(Geno & g)
+{
+  if (all_paths_unique(g))
+    return;
+  bool any_ref = false;
+  for (auto const & p : g.paths)
+    if (p.is_reference())
+    {
+      any_ref = true;
+      break;
+    }
+  if (!any_ref)
+    return;
+  size_t w = 0;
+  for (size_t i = 0; i < g.paths.size(); ++i)
+    if (g.paths[i].is_reference())
+    {
+      if (w != i)
+        g.paths[w] = std::move(g.paths[i]);
+      ++w;
+    }
+  g.paths.resize(w);
+}
+
+static void remove_fully_special_paths(const GraphView & G, Geno & g)
+{
+  size_t w = 0;
+  for (size_t i = 0; i < g.paths.size(); ++i)
+    if (G.get_ref_reach_pos(g.paths[i].start) != G.get_ref_reach_pos(g.paths[i].end))
+    {
+      if (w != i)
+        g.paths[w] = std::move(g.paths[i]);
+      ++w;
+    }
+  g.paths.resize(w);
+}
+
+// genotype_paths.py remove_support_from_read_ends (SV mode)
+static void remove_support_from_read_ends(const GraphView & G, Geno & g)
+{
+  constexpr int64_t MIN_OFFSET = 4;
+  for (auto & path : g.paths)
+  {
+    if (path.var_order.empty())
+      continue;
+    if (!G.is_special(path.start) && !G.is_special(path.end))
+      continue;
+    int64_t min_vo = path.var_order[0], max_vo = path.var_order[0];
+    for (int64_t vo : path.var_order)
+    {
+      min_vo = std::min(min_vo, vo);
+      max_vo = std::max(max_vo, vo);
+    }
+    if (G.is_special(path.end) && G.get_actual_pos(path.end) <= max_vo + MIN_OFFSET)
+    {
+      for (size_t i = 0; i < path.var_order.size(); ++i)
+        if (path.var_order[i] == max_vo)
+        {
+          path.nums[i].clear();
+          break;
+        }
+    }
+    if (G.is_special(path.start))
+    {
+      bool ambiguous;
+      if (G.is_special(path.start + MIN_OFFSET))
+        ambiguous = G.get_ref_reach_pos(path.start) != G.get_ref_reach_pos(path.start + MIN_OFFSET);
+      else
+        ambiguous = true;
+      if (ambiguous)
+      {
+        for (size_t i = 0; i < path.var_order.size(); ++i)
+          if (path.var_order[i] == min_vo)
+          {
+            path.nums[i].clear();
+            break;
+          }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// seeding + full per-orientation alignment (alignment.py find_genotype_paths)
+// ---------------------------------------------------------------------------
+
+static void expand_span(const IndexView & I, int64_t a, int64_t b, std::vector<Label> & out)
+{
+  for (int64_t j = a; j < b; ++j)
+    out.push_back({I.lab_start[j], I.lab_end[j], I.lab_var[j]});
+}
+
+static void find_genotype_paths(const GraphView & G, const IndexView & I,
+                                const uint8_t * codes, int len, Geno & g)
+{
+  int nk = (len < K) ? 0 : 1 + (len - K) / (K - 1);
+  if (nk <= 0)
+    return;
+
+  // per-position keys (IUPAC fork)
+  std::vector<std::vector<uint64_t>> keys_per_pos(nk);
+  std::vector<char> ambiguous(nk, 0);
+  for (int i = 0; i < nk; ++i)
+  {
+    int p = (K - 1) * i;
+    bool amb = false;
+    for (int j = p; j < p + K; ++j)
+      if (codes[j] >= 4)
+      {
+        amb = true;
+        break;
+      }
+    if (!amb)
+    {
+      uint64_t key = 0;
+      for (int j = p; j < p + K; ++j)
+        key = (key << 2) | codes[j];
+      keys_per_pos[i].push_back(key);
+    }
+    else
+    {
+      ambiguous[i] = 1;
+      to_uint64_list(codes + p, keys_per_pos[i]);
+    }
+  }
+
+  // exact lookups (h0) and Hamming-1 probes (h1)
+  std::vector<std::vector<Label>> h0(nk), h1(nk);
+  for (int i = 0; i < nk; ++i)
+  {
+    for (uint64_t key : keys_per_pos[i])
+    {
+      int64_t a, b;
+      I.get(key, a, b);
+      expand_span(I, a, b, h0[i]);
+    }
+    if (!ambiguous[i] && !keys_per_pos[i].empty())
+    {
+      uint64_t base = keys_per_pos[i][0];
+      // probe order matches index/kmer_index.py hamming1_keys: position
+      // shift ascending (3' end first), xor delta 1..3
+      for (int kpos = 0; kpos < K; ++kpos)
+      {
+        uint64_t shift = (uint64_t)kpos * 2;
+        uint64_t cur = (base >> shift) & 3ULL;
+        uint64_t cleared = base & ~(3ULL << shift);
+        for (uint64_t d = 1; d <= 3; ++d)
+        {
+          uint64_t key = cleared | ((cur ^ d) << shift);
+          int64_t a, b;
+          I.get(key, a, b);
+          expand_span(I, a, b, h1[i]);
+        }
+      }
+    }
+  }
+
+  // stop if all kmers are extremely common
+  bool all_common = true;
+  for (int i = 0; i < nk; ++i)
+    if ((int)h0[i].size() < MAX_UNIQUE_KMER_POSITIONS)
+    {
+      all_common = false;
+      break;
+    }
+  if (all_common)
+    return;
+
+  int read_start = 0;
+  for (int i = 0; i < nk; ++i)
+  {
+    add_next_kmer_labels(G, g, h0[i], read_start, read_start + K - 1, 0);
+    add_next_kmer_labels(G, g, h1[i], read_start, read_start + K - 1, 1);
+    read_start += K - 1;
+  }
+
+  g.remove_short_paths();
+  walk_read_starts(G, g, codes, len);
+  walk_read_ends(G, g, codes, len);
+  g.update_longest();
+  g.remove_short_paths();
+  remove_paths_with_too_many_mismatches(g);
+  if (G.is_sv)
+    remove_fully_special_paths(G, g);
+  remove_non_ref_paths_when_read_matches_ref(g);
+  g.update_longest();
+  g.remove_short_paths();
+  if (G.is_sv)
+    remove_support_from_read_ends(G, g);
+}
+
+struct BatchResult {
+  std::vector<int32_t> path_count;   // [2N]
+  std::vector<int32_t> longest;      // [2N]
+  std::vector<int64_t> p_start, p_end;
+  std::vector<int32_t> p_rsi, p_rei, p_mm, p_nsites;
+  std::vector<int64_t> s_vorder;
+  std::vector<int32_t> s_ncount;
+  std::vector<uint16_t> num_vals;
+};
+
+static void push_geno(BatchResult & R, const Geno & g)
+{
+  R.path_count.push_back((int32_t)g.paths.size());
+  R.longest.push_back(g.longest);
+  for (auto const & p : g.paths)
+  {
+    R.p_start.push_back(p.start);
+    R.p_end.push_back(p.end);
+    R.p_rsi.push_back(p.rsi);
+    R.p_rei.push_back(p.rei);
+    R.p_mm.push_back(p.mismatches);
+    R.p_nsites.push_back((int32_t)p.var_order.size());
+    for (size_t i = 0; i < p.var_order.size(); ++i)
+    {
+      R.s_vorder.push_back(p.var_order[i]);
+      R.s_ncount.push_back((int32_t)p.nums[i].size());
+      for (uint16_t x : p.nums[i])
+        R.num_vals.push_back(x);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void * gt_align_batch(
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  int32_t is_sv_graph,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // reads
+  const uint8_t * read_codes, const int64_t * read_off, int64_t n_reads,
+  const int32_t * flags, const int32_t * tlen, const uint8_t * same_ref,
+  int32_t force_both, int32_t n_threads,
+  // out sizes
+  int64_t * out_n_paths, int64_t * out_n_sites, int64_t * out_n_nums)
+{
+  GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+              var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+              sp_ref_reach, sp_actual, n_special, is_sv_graph != 0};
+  IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
+
+  auto align_range = [&](int64_t lo, int64_t hi, BatchResult & R) {
+    std::vector<uint8_t> rcodes;
+    for (int64_t r = lo; r < hi; ++r)
+    {
+      const uint8_t * codes = read_codes + read_off[r];
+      int len = (int)(read_off[r + 1] - read_off[r]);
+      Geno g1, g2;
+      g1.read_length = g2.read_length = len;
+      if (len >= 2 * K - 1)
+      {
+        // alignment.py align_read: forward always; reverse complement unless
+        // proper-pair geometry
+        bool proper_geometry =
+          (flags[r] & IS_PAIRED) == 0 ||
+          (same_ref[r] && -1200 < tlen[r] && tlen[r] < 1200 &&
+           ((flags[r] & 0x10) != 0) != ((flags[r] & 0x20) != 0));
+        find_genotype_paths(G, I, codes, len, g1);
+        if (!proper_geometry || force_both)
+        {
+          rcodes.resize(len);
+          for (int i = 0; i < len; ++i)
+            rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
+          find_genotype_paths(G, I, rcodes.data(), len, g2);
+        }
+      }
+      push_geno(R, g1);
+      push_geno(R, g2);
+    }
+  };
+
+  BatchResult * result = new BatchResult();
+  if (n_threads <= 1 || n_reads < 64)
+  {
+    align_range(0, n_reads, *result);
+  }
+  else
+  {
+    int nt = std::min<int64_t>(n_threads, (n_reads + 63) / 64);
+    std::vector<BatchResult> parts(nt);
+    std::vector<std::thread> threads;
+    int64_t per = (n_reads + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t)
+    {
+      int64_t lo = t * per, hi = std::min(n_reads, (t + 1) * per);
+      if (lo >= hi)
+        break;
+      threads.emplace_back([&, lo, hi, t]() { align_range(lo, hi, parts[t]); });
+    }
+    for (auto & th : threads)
+      th.join();
+    for (auto & p : parts)
+    {
+      result->path_count.insert(result->path_count.end(), p.path_count.begin(), p.path_count.end());
+      result->longest.insert(result->longest.end(), p.longest.begin(), p.longest.end());
+      result->p_start.insert(result->p_start.end(), p.p_start.begin(), p.p_start.end());
+      result->p_end.insert(result->p_end.end(), p.p_end.begin(), p.p_end.end());
+      result->p_rsi.insert(result->p_rsi.end(), p.p_rsi.begin(), p.p_rsi.end());
+      result->p_rei.insert(result->p_rei.end(), p.p_rei.begin(), p.p_rei.end());
+      result->p_mm.insert(result->p_mm.end(), p.p_mm.begin(), p.p_mm.end());
+      result->p_nsites.insert(result->p_nsites.end(), p.p_nsites.begin(), p.p_nsites.end());
+      result->s_vorder.insert(result->s_vorder.end(), p.s_vorder.begin(), p.s_vorder.end());
+      result->s_ncount.insert(result->s_ncount.end(), p.s_ncount.begin(), p.s_ncount.end());
+      result->num_vals.insert(result->num_vals.end(), p.num_vals.begin(), p.num_vals.end());
+    }
+  }
+
+  *out_n_paths = (int64_t)result->p_start.size();
+  *out_n_sites = (int64_t)result->s_vorder.size();
+  *out_n_nums = (int64_t)result->num_vals.size();
+  return result;
+}
+
+int32_t gt_align_fetch(void * handle,
+                       int32_t * path_count, int32_t * longest,
+                       int64_t * p_start, int64_t * p_end,
+                       int32_t * p_rsi, int32_t * p_rei, int32_t * p_mm, int32_t * p_nsites,
+                       int64_t * s_vorder, int32_t * s_ncount, uint16_t * num_vals)
+{
+  BatchResult * R = static_cast<BatchResult *>(handle);
+  if (!R)
+    return -1;
+  memcpy(path_count, R->path_count.data(), R->path_count.size() * sizeof(int32_t));
+  memcpy(longest, R->longest.data(), R->longest.size() * sizeof(int32_t));
+  memcpy(p_start, R->p_start.data(), R->p_start.size() * sizeof(int64_t));
+  memcpy(p_end, R->p_end.data(), R->p_end.size() * sizeof(int64_t));
+  memcpy(p_rsi, R->p_rsi.data(), R->p_rsi.size() * sizeof(int32_t));
+  memcpy(p_rei, R->p_rei.data(), R->p_rei.size() * sizeof(int32_t));
+  memcpy(p_mm, R->p_mm.data(), R->p_mm.size() * sizeof(int32_t));
+  memcpy(p_nsites, R->p_nsites.data(), R->p_nsites.size() * sizeof(int32_t));
+  memcpy(s_vorder, R->s_vorder.data(), R->s_vorder.size() * sizeof(int64_t));
+  memcpy(s_ncount, R->s_ncount.data(), R->s_ncount.size() * sizeof(int32_t));
+  memcpy(num_vals, R->num_vals.data(), R->num_vals.size() * sizeof(uint16_t));
+  return 0;
+}
+
+void gt_align_free(void * handle)
+{
+  delete static_cast<BatchResult *>(handle);
+}
+
+}  // extern "C"
