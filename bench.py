@@ -46,11 +46,11 @@ def child_pipeline() -> None:
     tmp = tempfile.mkdtemp(prefix="gt_bench_")
     # small warm-up region: compiles the device scoring kernels so the timed
     # run measures steady-state throughput
-    warm_cfg = SimConfig(region_length=4000, coverage=10.0, seed=7)
+    warm_cfg = SimConfig(region_length=4000, coverage=10.0, seed=7, out_format="bam")
     warm = simulate_cohort(os.path.join(tmp, "warm"), warm_cfg)
     genotype(warm.fasta, warm.sams, f"{warm_cfg.chrom}:1-4000", os.path.join(tmp, "warm_out"))
 
-    cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=1)
+    cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=1, out_format="bam")
     sim = simulate_cohort(os.path.join(tmp, "main"), cfg)
     t0 = time.perf_counter()
     out = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-{REGION_LENGTH}", os.path.join(tmp, "out"))

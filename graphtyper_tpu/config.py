@@ -76,6 +76,11 @@ class Options:
     # parity with the Python aligner is asserted by
     # tests/typer/test_native_align.py; "off" keeps the Python loop.
     native_aligner: str = "on"
+    # native C++ pooled caller loop (gt_call_pool: dedup + pairing +
+    # observation extraction + connections); "on" | "off". State-level parity
+    # asserted by tests/pipeline/test_native_caller.py. Applies to the non-SV
+    # path without --stats; other modes use the Python loop.
+    native_caller: str = "on"
     # batched device scoring of the PL-triangle/coverage/stats updates
     # (ops/site_scoring.py); "on" | "off". Bit-identical to the per-read host
     # path (tests/typer/test_device_scoring.py asserts parity), so it is on

@@ -10,6 +10,7 @@ CRAM decode is not yet implemented (gap tracked in README); use BAM/SAM.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -231,6 +232,30 @@ def read_alignments(path: str, parse_tags: bool = False) -> tuple[BamHeader, lis
     if path.endswith(".bam"):
         return read_bam(path, parse_tags)
     raise ValueError(f"unsupported alignment format (CRAM not yet supported): {path}")
+
+
+_READ_CACHE: dict = {}
+_READ_CACHE_MAX = 6
+
+
+def read_alignments_cached(path: str, parse_tags: bool = False) -> tuple[BamHeader, list[AlignedRead]]:
+    """read_alignments with a small keyed cache: the iterative genotyping
+    pipeline streams the same per-sample files once per iteration (3x); the
+    decode is done once. Tags are always parsed so all flavors share one
+    entry. Callers must not mutate the returned records (the caller/discovery
+    paths never do; bamshrink, which rewrites records in place, uses the
+    uncached reader)."""
+    del parse_tags
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    hit = _READ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = read_alignments(path, parse_tags=True)
+    if len(_READ_CACHE) >= _READ_CACHE_MAX:
+        _READ_CACHE.pop(next(iter(_READ_CACHE)))
+    _READ_CACHE[key] = out
+    return out
 
 
 @dataclass

@@ -175,6 +175,73 @@ def _chunk_rows(A: int) -> int:
     return max(4096, min(1 << 18, (1 << 23) // (A * A)))
 
 
+def apply_obs_host(
+    site,
+    sample: int,
+    eps: int,
+    apply_score: bool,
+    explains,
+    cov_code: int,
+    clipped_scaled: int,
+    clipped_flag: int,
+    mapq_sq: int,
+    mm_scaled: int,
+    sdiff: int,
+    strand: int,
+    proper: int,
+) -> None:
+    """Apply one observation row directly to HaplotypeSite state — the exact
+    integer updates of _apply_tier, for sites whose allele count exceeds the
+    device bitmask tiers (>64)."""
+    cnum = site.gt.num
+    vs = site.var_stats
+    vs.clipped_reads += clipped_flag
+    vs.mapq_squared += mapq_sq
+    is_allele = cov_code >= 0
+    if is_allele:
+        pa = vs.per_allele[cov_code]
+        pa.clipped_bp += clipped_scaled
+        pa.mapq_squared += mapq_sq
+        pa.mismatches += mm_scaled
+        pa.score_diff += sdiff
+        rs = vs.read_strand[cov_code]
+        if strand == 0:
+            rs.r1_forward += 1
+        elif strand == 1:
+            rs.r2_forward += 1
+        elif strand == 2:
+            rs.r1_reverse += 1
+        else:
+            rs.r2_reverse += 1
+    hs = site.hap_samples[sample]
+    if apply_score:
+        ex = [a for a in explains if a < cnum]
+        exset = set(ex)
+        i = 0
+        for y in range(cnum):
+            in_y = y in exset
+            for x in range(y + 1):
+                in_x = x in exset
+                if in_x and in_y:
+                    hs.log_score[i] += eps
+                elif in_x or in_y:
+                    hs.log_score[i] += eps - 1
+                i += 1
+        hs.max_log_score += eps
+    if cov_code == COV_MULTI_REF:
+        hs.ambiguous_depth = min(hs.ambiguous_depth + 1, 0xFF)
+    elif cov_code == COV_MULTI_ALT:
+        hs.ambiguous_depth = min(hs.ambiguous_depth + 1, 0xFF)
+        hs.ambiguous_depth_alt = min(hs.ambiguous_depth_alt + 1, 0xFF)
+        if proper:
+            hs.alt_proper_pair_depth = min(hs.alt_proper_pair_depth + 1, 0xFF)
+    else:
+        if hs.gt_coverage[cov_code] < 0xFFFF:
+            hs.gt_coverage[cov_code] += 1
+        if cov_code > 0 and proper:
+            hs.alt_proper_pair_depth = min(hs.alt_proper_pair_depth + 1, 0xFF)
+
+
 @dataclass
 class _TierBuffer:
     A: int

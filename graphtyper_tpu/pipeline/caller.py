@@ -25,7 +25,7 @@ from graphtyper_tpu.constants import (
     IS_UNMAPPED,
 )
 from graphtyper_tpu.index.kmer_index import KmerIndex
-from graphtyper_tpu.io.bam import AlignedRead, read_alignments
+from graphtyper_tpu.io.bam import AlignedRead, read_alignments_cached
 from graphtyper_tpu.typer.alignment import (
     align_read,
     get_better_paths,
@@ -112,7 +112,7 @@ def read_pool_records(
     sample_names: list[str] = []
     pooled: list[tuple[AlignedRead, int, int]] = []
     for path in hts_paths:
-        header, reads = read_alignments(path, parse_tags=True)
+        header, reads = read_alignments_cached(path, parse_tags=True)
         if header.sample_names:
             file_samples = header.sample_names
         else:
@@ -243,6 +243,42 @@ def call_pool(
     stats_dir = getattr(current_options(), "stats", "")
     stats = _StatsWriter(stats_dir, sample_names, graph) if stats_dir else None
 
+    # Fully-native pooled loop (alignment + dedup + pairing + extraction in
+    # C++, device scoring after): the production fast path for non-SV calls.
+    if (
+        current_options().native_caller != "off"
+        and not is_sv
+        and stats is None
+        and scorer.batcher is not None
+    ):
+        from graphtyper_tpu.pipeline import native_caller as nc
+
+        if nc.available():
+            native_stats = nc.run_native_call_pool(
+                graph,
+                index,
+                pooled,
+                len(sample_names),
+                scorer,
+                sam_flag_filter=SAM_FLAG_FILTER,
+                force_both=force_align_both_orientations,
+                hq_reads=scorer.hq_reads,
+            )
+            if native_stats is not None:
+                num_records, num_duplicated = native_stats
+                scorer.finalize()
+                ph = compute_ph_map(scorer) if is_writing_hap else {}
+                return _build_pool_result(
+                    graph,
+                    scorer,
+                    sample_names,
+                    ph,
+                    None,
+                    is_writing_calls_vcf,
+                    num_records,
+                    num_duplicated,
+                )
+
     # Native batch alignment: collect the first read of every consecutive
     # (pos, seq) run (the loop below computes each unique alignment exactly
     # once from that representative) and align them all in one C++ call.
@@ -339,7 +375,29 @@ def call_pool(
     scorer.finalize()
 
     ph = compute_ph_map(scorer) if is_writing_hap else {}
+    return _build_pool_result(
+        graph,
+        scorer,
+        sample_names,
+        ph,
+        reference_depth,
+        is_writing_calls_vcf,
+        num_records,
+        num_duplicated,
+    )
 
+
+def _build_pool_result(
+    graph,
+    scorer: SiteScorer,
+    sample_names: list[str],
+    ph: dict,
+    reference_depth,
+    is_writing_calls_vcf: bool,
+    num_records: int,
+    num_duplicated: int,
+) -> PoolResult:
+    is_sv = graph.is_sv_graph
     vcf = VcfOutput(sample_names=list(sample_names))
     if is_writing_calls_vcf:
         for ps, site in enumerate(scorer.sites):

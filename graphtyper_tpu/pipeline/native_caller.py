@@ -1,0 +1,279 @@
+"""ctypes wrapper for the native pooled caller loop (native/gt_align.cpp
+gt_call_pool): alignment + dedup + mate pairing + observation extraction +
+phasing connections all run in C++; the observation table feeds the batched
+device scorer and the connection arrays rebuild the phasing maps.
+
+State-level parity with the Python loop is asserted by
+tests/pipeline/test_native_caller.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from graphtyper_tpu.io.native import get_lib
+
+_p64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def _setup_lib(lib) -> None:
+    if getattr(lib, "_call_ready", False):
+        return
+    lib.gt_call_pool.restype = ctypes.c_void_p
+    lib.gt_call_pool.argtypes = (
+        [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
+        + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # read codes
+        + [ctypes.c_void_p] * 2  # names
+        + [ctypes.c_void_p] * 5  # flags mapq tlen same_ref pos
+        + [ctypes.c_void_p] * 2  # score_diff clipped_count
+        + [ctypes.c_void_p] * 2  # quals qual_off
+        + [ctypes.c_void_p]  # rg_idx
+        + [ctypes.c_int32] * 5  # n_samples sam_flag_filter force_both hq_reads n_threads
+        + [_p64] * 5
+    )
+    lib.gt_call_pool_fetch.restype = ctypes.c_int32
+    lib.gt_call_pool_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 28
+    lib.gt_call_pool_free.restype = None
+    lib.gt_call_pool_free.argtypes = [ctypes.c_void_p]
+    lib._call_ready = True
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def run_native_call_pool(
+    graph,
+    index,
+    pooled,
+    n_samples: int,
+    scorer,
+    sam_flag_filter: int = 3840,
+    force_both: bool = False,
+    hq_reads: bool = False,
+    n_threads: int = 0,
+):
+    """Run the C++ pooled loop and feed results into `scorer` (a SiteScorer
+    with device batching on). Returns (num_records, num_duplicated) or None
+    if the native loop reported an unsupported condition (caller then falls
+    back to the Python loop)."""
+    from graphtyper_tpu.ops.site_scoring import ALLELE_TIERS, _TierBuffer, apply_obs_host
+    from graphtyper_tpu.typer.native_align import NativeAligner
+    from graphtyper_tpu.utils.dna import encode
+
+    lib = get_lib()
+    _setup_lib(lib)
+    na = NativeAligner(graph, index)  # reuses the flat graph/index arrays
+
+    sites = scorer.sites
+    site_order = np.array([s.gt.id for s in sites], dtype=np.int64)
+    site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
+    site_is_snp = np.array([1 if graph.is_snp(s.gt) else 0 for s in sites], dtype=np.uint8)
+
+    n = len(pooled)
+    seqs = [t[0].seq for t in pooled]
+    read_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in seqs], out=read_off[1:])
+    read_codes = encode(b"".join(seqs)) if n else np.zeros(0, dtype=np.uint8)
+
+    name_bytes = [t[0].name.encode() for t in pooled]
+    name_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in name_bytes], out=name_off[1:])
+    names = np.frombuffer(b"".join(name_bytes), dtype=np.uint8) if n else np.zeros(0, np.uint8)
+
+    flags = np.array([t[0].flag for t in pooled], dtype=np.int32)
+    mapq = np.array([t[0].mapq for t in pooled], dtype=np.int32)
+    tlen = np.array([max(-0x7FFFFFFF, min(0x7FFFFFFF, t[0].tlen)) for t in pooled], dtype=np.int32)
+    same_ref = np.array([1 if t[0].ref_id == t[0].mate_ref_id else 0 for t in pooled], dtype=np.uint8)
+    pos = np.array([t[0].pos for t in pooled], dtype=np.int64)
+    rg_idx = np.array([t[2] for t in pooled], dtype=np.int32)
+
+    from graphtyper_tpu.typer.alignment import _clipped_count, _score_diff
+
+    score_diff = np.array([_score_diff(t[0]) for t in pooled], dtype=np.int32)
+    clipped_count = np.array([_clipped_count(t[0]) for t in pooled], dtype=np.int32)
+
+    qual_arrays = [
+        np.asarray(t[0].qual, dtype=np.uint8)
+        if t[0].qual is not None and len(t[0].qual)
+        else np.zeros(0, dtype=np.uint8)
+        for t in pooled
+    ]
+    qual_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in qual_arrays], out=qual_off[1:])
+    quals = (np.concatenate(qual_arrays) if n else np.zeros(0, dtype=np.uint8)).astype(np.uint8)
+
+    if n_threads <= 0:
+        import os
+
+        n_threads = min(8, os.cpu_count() or 1)
+
+    n_obs = ctypes.c_int64()
+    n_xvals = ctypes.c_int64()
+    n_conn = ctypes.c_int64()
+    n_counts = ctypes.c_int64()
+    n_touched = ctypes.c_int64()
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    names = np.ascontiguousarray(names)
+    handle = lib.gt_call_pool(
+        ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
+        ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
+        ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
+        ptr(na.var_out_ref), len(na.var_order), ptr(na.var_arena),
+        ptr(na.sp_ref_reach), ptr(na.sp_actual), len(na.sp_ref_reach),
+        ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
+        ptr(na.keys), len(na.keys), ptr(na.offsets),
+        ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
+        ptr(read_codes), ptr(read_off), n,
+        ptr(names), ptr(name_off),
+        ptr(flags), ptr(mapq), ptr(tlen), ptr(same_ref), ptr(pos),
+        ptr(score_diff), ptr(clipped_count),
+        ptr(quals), ptr(qual_off),
+        ptr(rg_idx),
+        n_samples, sam_flag_filter, 1 if force_both else 0, 1 if hq_reads else 0,
+        n_threads,
+        ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn), ctypes.byref(n_counts),
+        ctypes.byref(n_touched),
+    )
+
+    try:
+        N = n_obs.value
+        o_site = np.zeros(N, dtype=np.int32)
+        o_sample = np.zeros(N, dtype=np.int32)
+        o_eps = np.zeros(N, dtype=np.int32)
+        o_apply = np.zeros(N, dtype=np.uint8)
+        o_bits_lo = np.zeros(N, dtype=np.uint32)
+        o_bits_hi = np.zeros(N, dtype=np.uint32)
+        o_cov = np.zeros(N, dtype=np.int32)
+        o_clip_scaled = np.zeros(N, dtype=np.int32)
+        o_clip_flag = np.zeros(N, dtype=np.uint8)
+        o_mapq_sq = np.zeros(N, dtype=np.int32)
+        o_mm_scaled = np.zeros(N, dtype=np.int32)
+        o_sdiff = np.zeros(N, dtype=np.int32)
+        o_strand = np.zeros(N, dtype=np.uint8)
+        o_proper = np.zeros(N, dtype=np.uint8)
+        o_big = np.zeros(N, dtype=np.uint8)
+        x_count = np.zeros(N, dtype=np.int32)
+        x_vals = np.zeros(n_xvals.value, dtype=np.uint16)
+        c_hap1 = np.zeros(n_conn.value, dtype=np.int64)
+        c_pn = np.zeros(n_conn.value, dtype=np.int32)
+        c_b1 = np.zeros(n_conn.value, dtype=np.int32)
+        c_hap2 = np.zeros(n_conn.value, dtype=np.int64)
+        c_ncounts = np.zeros(n_conn.value, dtype=np.int32)
+        c_counts = np.zeros(n_counts.value, dtype=np.int64)
+        t_hap1 = np.zeros(n_touched.value, dtype=np.int64)
+        t_pn = np.zeros(n_touched.value, dtype=np.int32)
+        t_b1 = np.zeros(n_touched.value, dtype=np.int32)
+        eps_sum = np.zeros(len(sites) * n_samples, dtype=np.int64)
+        stats_out = np.zeros(2, dtype=np.int64)
+        rc = lib.gt_call_pool_fetch(
+            handle,
+            ptr(o_site), ptr(o_sample), ptr(o_eps), ptr(o_apply),
+            ptr(o_bits_lo), ptr(o_bits_hi), ptr(o_cov),
+            ptr(o_clip_scaled), ptr(o_clip_flag), ptr(o_mapq_sq), ptr(o_mm_scaled),
+            ptr(o_sdiff), ptr(o_strand), ptr(o_proper), ptr(o_big),
+            ptr(x_count), ptr(x_vals),
+            ptr(c_hap1), ptr(c_pn), ptr(c_b1), ptr(c_hap2), ptr(c_ncounts), ptr(c_counts),
+            ptr(t_hap1), ptr(t_pn), ptr(t_b1),
+            ptr(eps_sum), ptr(stats_out),
+        )
+        if rc != 0:
+            return None  # unsupported condition -> Python fallback
+    finally:
+        lib.gt_call_pool_free(handle)
+
+    # ---- feed the device scorer's tier buffers (vectorized split) ---------
+    batcher = scorer.batcher
+    assert batcher is not None
+    batcher._eps_sum = eps_sum.reshape(len(sites), n_samples)
+
+    small = o_big == 0
+    cnum_of_obs = site_cnum[o_site]
+    tier_of_obs = np.zeros(N, dtype=np.int64)
+    for t in ALLELE_TIERS:
+        tier_of_obs[small & (tier_of_obs == 0) & (cnum_of_obs <= t)] = t
+
+    for t in ALLELE_TIERS:
+        mask = small & (tier_of_obs == t)
+        if not mask.any():
+            continue
+        buf = batcher.tiers.get(t)
+        if buf is None:
+            buf = batcher.tiers[t] = _TierBuffer(A=t)
+        gsites = o_site[mask].astype(np.int64)
+        uniq = np.unique(gsites)
+        slot_map = {}
+        for g in uniq.tolist():
+            s = buf.slot_of.get(g)
+            if s is None:
+                s = len(buf.site_ids)
+                buf.slot_of[g] = s
+                buf.site_ids.append(g)
+            slot_map[g] = s
+        slots = np.array([slot_map[g] for g in gsites.tolist()], dtype=np.int32)
+        c = buf.cols
+        c["site"].extend(slots.tolist())
+        c["sample"].extend(o_sample[mask].tolist())
+        c["eps"].extend(o_eps[mask].tolist())
+        c["apply_score"].extend(o_apply[mask].tolist())
+        c["bits_lo"].extend(o_bits_lo[mask].tolist())
+        c["bits_hi"].extend(o_bits_hi[mask].tolist())
+        c["cov"].extend(o_cov[mask].tolist())
+        c["clipped_scaled"].extend(o_clip_scaled[mask].tolist())
+        c["clipped_flag"].extend(o_clip_flag[mask].tolist())
+        c["mapq_sq"].extend(o_mapq_sq[mask].tolist())
+        c["mm_scaled"].extend(o_mm_scaled[mask].tolist())
+        c["sdiff"].extend(o_sdiff[mask].tolist())
+        c["strand"].extend(o_strand[mask].tolist())
+        c["proper"].extend(o_proper[mask].tolist())
+
+    # big (>64-allele) sites: direct host application
+    if (~small).any():
+        x_off = np.zeros(N + 1, dtype=np.int64)
+        np.cumsum(x_count, out=x_off[1:])
+        for i in np.nonzero(~small)[0].tolist():
+            apply_obs_host(
+                sites[int(o_site[i])],
+                int(o_sample[i]),
+                int(o_eps[i]),
+                bool(o_apply[i]),
+                x_vals[x_off[i] : x_off[i + 1]].tolist(),
+                int(o_cov[i]),
+                int(o_clip_scaled[i]),
+                int(o_clip_flag[i]),
+                int(o_mapq_sq[i]),
+                int(o_mm_scaled[i]),
+                int(o_sdiff[i]),
+                int(o_strand[i]),
+                int(o_proper[i]),
+            )
+
+    # ---- rebuild the phasing connection maps ------------------------------
+    connections = scorer.connections
+    for i in range(n_touched.value):
+        connections[int(t_hap1[i])][int(t_pn[i])].setdefault(int(t_b1[i]), {})
+    count_off = np.zeros(n_conn.value + 1, dtype=np.int64)
+    np.cumsum(c_ncounts, out=count_off[1:])
+    for i in range(n_conn.value):
+        h1 = int(c_hap1[i])
+        pn = int(c_pn[i])
+        b1 = int(c_b1[i])
+        h2 = int(c_hap2[i])
+        arr = c_counts[count_off[i] : count_off[i + 1]].copy()
+        conn = connections[h1][pn].setdefault(b1, {})
+        prev = conn.get(h2)
+        if prev is None:
+            conn[h2] = arr
+        else:
+            prev += arr
+
+    return int(stats_out[0]), int(stats_out[1])

@@ -30,7 +30,7 @@ from graphtyper_tpu.constants import (
     SCORE_MISMATCH,
 )
 from graphtyper_tpu.graph.coords import GenomicRegion
-from graphtyper_tpu.io.bam import AlignedRead, read_alignments
+from graphtyper_tpu.io.bam import AlignedRead, read_alignments_cached
 from graphtyper_tpu.typer.events import (
     READ_ANTI_SUPPORT,
     READ_MULTI_SUPPORT,
@@ -747,7 +747,7 @@ def streamlined_discovery(
     per_file_reads: list[list[AlignedRead]] = []
 
     for file_i, path in enumerate(hts_paths):
-        header, reads = read_alignments(path)
+        header, reads = read_alignments_cached(path)
         reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
         reads.sort(key=lambda r: r.pos)
         per_file_reads.append(reads)

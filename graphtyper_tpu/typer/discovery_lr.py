@@ -17,7 +17,7 @@ import numpy as np
 
 from graphtyper_tpu.config import Options
 from graphtyper_tpu.graph.coords import AbsolutePosition, GenomicRegion
-from graphtyper_tpu.io.bam import read_alignments
+from graphtyper_tpu.io.bam import read_alignments_cached
 from graphtyper_tpu.io.fasta import FastaFile
 from graphtyper_tpu.models.genotype_model import to_index
 from graphtyper_tpu.typer.sample_call import SampleCall
@@ -91,7 +91,7 @@ def streamlined_lr_genotyping(
     qs_by_sample: list[np.ndarray] = []
     name_to_idx: dict[str, int] = {}
     for path in hts_paths:
-        header, reads = read_alignments(path)
+        header, reads = read_alignments_cached(path)
         reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
         name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
         counts, qs = lr_pileup(reads, region.begin, ref_size, opts)

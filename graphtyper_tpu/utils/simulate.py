@@ -32,6 +32,7 @@ class SimConfig:
     max_indel_len: int = 8
     error_rate: float = 0.001
     seed: int = 0
+    out_format: str = "sam"  # "sam" | "bam" (bam exercises the native decoder)
 
 
 @dataclass
@@ -150,7 +151,17 @@ def simulate_cohort(out_dir: str, cfg: SimConfig) -> SimResult:
             haps.append((hap_seq, hap_pos))
         sam_path = os.path.join(out_dir, f"sample{s}.sam")
         _write_sample_sam(sam_path, cfg, rng, haps, f"sample{s}", n_pairs_per_sample)
-        result.sams.append(sam_path)
+        if cfg.out_format == "bam":
+            from graphtyper_tpu.io.bam import read_alignments
+            from graphtyper_tpu.io.bam_writer import write_bam
+
+            header, reads = read_alignments(sam_path, parse_tags=True)
+            bam_path = sam_path[:-4] + ".bam"
+            write_bam(bam_path, header, reads)
+            os.remove(sam_path)
+            result.sams.append(bam_path)
+        else:
+            result.sams.append(sam_path)
         result.n_reads += 2 * n_pairs_per_sample
     return result
 

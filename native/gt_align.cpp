@@ -1267,6 +1267,497 @@ static void push_geno(BatchResult & R, const Geno & g)
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Stage 2: the full pooled caller loop (pipeline/caller.py call_pool +
+// typer/scoring.py SiteScorer) for the non-SV path — dedup, mate pairing,
+// orientation resolution, observation extraction, phasing connections.
+// Emits the observation table the device scorer consumes.
+// ---------------------------------------------------------------------------
+
+#include <map>
+#include <string>
+#include <tuple>
+#include <unordered_map>
+
+namespace {
+
+constexpr uint32_t IS_PROPER_PAIR = 0x2;
+constexpr uint32_t IS_REVERSED = 0x10;
+constexpr uint32_t IS_FIRST_IN_PAIR = 0x40;
+constexpr uint32_t IS_MAPQ_BAD = 0x1000;
+constexpr uint32_t IS_CLIPPED = 0x2000;
+constexpr int EPSILON_0_EXPONENT = 12;
+constexpr uint16_t NO_COVERAGE = 0xFFFF;
+constexpr uint16_t MULTI_ALT_COVERAGE = 0xFFFE;
+constexpr uint16_t MULTI_REF_COVERAGE = 0xFFFD;
+
+// per-orientation read metadata mirroring GenotypePaths fields that scoring
+// consumes (typer/alignment.py update_paths / update_unpaired_read_paths)
+struct GenoMeta {
+  uint32_t flags = 0;
+  int32_t mapq = 255;
+  int32_t score_diff = 0;
+  const uint8_t * qual = nullptr;  // raw phred, fwd order
+  int32_t qual_len = 0;
+  bool qual_reversed = false;
+};
+
+struct SiteView {
+  const int64_t * site_order;  // [S] var order per site (ascending)
+  const int64_t * site_cnum;
+  const uint8_t * site_is_snp;
+  int64_t n_sites;
+
+  int64_t id2hap(int64_t var_order) const
+  {
+    const int64_t * it = std::lower_bound(site_order, site_order + n_sites, var_order);
+    return it - site_order;  // caller guarantees presence
+  }
+};
+
+struct HostObs {  // >64-allele sites: explains emitted verbatim
+  std::vector<uint16_t> explains;
+};
+
+struct CallResult {
+  // observation table (ops/site_scoring.py OBS_FIELDS, plus cnum for tiering)
+  std::vector<int32_t> o_site, o_sample, o_eps, o_cov;
+  std::vector<int32_t> o_clip_scaled, o_mapq_sq, o_mm_scaled, o_sdiff;
+  std::vector<uint8_t> o_apply, o_clip_flag, o_strand, o_proper;
+  std::vector<uint32_t> o_bits_lo, o_bits_hi;
+  // big-site explains (cnum > 64): CSR into x_vals, one row per obs row
+  // flagged by o_big
+  std::vector<uint8_t> o_big;
+  std::vector<int32_t> x_count;
+  std::vector<uint16_t> x_vals;
+  // phasing connections: (hap1, pn, b1, hap2) -> counts[num2]
+  std::map<std::tuple<int64_t, int32_t, int32_t, int64_t>, std::vector<int64_t>> conn;
+  // (hap1, pn, b1) buckets touched even with no targets (the Python scorer
+  // setdefault-creates them; compute_ph_map treats them as inert)
+  std::map<std::tuple<int64_t, int32_t, int32_t>, char> conn_touched;
+  std::vector<int64_t> eps_sum;  // [S * P]
+  int64_t num_records = 0;
+  int64_t num_duplicated = 0;
+  int32_t error = 0;
+
+  // flattened connections (filled by finalize_conn)
+  std::vector<int64_t> c_hap1, c_hap2;
+  std::vector<int32_t> c_pn, c_b1, c_ncounts;
+  std::vector<int64_t> c_counts;
+
+  std::vector<int64_t> t_hap1;
+  std::vector<int32_t> t_pn, t_b1;
+
+  void finalize_conn()
+  {
+    for (auto const & kv : conn_touched)
+    {
+      t_hap1.push_back(std::get<0>(kv.first));
+      t_pn.push_back(std::get<1>(kv.first));
+      t_b1.push_back(std::get<2>(kv.first));
+    }
+    for (auto const & kv : conn)
+    {
+      c_hap1.push_back(std::get<0>(kv.first));
+      c_pn.push_back(std::get<1>(kv.first));
+      c_b1.push_back(std::get<2>(kv.first));
+      c_hap2.push_back(std::get<3>(kv.first));
+      c_ncounts.push_back((int32_t)kv.second.size());
+      c_counts.insert(c_counts.end(), kv.second.begin(), kv.second.end());
+    }
+  }
+};
+
+struct CallCtx {
+  const GraphView * G;
+  const SiteView * S;
+  int32_t n_samples;
+  bool hq_reads;
+  CallResult * R;
+};
+
+// typer/scoring.py are_genotype_paths_good (non-SV)
+static bool are_genotype_paths_good(const Geno & g, const CallCtx & C)
+{
+  if (g.paths.empty())
+    return false;
+  bool fully_aligned = true;
+  for (auto const & p : g.paths)
+    if (p.size() != g.read_length)
+    {
+      fully_aligned = false;
+      break;
+    }
+  if (!fully_aligned && (!all_paths_unique(g) || g.paths[0].size() < 63))
+    return false;
+  double mismatch_ratio = (double)g.paths[0].mismatches / (double)g.paths[0].size();
+  if (mismatch_ratio > 0.05)
+    return false;
+  if (!fully_aligned && mismatch_ratio > 0.025)
+    return false;
+  if (C.hq_reads)
+  {
+    if (!fully_aligned || g.paths[0].size() < 90 || mismatch_ratio > 0.035)
+      return false;
+  }
+  return true;
+}
+
+static int epsilon_exponent(bool non_unique, uint32_t flags, bool fully_aligned,
+                            bool overlapping, bool low_qual, int mismatches)
+{
+  int e = EPSILON_0_EXPONENT;
+  e -= mismatches;
+  if (non_unique)
+    e -= 3;
+  if (flags & IS_MAPQ_BAD)
+    e -= 2;
+  if (!fully_aligned)
+    e -= 3;
+  if (!overlapping)
+    e -= 1;
+  if (low_qual)
+    e -= 2;
+  return std::max(e, 8) - 4;
+}
+
+static uint16_t add_cov(uint16_t cov, uint16_t c)
+{
+  if (cov == NO_COVERAGE)
+    return c;
+  if (cov == MULTI_ALT_COVERAGE)
+    return c == 0 ? MULTI_REF_COVERAGE : MULTI_ALT_COVERAGE;
+  if (cov == MULTI_REF_COVERAGE)
+    return MULTI_REF_COVERAGE;
+  if (cov != c)
+    return (cov == 0 || c == 0) ? MULTI_REF_COVERAGE : MULTI_ALT_COVERAGE;
+  return cov;
+}
+
+// per-read extraction + observation emission; returns the read's connection
+// map (typer/scoring.py push_to_haplotype_scores)
+using ReadConns = std::map<std::pair<int64_t, int32_t>, std::vector<std::pair<int64_t, int32_t>>>;
+
+static ReadConns push_to_haplotype_scores(const CallCtx & C, const Geno & g, const GenoMeta & m,
+                                          int32_t pn)
+{
+  const GraphView & G = *C.G;
+  CallResult & R = *C.R;
+  int32_t clipped_bp = g.read_length - g.longest;
+  bool fully_aligned = clipped_bp == 0;
+  bool non_unique = !all_paths_unique(g);
+  int mismatches = g.paths[0].mismatches;
+  bool low_qual = false;
+
+  // ordered per-site state (std::map = sorted iteration like Python's
+  // sorted(recent_ids))
+  struct SiteObs {
+    std::vector<uint16_t> explains;  // sorted unique
+    uint16_t cov = NO_COVERAGE;
+    bool overlapping = false;
+  };
+  std::map<int64_t, SiteObs> site_obs;
+
+  for (auto const & path : g.paths)
+  {
+    for (size_t i = 0; i < path.var_order.size(); ++i)
+    {
+      if (path.nums[i].empty())
+        continue;
+      int64_t vo = path.var_order[i];
+      int64_t hap_id = C.S->id2hap(vo);
+      constexpr int64_t MIN_OFFSET = 3;
+      bool overlapping = G.get_ref_reach_pos(path.start) + MIN_OFFSET <= vo &&
+                         G.get_ref_reach_pos(path.end) - MIN_OFFSET > vo;
+      auto & obs = site_obs[hap_id];
+      obs.overlapping = obs.overlapping || overlapping;
+
+      if (!low_qual && C.S->site_is_snp[hap_id] && m.qual)
+      {
+        int64_t offset = vo - G.get_actual_pos(path.start);
+        if (offset >= 0 && offset < m.qual_len)
+        {
+          uint8_t q = m.qual_reversed ? m.qual[m.qual_len - 1 - offset] : m.qual[offset];
+          low_qual = q < 25;
+        }
+      }
+
+      for (uint16_t x : path.nums[i])
+        nums_insert(obs.explains, x);
+      if (path.nums[i].size() == 1)
+        obs.cov = add_cov(obs.cov, path.nums[i][0]);
+      else
+      {
+        obs.cov = add_cov(obs.cov, 1);
+        bool has0 = std::binary_search(path.nums[i].begin(), path.nums[i].end(), (uint16_t)0);
+        obs.cov = add_cov(obs.cov, has0 ? 0 : 2);
+      }
+    }
+  }
+
+  // phasing connections (vcf_writer.cpp:587-638 semantics)
+  ReadConns new_conns;
+  {
+    std::vector<std::pair<int64_t, const SiteObs *>> ids;
+    ids.reserve(site_obs.size());
+    for (auto const & kv : site_obs)
+      ids.push_back({kv.first, &kv.second});
+    for (size_t i1 = 0; i1 < ids.size(); ++i1)
+    {
+      size_t n1 = ids[i1].second->explains.size();
+      if (n1 == 0 || n1 > 64)
+        continue;
+      for (uint16_t b1 : ids[i1].second->explains)
+      {
+        auto & conn = new_conns[{ids[i1].first, (int32_t)b1}];
+        for (size_t i2 = i1 + 1; i2 < ids.size(); ++i2)
+        {
+          size_t n2 = ids[i2].second->explains.size();
+          if (n2 == 0 || n2 > 64)
+            continue;
+          size_t weight = n1 * n2;
+          int repeat = (weight >= 3) ? (int)(6 / weight) : 1;
+          for (uint16_t b2 : ids[i2].second->explains)
+            for (int rep = 0; rep < repeat; ++rep)
+              conn.push_back({ids[i2].first, (int32_t)b2});
+        }
+      }
+    }
+  }
+
+  // observation emission (ops/site_scoring.py ObsBatcher.add)
+  int32_t clip_scaled = clipped_bp ? (clipped_bp * 1000) / g.read_length : 0;
+  int32_t mapq_sq = (m.mapq == 255) ? 0 : m.mapq * m.mapq;
+  int32_t mm_scaled = mismatches ? (mismatches * 1000) / g.read_length : 0;
+  bool forward = (m.flags & IS_REVERSED) == 0;
+  bool first = (m.flags & IS_FIRST_IN_PAIR) != 0;
+  uint8_t strand = (forward ? 0 : 2) + (first ? 0 : 1);
+  uint8_t proper = (m.flags & IS_PROPER_PAIR) ? 1 : 0;
+
+  for (auto const & kv : site_obs)
+  {
+    int64_t hap_id = kv.first;
+    const SiteObs & obs = kv.second;
+    int64_t cnum = C.S->site_cnum[hap_id];
+    int eps = epsilon_exponent(non_unique, m.flags, fully_aligned, obs.overlapping,
+                               low_qual, mismatches);
+    int64_t & es = R.eps_sum[hap_id * C.n_samples + pn];
+    bool apply = es < 0xFFFF - eps;
+    if (apply)
+      es += eps;
+    int32_t cov_code;
+    if (obs.cov == MULTI_ALT_COVERAGE)
+      cov_code = -1;
+    else if (obs.cov == MULTI_REF_COVERAGE)
+      cov_code = -2;
+    else
+      cov_code = (int32_t)obs.cov;
+    R.o_site.push_back((int32_t)hap_id);
+    R.o_sample.push_back(pn);
+    R.o_eps.push_back(eps);
+    R.o_apply.push_back(apply ? 1 : 0);
+    R.o_cov.push_back(cov_code);
+    R.o_clip_scaled.push_back(clip_scaled);
+    R.o_clip_flag.push_back(clipped_bp ? 1 : 0);
+    R.o_mapq_sq.push_back(mapq_sq);
+    R.o_mm_scaled.push_back(mm_scaled);
+    R.o_sdiff.push_back(m.score_diff);
+    R.o_strand.push_back(strand);
+    R.o_proper.push_back(proper);
+    if (cnum <= 64)
+    {
+      uint32_t lo = 0, hi = 0;
+      for (uint16_t a : obs.explains)
+      {
+        if (a < cnum)
+        {
+          if (a < 32)
+            lo |= 1u << a;
+          else
+            hi |= 1u << (a - 32);
+        }
+      }
+      R.o_bits_lo.push_back(lo);
+      R.o_bits_hi.push_back(hi);
+      R.o_big.push_back(0);
+      R.x_count.push_back(0);
+    }
+    else
+    {
+      R.o_bits_lo.push_back(0);
+      R.o_bits_hi.push_back(0);
+      R.o_big.push_back(1);
+      int32_t cnt = 0;
+      for (uint16_t a : obs.explains)
+        if (a < cnum)
+        {
+          R.x_vals.push_back(a);
+          ++cnt;
+        }
+      R.x_count.push_back(cnt);
+    }
+  }
+  return new_conns;
+}
+
+static void add_connections(CallResult & R, const ReadConns & merged, int32_t pn,
+                            const SiteView & S)
+{
+  for (auto const & kv : merged)
+  {
+    R.conn_touched[{kv.first.first, pn, kv.first.second}] = 1;
+    for (auto const & tgt : kv.second)
+    {
+      auto key = std::make_tuple(kv.first.first, pn, kv.first.second, tgt.first);
+      auto & arr = R.conn[key];
+      if (arr.empty())
+        arr.assign(S.site_cnum[tgt.first], 0);
+      arr[tgt.second] += 1;
+    }
+  }
+}
+
+static void update_haplotype_scores_single(const CallCtx & C, const Geno & g, const GenoMeta & m,
+                                           int32_t pn)
+{
+  if (!are_genotype_paths_good(g, C))
+    return;
+  ReadConns c1 = push_to_haplotype_scores(C, g, m, pn);
+  add_connections(*C.R, c1, pn, *C.S);
+}
+
+static void update_haplotype_scores_pair(const CallCtx & C, const Geno & g1, const GenoMeta & m1,
+                                         const Geno & g2, const GenoMeta & m2, int32_t pn)
+{
+  bool good1 = are_genotype_paths_good(g1, C);
+  bool good2 = are_genotype_paths_good(g2, C);
+  ReadConns c1, c2;
+  if (good1)
+    c1 = push_to_haplotype_scores(C, g1, m1, pn);
+  if (good2)
+    c2 = push_to_haplotype_scores(C, g2, m2, pn);
+  ReadConns merged;
+  if (!c1.empty() || !c2.empty())
+  {
+    for (auto const & kv : c1)
+    {
+      auto & tg = merged[kv.first];
+      tg = kv.second;
+      for (auto const & kv2 : c2)
+        if (kv2.first.first > kv.first.first)
+          tg.push_back({kv2.first.first, kv2.first.second});
+    }
+    for (auto const & kv : c2)
+    {
+      auto it = merged.find(kv.first);
+      if (it != merged.end())
+        it->second.insert(it->second.end(), kv.second.begin(), kv.second.end());
+      else
+        merged[kv.first] = kv.second;
+      auto & tg = merged[kv.first];
+      for (auto const & kv1 : c1)
+        if (kv1.first.first > kv.first.first)
+          tg.push_back({kv1.first.first, kv1.first.second});
+    }
+  }
+  add_connections(*C.R, merged, pn, *C.S);
+}
+
+// genotype_paths.py compare_single
+static int compare_single(const Geno & g1, const Geno & g2)
+{
+  int m1 = g1.longest, m2 = g2.longest;
+  constexpr int MINIMUM_PATH_SIZE = 94;
+  if (m1 > m2 && m1 > MINIMUM_PATH_SIZE)
+    return 1;
+  if (m2 > m1 && m2 > MINIMUM_PATH_SIZE)
+    return 2;
+  if (m1 == m2 && m1 > MINIMUM_PATH_SIZE)
+    return g1.paths[0].mismatches <= g2.paths[0].mismatches ? 1 : 2;
+  return 0;
+}
+
+// genotype_paths.py compare_pairs
+static int compare_pairs(const Geno & g1f, const Geno & g1s, const Geno & g2f, const Geno & g2s)
+{
+  int m11 = g1f.paths.empty() ? 0 : g1f.longest;
+  int m12 = g1s.paths.empty() ? 0 : g1s.longest;
+  int m21 = g2f.paths.empty() ? 0 : g2f.longest;
+  int m22 = g2s.paths.empty() ? 0 : g2s.longest;
+  int max1 = std::max(m11, m12);
+  int max2 = std::max(m21, m22);
+  int perfect1 = g1f.read_length;
+  int perfect2 = g1s.read_length;
+  constexpr int MINIMUM_PATH_SIZE = 94;
+
+  auto alt_count = [](const Geno & g) {
+    int c = 0;
+    for (auto const & p : g.paths)
+      for (auto const & num : p.nums)
+        if (!std::binary_search(num.begin(), num.end(), (uint16_t)0))
+          ++c;
+    return c;
+  };
+
+  if ((m11 >= perfect1 && m12 >= perfect2) || (m21 >= perfect1 && m22 >= perfect2))
+  {
+    if ((m11 >= perfect1 && m12 >= perfect2) && (m21 >= perfect1 && m22 >= perfect2))
+    {
+      int mm1 = g1f.paths[0].mismatches + g1s.paths[0].mismatches;
+      int mm2 = g2f.paths[0].mismatches + g2s.paths[0].mismatches;
+      if (mm1 < mm2)
+        return 1;
+      if (mm2 < mm1)
+        return 2;
+      int np1 = (int)(g1f.paths.size() + g1s.paths.size());
+      int np2 = (int)(g2f.paths.size() + g2s.paths.size());
+      if (np1 < np2)
+        return 1;
+      if (np2 < np1)
+        return 2;
+      int c1 = alt_count(g1f) + alt_count(g1s);
+      int c2 = alt_count(g2f) + alt_count(g2s);
+      return c1 >= c2 ? 1 : 2;
+    }
+    if (m11 >= perfect1 && m12 >= perfect2)
+      return 1;
+    return 2;
+  }
+  if (max2 >= MINIMUM_PATH_SIZE && max2 > max1)
+    return 2;
+  if (max1 >= MINIMUM_PATH_SIZE && max1 > max2)
+    return 1;
+  if (max1 >= MINIMUM_PATH_SIZE && max2 >= MINIMUM_PATH_SIZE)
+  {
+    int mm1 = 10;
+    if (m11 == max1 && !g1f.paths.empty())
+      mm1 = std::min(mm1, g1f.paths[0].mismatches);
+    if (m12 == max1 && !g1s.paths.empty())
+      mm1 = std::min(mm1, g1s.paths[0].mismatches);
+    int mm2 = 10;
+    if (m21 == max2 && !g2f.paths.empty())
+      mm2 = std::min(mm2, g2f.paths[0].mismatches);
+    if (m22 == max2 && !g2s.paths.empty())
+      mm2 = std::min(mm2, g2s.paths[0].mismatches);
+    if (mm1 < mm2)
+      return 1;
+    if (mm2 < mm1)
+      return 2;
+    if (std::min(m11, m12) < std::min(m21, m22))
+      return 1;
+    if (std::min(m21, m22) < std::min(m11, m12))
+      return 2;
+    return 0;
+  }
+  if (max2 == 0 && m11 >= 63 && m12 >= 63)
+    return 1;
+  if (max1 == 0 && m21 >= 63 && m22 >= 63)
+    return 2;
+  return 1;  // fallback needed for SV calling
+}
+
+}  // namespace
+
 extern "C" {
 
 void * gt_align_batch(
@@ -1390,6 +1881,313 @@ int32_t gt_align_fetch(void * handle,
 void gt_align_free(void * handle)
 {
   delete static_cast<BatchResult *>(handle);
+}
+
+// ---------------------------------------------------------------------------
+// Stage 2 entry: full pooled caller loop (non-SV).
+// ---------------------------------------------------------------------------
+
+void * gt_call_pool(
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // pooled reads (already region-filtered + (ref_id,pos,seq)-sorted)
+  const uint8_t * read_codes, const int64_t * read_off, int64_t n_reads,
+  const uint8_t * names, const int64_t * name_off,
+  const int32_t * flags, const int32_t * mapq, const int32_t * tlen,
+  const uint8_t * same_ref, const int64_t * pos,
+  const int32_t * score_diff, const int32_t * clipped_count,
+  const uint8_t * quals, const int64_t * qual_off,
+  const int32_t * rg_idx,
+  // options
+  int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
+  int32_t n_threads,
+  // out sizes
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+              var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+              sp_ref_reach, sp_actual, n_special, false};
+  IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
+  SiteView S{site_order, site_cnum, site_is_snp, n_sites};
+
+  CallResult * R = new CallResult();
+  R->eps_sum.assign(n_sites * n_samples, 0);
+  CallCtx C{&G, &S, n_samples, hq_reads != 0, R};
+
+  // ---- stage 1: align representatives of each (pos, seq) run -------------
+  std::vector<int64_t> reps;  // read indices
+  std::vector<int64_t> rep_of(n_reads, -1);
+  {
+    int64_t prev = -1;
+    for (int64_t r = 0; r < n_reads; ++r)
+    {
+      if (flags[r] & sam_flag_filter)
+        continue;
+      bool same = prev >= 0 && pos[r] == pos[prev] &&
+                  (read_off[r + 1] - read_off[r]) == (read_off[prev + 1] - read_off[prev]) &&
+                  memcmp(read_codes + read_off[r], read_codes + read_off[prev],
+                         read_off[r + 1] - read_off[r]) == 0;
+      if (!same)
+      {
+        reps.push_back(r);
+        prev = r;
+      }
+      rep_of[r] = (int64_t)reps.size() - 1;
+    }
+  }
+
+  std::vector<std::pair<Geno, Geno>> aligned(reps.size());
+  {
+    auto align_range = [&](size_t lo, size_t hi) {
+      std::vector<uint8_t> rcodes;
+      for (size_t q = lo; q < hi; ++q)
+      {
+        int64_t r = reps[q];
+        const uint8_t * codes = read_codes + read_off[r];
+        int len = (int)(read_off[r + 1] - read_off[r]);
+        Geno & g1 = aligned[q].first;
+        Geno & g2 = aligned[q].second;
+        g1.read_length = g2.read_length = len;
+        if (len >= 2 * K - 1)
+        {
+          bool proper_geometry =
+            (flags[r] & IS_PAIRED) == 0 ||
+            (same_ref[r] && -1200 < tlen[r] && tlen[r] < 1200 &&
+             ((flags[r] & 0x10) != 0) != ((flags[r] & 0x20) != 0));
+          find_genotype_paths(G, I, codes, len, g1);
+          if (!proper_geometry || force_both)
+          {
+            rcodes.resize(len);
+            for (int i = 0; i < len; ++i)
+              rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
+            find_genotype_paths(G, I, rcodes.data(), len, g2);
+          }
+        }
+      }
+    };
+    int nt = (n_threads <= 1) ? 1 : std::min<int64_t>(n_threads, ((int64_t)reps.size() + 63) / 64);
+    if (nt <= 1)
+      align_range(0, reps.size());
+    else
+    {
+      std::vector<std::thread> threads;
+      size_t per = (reps.size() + nt - 1) / nt;
+      for (int t = 0; t < nt; ++t)
+      {
+        size_t lo = t * per, hi = std::min(reps.size(), (t + 1) * per);
+        if (lo >= hi)
+          break;
+        threads.emplace_back(align_range, lo, hi);
+      }
+      for (auto & th : threads)
+        th.join();
+    }
+  }
+
+  // ---- stage 2: sequential pooled loop (pipeline/caller.py process) ------
+  struct Pending {
+    Geno g1, g2;
+    GenoMeta m1, m2;
+  };
+  std::vector<std::unordered_map<std::string, Pending>> maps(n_samples);
+
+  auto make_metas = [&](int64_t r, GenoMeta & m1, GenoMeta & m2) {
+    // typer/alignment.py update_paths
+    m1.flags = (uint32_t)flags[r] & ~IS_PROPER_PAIR;
+    m1.mapq = mapq[r];
+    if (mapq[r] < 25)
+      m1.flags |= IS_MAPQ_BAD;
+    m2.flags = ((uint32_t)flags[r] ^ IS_REVERSED) & ~IS_PROPER_PAIR;
+    if (mapq[r] < 25)
+      m2.flags |= IS_MAPQ_BAD;
+    if (clipped_count[r] > 3)
+    {
+      m1.flags |= IS_CLIPPED;
+      m2.flags |= IS_CLIPPED;
+    }
+    m1.score_diff = m2.score_diff = score_diff[r];
+    m2.mapq = m1.mapq;
+    int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
+    if (qlen > 0)
+    {
+      m1.qual = quals + qual_off[r];
+      m1.qual_len = qlen;
+      m1.qual_reversed = false;
+      m2.qual = m1.qual;
+      m2.qual_len = qlen;
+      m2.qual_reversed = true;
+    }
+  };
+
+  for (int64_t r = 0; r < n_reads; ++r)
+  {
+    if (flags[r] & sam_flag_filter)
+      continue;
+    R->num_records += 1;
+    int64_t rep = rep_of[r];
+    if (rep >= 0 && reps[rep] != r)
+      R->num_duplicated += 1;
+    const Geno & a1 = aligned[rep].first;
+    const Geno & a2 = aligned[rep].second;
+    int32_t rg = rg_idx[r];
+    std::string name((const char *)(names + name_off[r]), (size_t)(name_off[r + 1] - name_off[r]));
+
+    auto it = maps[rg].find(name);
+    if (it == maps[rg].end())
+    {
+      if (flags[r] & IS_PAIRED)
+      {
+        Pending p;
+        p.g1 = a1;
+        p.g2 = a2;
+        make_metas(r, p.m1, p.m2);
+        maps[rg].emplace(std::move(name), std::move(p));
+      }
+      else
+      {
+        // typer/alignment.py update_unpaired_read_paths
+        int cmp = compare_single(a1, a2);
+        if (cmp != 0)
+        {
+          const Geno & g = (cmp == 1) ? a1 : a2;
+          GenoMeta m;
+          m.flags = (cmp == 1) ? ((uint32_t)flags[r] & ~IS_PROPER_PAIR)
+                               : (((uint32_t)flags[r] ^ IS_REVERSED) & ~IS_PROPER_PAIR);
+          m.mapq = mapq[r];
+          if (mapq[r] < 25)
+            m.flags |= IS_MAPQ_BAD;
+          if (clipped_count[r] > 3)
+            m.flags |= IS_CLIPPED;
+          m.score_diff = score_diff[r];
+          int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
+          if (qlen > 0)
+          {
+            m.qual = quals + qual_off[r];
+            m.qual_len = qlen;
+            m.qual_reversed = cmp != 1;
+          }
+          update_haplotype_scores_single(C, g, m, rg);
+        }
+      }
+    }
+    else
+    {
+      Pending mine;
+      mine.g1 = a1;
+      mine.g2 = a2;
+      make_metas(r, mine.m1, mine.m2);
+      Pending & found = it->second;
+      if ((mine.m1.flags & IS_FIRST_IN_PAIR) == (found.m1.flags & IS_FIRST_IN_PAIR))
+      {
+        R->error = 1;  // both mates claim the same pair slot; Python raises
+        break;
+      }
+      // typer/alignment.py get_better_paths: slot by (first, !reversed)
+      const Geno * arr_g[4] = {nullptr, nullptr, nullptr, nullptr};
+      const GenoMeta * arr_m[4] = {nullptr, nullptr, nullptr, nullptr};
+      auto put = [&](const Geno & g, const GenoMeta & m) {
+        int idx = (int)((m.flags & IS_FIRST_IN_PAIR) != 0) + 2 * (int)((m.flags & IS_REVERSED) == 0);
+        arr_g[idx] = &g;
+        arr_m[idx] = &m;
+      };
+      put(found.g1, found.m1);
+      put(found.g2, found.m2);
+      put(mine.g1, mine.m1);
+      put(mine.g2, mine.m2);
+      bool all_present = arr_g[0] && arr_g[1] && arr_g[2] && arr_g[3];
+      if (all_present)
+      {
+        int cmp = compare_pairs(*arr_g[3], *arr_g[0], *arr_g[1], *arr_g[2]);
+        if (cmp == 1 || cmp == 2)
+        {
+          const Geno * gf = (cmp == 1) ? arr_g[3] : arr_g[1];
+          const Geno * gs = (cmp == 1) ? arr_g[0] : arr_g[2];
+          GenoMeta mf = (cmp == 1) ? *arr_m[3] : *arr_m[1];
+          GenoMeta ms = (cmp == 1) ? *arr_m[0] : *arr_m[2];
+          mf.flags |= IS_PROPER_PAIR;
+          ms.flags |= IS_PROPER_PAIR;
+          update_haplotype_scores_pair(C, *gf, mf, *gs, ms, rg);
+        }
+      }
+      maps[rg].erase(it);
+    }
+  }
+
+  R->finalize_conn();
+  *out_n_obs = (int64_t)R->o_site.size();
+  *out_n_xvals = (int64_t)R->x_vals.size();
+  *out_n_conn = (int64_t)R->c_hap1.size();
+  *out_n_counts = (int64_t)R->c_counts.size();
+  *out_n_touched = (int64_t)R->t_hap1.size();
+  return R;
+}
+
+int32_t gt_call_pool_fetch(void * handle,
+                           int32_t * o_site, int32_t * o_sample, int32_t * o_eps,
+                           uint8_t * o_apply, uint32_t * o_bits_lo, uint32_t * o_bits_hi,
+                           int32_t * o_cov, int32_t * o_clip_scaled, uint8_t * o_clip_flag,
+                           int32_t * o_mapq_sq, int32_t * o_mm_scaled, int32_t * o_sdiff,
+                           uint8_t * o_strand, uint8_t * o_proper, uint8_t * o_big,
+                           int32_t * x_count, uint16_t * x_vals,
+                           int64_t * c_hap1, int32_t * c_pn, int32_t * c_b1, int64_t * c_hap2,
+                           int32_t * c_ncounts, int64_t * c_counts,
+                           int64_t * t_hap1, int32_t * t_pn, int32_t * t_b1,
+                           int64_t * eps_sum, int64_t * stats_out)
+{
+  CallResult * R = static_cast<CallResult *>(handle);
+  if (!R)
+    return -1;
+  if (R->error)
+    return R->error;
+  auto cp = [](auto * dst, auto const & src) {
+    memcpy(dst, src.data(), src.size() * sizeof(src[0]));
+  };
+  cp(o_site, R->o_site);
+  cp(o_sample, R->o_sample);
+  cp(o_eps, R->o_eps);
+  cp(o_apply, R->o_apply);
+  cp(o_bits_lo, R->o_bits_lo);
+  cp(o_bits_hi, R->o_bits_hi);
+  cp(o_cov, R->o_cov);
+  cp(o_clip_scaled, R->o_clip_scaled);
+  cp(o_clip_flag, R->o_clip_flag);
+  cp(o_mapq_sq, R->o_mapq_sq);
+  cp(o_mm_scaled, R->o_mm_scaled);
+  cp(o_sdiff, R->o_sdiff);
+  cp(o_strand, R->o_strand);
+  cp(o_proper, R->o_proper);
+  cp(o_big, R->o_big);
+  cp(x_count, R->x_count);
+  cp(x_vals, R->x_vals);
+  cp(c_hap1, R->c_hap1);
+  cp(c_pn, R->c_pn);
+  cp(c_b1, R->c_b1);
+  cp(c_hap2, R->c_hap2);
+  cp(c_ncounts, R->c_ncounts);
+  cp(c_counts, R->c_counts);
+  cp(t_hap1, R->t_hap1);
+  cp(t_pn, R->t_pn);
+  cp(t_b1, R->t_b1);
+  cp(eps_sum, R->eps_sum);
+  stats_out[0] = R->num_records;
+  stats_out[1] = R->num_duplicated;
+  return 0;
+}
+
+void gt_call_pool_free(void * handle)
+{
+  delete static_cast<CallResult *>(handle);
 }
 
 }  // extern "C"
