@@ -128,12 +128,18 @@ def index_reference_label(em: _Emitter, mers: list[list[IndexEntry]], order: int
         if len(bad):
             tail_start = tail_start + int(bad[-1]) + 1
         mers.clear()
+        codes_l = codes.tolist()
+        val = 0
+        tail_entries = []
         for i in range(L - 1, tail_start - 1, -1):
-            # entry starting at i has bases codes[i:L]
+            # entry starting at i has bases codes[i:L]; its packed dna is the
+            # big-endian suffix value (no N past tail_start, so valid=0)
+            val |= codes_l[i] << (2 * (L - 1 - i))
             e = IndexEntry(order + i)
-            for c in codes[i:L]:
-                e.add_to_dna(int(c))
-            mers.append([e])
+            e.dna = val
+            e.length = L - i
+            tail_entries.append([e])
+        mers.extend(tail_entries)
         # mers[0] = newest (length 1) ... mers[-1] = oldest
     else:
         _walk_ref(em, mers, order, codes, d, L)
@@ -238,7 +244,100 @@ def index_variant(em: _Emitter, graph: Graph, mers: list[list[IndexEntry]], var_
 
 
 def index_graph(graph: Graph) -> KmerIndex:
-    """indexer.cpp:246-290."""
+    """indexer.cpp:246-290. Uses the native builder when available (label-
+    level parity asserted by tests/index/test_native_index.py); the Python
+    walk below is the oracle/fallback."""
+    from graphtyper_tpu.config import current_options
+
+    if current_options().native_aligner != "off":
+        native = _index_graph_native(graph)
+        if native is not None:
+            return native
+    return index_graph_py(graph)
+
+
+def _index_graph_native(graph: Graph) -> KmerIndex | None:
+    import ctypes
+
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_index_ready", False):
+        lib.gt_index_graph.restype = ctypes.c_void_p
+        lib.gt_index_graph.argtypes = (
+            [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]
+            + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 4
+            + [ctypes.POINTER(ctypes.c_int64)]
+        )
+        lib.gt_index_fetch.restype = ctypes.c_int32
+        lib.gt_index_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+        lib.gt_index_free.restype = None
+        lib.gt_index_free.argtypes = [ctypes.c_void_p]
+        lib._index_ready = True
+
+    g = graph
+    ref_order = np.array([rn.label.order for rn in g.ref_nodes], dtype=np.int64)
+    ref_len = np.array([len(rn.label.dna) for rn in g.ref_nodes], dtype=np.int64)
+    ref_start = np.zeros(len(ref_len), dtype=np.int64)
+    if len(ref_len):
+        np.cumsum(ref_len[:-1], out=ref_start[1:])
+    # index-build encoding (encode, not encode_graph: the Python builder
+    # resets on any code >= 4, tags included)
+    ref_arena = np.ascontiguousarray(encode(b"".join(rn.label.dna for rn in g.ref_nodes)))
+    deg = np.array([rn.out_degree for rn in g.ref_nodes], dtype=np.int64)
+    ref_var_first = np.zeros(len(deg) + 1, dtype=np.int64)
+    np.cumsum(deg, out=ref_var_first[1:])
+    var_order = np.array([vn.label.order for vn in g.var_nodes], dtype=np.int64)
+    var_len = np.array([len(vn.label.dna) for vn in g.var_nodes], dtype=np.int64)
+    var_start = np.zeros(len(var_len), dtype=np.int64)
+    if len(var_len):
+        np.cumsum(var_len[:-1], out=var_start[1:])
+    var_arena = np.ascontiguousarray(encode(b"".join(vn.label.dna for vn in g.var_nodes)))
+    var_out_ref = np.array([vn.out_ref_id for vn in g.var_nodes], dtype=np.int64)
+    sp_ref_reach = np.asarray(g.ref_reach_poses, dtype=np.int64)
+    sp_actual = np.asarray(g.actual_poses, dtype=np.int64)
+
+    ev_lists = [sorted(vn.events) for vn in g.var_nodes]
+    anti_lists = [sorted(vn.anti_events) for vn in g.var_nodes]
+    ev_off = np.zeros(len(ev_lists) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in ev_lists], out=ev_off[1:])
+    ev_vals = np.array([x for xs in ev_lists for x in xs], dtype=np.int64)
+    anti_off = np.zeros(len(anti_lists) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in anti_lists], out=anti_off[1:])
+    anti_vals = np.array([x for xs in anti_lists for x in xs], dtype=np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    n_labels = ctypes.c_int64()
+    handle = lib.gt_index_graph(
+        ptr(ref_order), ptr(ref_start), ptr(ref_len), ptr(ref_var_first),
+        len(ref_order), ptr(ref_arena),
+        ptr(var_order), ptr(var_start), ptr(var_len), ptr(var_out_ref),
+        len(var_order), ptr(var_arena),
+        ptr(sp_ref_reach), ptr(sp_actual), len(sp_ref_reach),
+        ptr(ev_off), ptr(ev_vals), ptr(anti_off), ptr(anti_vals),
+        ctypes.byref(n_labels),
+    )
+    try:
+        kmers = np.zeros(n_labels.value, dtype=np.uint64)
+        starts = np.zeros(n_labels.value, dtype=np.int64)
+        ends = np.zeros(n_labels.value, dtype=np.int64)
+        var_ids = np.zeros(n_labels.value, dtype=np.int64)
+        rc = lib.gt_index_fetch(handle, ptr(kmers), ptr(starts), ptr(ends), ptr(var_ids))
+        if rc != 0:
+            return None
+    finally:
+        lib.gt_index_free(handle)
+    return KmerIndex.build(kmers, starts, ends, var_ids)
+
+
+def index_graph_py(graph: Graph) -> KmerIndex:
+    """Pure-Python index build (the parity oracle)."""
     em = _Emitter()
     mers: list[list[IndexEntry]] = []
     for r in range(len(graph.ref_nodes) - 1):

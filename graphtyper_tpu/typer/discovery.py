@@ -146,6 +146,13 @@ def run_first_pass(
     HIGH_EVENT_COUNT = 12
     VHIGH_EVENT_COUNT = 18
 
+    # vectorized per-base mismatch scan support: validity masks computed once
+    ref_arr = np.frombuffer(reference, dtype=np.uint8)
+    is_acgt = np.zeros(256, dtype=bool)
+    for _c in b"ACGT":
+        is_acgt[_c] = True
+    ref_ok = is_acgt[ref_arr]
+
     for read in reads:
         if not read.cigar or read.pos < region_begin:
             continue
@@ -158,6 +165,7 @@ def run_first_pass(
 
         read_offset = 0
         seq = read.seq
+        seq_arr = np.frombuffer(seq, dtype=np.uint8)
         qual = read.qual
         is_read_clipped = _is_clipped(read.cigar)
         cigar_events: list[tuple[Event, EventSupport]] = []
@@ -166,17 +174,20 @@ def run_first_pass(
             if ref_offset >= REF_SIZE:
                 break
             if op in (0, 7, 8):  # M, =, X
-                for r in range(cnt):
+                # mismatch positions in one vector compare (bounded by both
+                # the reference end and the read end, like the scalar loop)
+                n_cmp = min(cnt, REF_SIZE - ref_offset, len(seq) - read_offset)
+                if n_cmp > 0:
+                    a = seq_arr[read_offset : read_offset + n_cmp]
+                    b_ = ref_arr[ref_offset : ref_offset + n_cmp]
+                    mism = (a != b_) & ref_ok[ref_offset : ref_offset + n_cmp] & is_acgt[a]
+                    hits = np.nonzero(mism)[0]
+                else:
+                    hits = ()
+                for r in map(int, hits):
                     ref_pos = ref_offset + r
-                    if ref_pos >= REF_SIZE:
-                        break
                     read_pos = read_offset + r
-                    if read_pos >= len(seq):
-                        break
-                    ref_b = reference[ref_pos]
                     read_b = seq[read_pos]
-                    if read_b == ref_b or ref_b not in ACGT or read_b not in ACGT:
-                        continue
                     ev = Event(ref_pos + region_begin, "X", bytes([read_b]))
                     info = _add_event_to_bucket(buckets, ev, region_begin, reference, ref_pos, False)
                     if qual[read_pos] >= 25:

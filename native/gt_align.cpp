@@ -2191,3 +2191,348 @@ void gt_call_pool_free(void * handle)
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native k-mer index construction (graphtyper_tpu/index/build.py; reference
+// semantics src/index/indexer.cpp — rolling partial-kmer entries with
+// per-allele forking, 181/4 explosion caps, anti-event phasing constraints,
+// special positions for var-internal ends).
+// ---------------------------------------------------------------------------
+
+#include <deque>
+
+namespace {
+
+constexpr int MAX_TOTAL_VAR_NUM = 181;
+constexpr int MAX_TOTAL_VAR_COUNT = 4;
+constexpr uint64_t KMER_MASK = ~0ULL;  // 2*K = 64 bits: full word
+
+struct IdxEntry {
+  int64_t start_index = 0;
+  uint64_t dna = 0;
+  int32_t length = 0;
+  int32_t valid = 0;
+  std::vector<int64_t> variant_ids;  // sorted unique
+  std::vector<int64_t> events;       // sorted unique
+  std::vector<int64_t> anti_events;  // sorted unique
+  int64_t total_var_num = 1;
+  int32_t total_var_count = 0;
+
+  void add_to_dna(uint8_t code)
+  {
+    dna = (dna << 2) & KMER_MASK;
+    length += 1;
+    if (valid > 0)
+      valid -= 1;
+    else if (code < 4)
+      dna += code;
+    else
+      valid = K;
+  }
+};
+
+static void sorted_insert64(std::vector<int64_t> & v, int64_t x)
+{
+  auto it = std::lower_bound(v.begin(), v.end(), x);
+  if (it == v.end() || *it != x)
+    v.insert(it, x);
+}
+
+static void sorted_union(std::vector<int64_t> & dst, const int64_t * src, int64_t n)
+{
+  for (int64_t i = 0; i < n; ++i)
+    sorted_insert64(dst, src[i]);
+}
+
+static bool sorted_intersects(const std::vector<int64_t> & a, const int64_t * b, int64_t n)
+{
+  for (int64_t i = 0; i < n; ++i)
+    if (std::binary_search(a.begin(), a.end(), b[i]))
+      return true;
+  return false;
+}
+
+struct IdxResult {
+  std::vector<uint64_t> kmers;
+  std::vector<int64_t> starts, ends, var_ids;
+};
+
+struct IdxCtx {
+  const GraphView * G;
+  // index-encoding arenas (utils/dna.py encode: IUPAC >= 4, no tag rejection)
+  const uint8_t * ref_codes_arena;
+  const uint8_t * var_codes_arena;
+  // per-var-node event CSRs
+  const int64_t * ev_off;
+  const int64_t * ev_vals;
+  const int64_t * anti_off;
+  const int64_t * anti_vals;
+  IdxResult * R;
+};
+
+using Mers = std::deque<std::vector<IdxEntry>>;
+
+static void emit_entry(IdxCtx & C, const IdxEntry & e, int64_t end_index)
+{
+  if (e.valid > 0)
+    return;
+  if (e.variant_ids.empty())
+  {
+    C.R->kmers.push_back(e.dna);
+    C.R->starts.push_back(e.start_index);
+    C.R->ends.push_back(end_index);
+    C.R->var_ids.push_back(INVALID_ID);
+  }
+  else
+  {
+    for (int64_t v : e.variant_ids)  // already sorted
+    {
+      C.R->kmers.push_back(e.dna);
+      C.R->starts.push_back(e.start_index);
+      C.R->ends.push_back(end_index);
+      C.R->var_ids.push_back(v);
+    }
+  }
+}
+
+static void walk_ref(IdxCtx & C, Mers & mers, int64_t order, const uint8_t * codes,
+                     int64_t begin, int64_t end)
+{
+  for (int64_t d = begin; d < end; ++d)
+  {
+    uint8_t code = codes[d];
+    if (code >= 4)
+    {
+      mers.clear();
+      continue;
+    }
+    for (auto & sub : mers)
+      for (auto & e : sub)
+        e.add_to_dna(code);
+    IdxEntry ne;
+    ne.start_index = order + d;
+    ne.add_to_dna(code);
+    mers.push_front({std::move(ne)});
+    if ((int)mers.size() >= K)
+    {
+      for (auto const & q : mers.back())
+        if (q.valid == 0)
+          emit_entry(C, q, order + d);
+      mers.pop_back();
+    }
+  }
+}
+
+static void index_reference_label(IdxCtx & C, Mers & mers, int64_t order,
+                                  const uint8_t * codes, int64_t L)
+{
+  int64_t walk_until = std::min<int64_t>(K - 1, L);
+  walk_ref(C, mers, order, codes, 0, walk_until);
+  int64_t d = walk_until;
+  if (L - d >= K)
+  {
+    mers.clear();
+    // bulk emission of all fully-internal kmers (positions ascending)
+    uint64_t km = 0;
+    int bad_run = 0;  // distance since last ambiguous base
+    for (int64_t i = 0; i < L; ++i)
+    {
+      uint8_t c = codes[i];
+      km = (km << 2) | (c < 4 ? c : 0);
+      bad_run = (c < 4) ? bad_run + 1 : 0;
+      if (i >= K - 1 && bad_run >= K)
+      {
+        int64_t p = i - (K - 1);
+        C.R->kmers.push_back(km);
+        C.R->starts.push_back(order + p);
+        C.R->ends.push_back(order + p + K - 1);
+        C.R->var_ids.push_back(INVALID_ID);
+      }
+    }
+    // re-seed partial entries for the trailing K-1 bases (after any N)
+    int64_t tail_start = L - (K - 1);
+    for (int64_t i = L - 1; i >= tail_start; --i)
+      if (codes[i] >= 4)
+      {
+        tail_start = i + 1;
+        break;
+      }
+    uint64_t val = 0;
+    for (int64_t i = L - 1; i >= tail_start; --i)
+    {
+      val |= (uint64_t)codes[i] << (2 * (L - 1 - i));
+      IdxEntry e;
+      e.start_index = order + i;
+      e.dna = val;
+      e.length = (int32_t)(L - i);
+      mers.push_back({std::move(e)});
+    }
+  }
+  else
+  {
+    walk_ref(C, mers, order, codes, d, L);
+  }
+}
+
+static void insert_variant_label(IdxCtx & C, Mers & mers, int64_t v, bool is_reference,
+                                 int64_t var_count, int64_t ref_reach)
+{
+  const GraphView & G = *C.G;
+  const uint8_t * codes = C.var_codes_arena + G.var_dna_start[v];
+  int64_t L = G.var_dna_len[v];
+  int64_t label_order = G.var_order[v];
+  const int64_t * evs = C.ev_vals + C.ev_off[v];
+  int64_t n_evs = C.ev_off[v + 1] - C.ev_off[v];
+  const int64_t * antis = C.anti_vals + C.anti_off[v];
+  int64_t n_antis = C.anti_off[v + 1] - C.anti_off[v];
+
+  for (int64_t d = 0; d < L; ++d)
+  {
+    uint8_t code = codes[d];
+    if (code >= 4)
+    {
+      mers.clear();
+      continue;
+    }
+    for (auto & sub : mers)
+    {
+      std::vector<IdxEntry> kept;
+      kept.reserve(sub.size());
+      for (auto & e : sub)
+      {
+        if (sorted_intersects(e.anti_events, evs, n_evs))
+          continue;  // anti-phased: drop this partial kmer
+        e.add_to_dna(code);
+        sorted_union(e.events, evs, n_evs);
+        sorted_union(e.anti_events, antis, n_antis);
+        sorted_insert64(e.variant_ids, v);
+        kept.push_back(std::move(e));
+      }
+      sub = std::move(kept);
+    }
+    int64_t pos = label_order + d;
+    if (pos > ref_reach)
+      pos = G.get_special_pos(pos, ref_reach);
+    IdxEntry ne;
+    ne.start_index = pos;
+    ne.total_var_num = (var_count > 0) ? var_count : 1;
+    ne.total_var_count = is_reference ? 0 : 1;
+    ne.variant_ids.push_back(v);
+    ne.add_to_dna(code);
+    ne.events.assign(evs, evs + n_evs);
+    ne.anti_events.assign(antis, antis + n_antis);
+    mers.push_front({std::move(ne)});
+    if ((int)mers.size() >= K)
+    {
+      for (auto const & q : mers.back())
+        if (q.valid == 0)
+          emit_entry(C, q, pos);
+      mers.pop_back();
+    }
+  }
+}
+
+static bool entry_has_too_many_nonrefs(const IdxEntry & e)
+{
+  return e.total_var_count > 1 &&
+         (e.total_var_num > MAX_TOTAL_VAR_NUM || e.total_var_count > MAX_TOTAL_VAR_COUNT);
+}
+
+static void append_list(Mers & mers, Mers & other)
+{
+  while (mers.size() < other.size())
+    mers.push_back({});
+  for (size_t i = 0; i < other.size(); ++i)
+    mers[i].insert(mers[i].end(), std::make_move_iterator(other[i].begin()),
+                   std::make_move_iterator(other[i].end()));
+}
+
+static void index_variant(IdxCtx & C, Mers & mers, int64_t var_count, int64_t v)
+{
+  Mers clean_list = mers;  // deep copy
+  int64_t ref_label_reach = C.G->var_reach(v);
+  insert_variant_label(C, mers, v, true, 1, ref_label_reach);
+
+  for (auto & sub : clean_list)
+  {
+    std::vector<IdxEntry> kept;
+    kept.reserve(sub.size());
+    for (auto & e : sub)
+    {
+      e.total_var_num *= var_count;
+      e.total_var_count += 1;
+      if (!entry_has_too_many_nonrefs(e))
+        kept.push_back(std::move(e));
+    }
+    sub = std::move(kept);
+  }
+  int64_t var_num = var_count;
+
+  while (var_count > 2)
+  {
+    var_count -= 1;
+    v += 1;
+    Mers new_list = clean_list;  // copy
+    insert_variant_label(C, new_list, v, false, var_num, ref_label_reach);
+    append_list(mers, new_list);
+  }
+
+  v += 1;
+  insert_variant_label(C, clean_list, v, false, var_num, ref_label_reach);
+  append_list(mers, clean_list);
+}
+
+}  // namespace
+
+extern "C" {
+
+void * gt_index_graph(
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_codes_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_codes_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  const int64_t * ev_off, const int64_t * ev_vals,
+  const int64_t * anti_off, const int64_t * anti_vals,
+  int64_t * out_n_labels)
+{
+  GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_codes_arena,
+              var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_codes_arena,
+              sp_ref_reach, sp_actual, n_special, false};
+  IdxResult * R = new IdxResult();
+  IdxCtx C{&G, ref_codes_arena, var_codes_arena, ev_off, ev_vals, anti_off, anti_vals, R};
+  Mers mers;
+  for (int64_t r = 0; r + 1 < n_ref; ++r)
+  {
+    index_reference_label(C, mers, ref_order[r], ref_codes_arena + ref_dna_start[r],
+                          ref_dna_len[r]);
+    int64_t deg = G.out_deg(r);
+    if (deg > 0)
+      index_variant(C, mers, deg, G.ref_var_first[r]);
+  }
+  if (n_ref > 0)
+    index_reference_label(C, mers, ref_order[n_ref - 1],
+                          ref_codes_arena + ref_dna_start[n_ref - 1], ref_dna_len[n_ref - 1]);
+  *out_n_labels = (int64_t)R->kmers.size();
+  return R;
+}
+
+int32_t gt_index_fetch(void * handle, uint64_t * kmers, int64_t * starts, int64_t * ends,
+                       int64_t * var_ids)
+{
+  IdxResult * R = static_cast<IdxResult *>(handle);
+  if (!R)
+    return -1;
+  memcpy(kmers, R->kmers.data(), R->kmers.size() * sizeof(uint64_t));
+  memcpy(starts, R->starts.data(), R->starts.size() * sizeof(int64_t));
+  memcpy(ends, R->ends.data(), R->ends.size() * sizeof(int64_t));
+  memcpy(var_ids, R->var_ids.data(), R->var_ids.size() * sizeof(int64_t));
+  return 0;
+}
+
+void gt_index_free(void * handle)
+{
+  delete static_cast<IdxResult *>(handle);
+}
+
+}  // extern "C"
