@@ -5,7 +5,7 @@ with a self-contained decoder. The output is a `ReadBatch`: dense, padded
 tensors ready to ship to the TPU (2-bit-codable seqs, quals, flags, positions)
 plus CSR CIGARs for the host-side pileup pass.
 
-CRAM decode is not yet implemented (gap tracked in README); use BAM/SAM.
+CRAM decode lives in io/cram.py (2.1 + 3.0) and is dispatched by suffix here.
 """
 
 from __future__ import annotations
@@ -226,19 +226,27 @@ def read_sam(path: str, parse_tags: bool = False) -> tuple[BamHeader, list[Align
     return header, reads
 
 
-def read_alignments(path: str, parse_tags: bool = False) -> tuple[BamHeader, list[AlignedRead]]:
+def read_alignments(
+    path: str, parse_tags: bool = False, ref_path: str | None = None
+) -> tuple[BamHeader, list[AlignedRead]]:
     if path.endswith(".sam"):
         return read_sam(path, parse_tags)
     if path.endswith(".bam"):
         return read_bam(path, parse_tags)
-    raise ValueError(f"unsupported alignment format (CRAM not yet supported): {path}")
+    if path.endswith(".cram"):
+        from graphtyper_tpu.io.cram import read_cram
+
+        return read_cram(path, ref_path=ref_path, parse_tags=parse_tags)
+    raise ValueError(f"unsupported alignment format: {path}")
 
 
 _READ_CACHE: dict = {}
 _READ_CACHE_MAX = 6
 
 
-def read_alignments_cached(path: str, parse_tags: bool = False) -> tuple[BamHeader, list[AlignedRead]]:
+def read_alignments_cached(
+    path: str, parse_tags: bool = False, ref_path: str | None = None
+) -> tuple[BamHeader, list[AlignedRead]]:
     """read_alignments with a small keyed cache: the iterative genotyping
     pipeline streams the same per-sample files once per iteration (3x); the
     decode is done once. Tags are always parsed so all flavors share one
@@ -251,7 +259,7 @@ def read_alignments_cached(path: str, parse_tags: bool = False) -> tuple[BamHead
     hit = _READ_CACHE.get(key)
     if hit is not None:
         return hit
-    out = read_alignments(path, parse_tags=True)
+    out = read_alignments(path, parse_tags=True, ref_path=ref_path)
     if len(_READ_CACHE) >= _READ_CACHE_MAX:
         _READ_CACHE.pop(next(iter(_READ_CACHE)))
     _READ_CACHE[key] = out

@@ -105,14 +105,14 @@ class PoolResult:
 
 
 def read_pool_records(
-    hts_paths: list[str], region=None
+    hts_paths: list[str], region=None, ref_path: str | None = None
 ) -> tuple[list[str], list[tuple[AlignedRead, int, int]]]:
     """Load and pool-merge reads: returns (sample_names, [(read, sample_i,
     rg_i)] sorted by (ref_id, pos, seq))."""
     sample_names: list[str] = []
     pooled: list[tuple[AlignedRead, int, int]] = []
     for path in hts_paths:
-        header, reads = read_alignments_cached(path, parse_tags=True)
+        header, reads = read_alignments_cached(path, parse_tags=True, ref_path=ref_path)
         if header.sample_names:
             file_samples = header.sample_names
         else:
@@ -207,9 +207,10 @@ def call_pool(
     is_writing_hap: bool = True,
     force_align_both_orientations: bool = False,
     no_filter_on_coverage: bool = False,
+    ref_path: str | None = None,
 ) -> PoolResult:
     """parallel_reader_genotype_only for one pool of samples."""
-    sample_names, pooled = read_pool_records(hts_paths, region)
+    sample_names, pooled = read_pool_records(hts_paths, region, ref_path=ref_path)
     scorer = SiteScorer(graph, sample_names)
     is_sv = graph.is_sv_graph
     reference_depth = ReferenceDepth(graph, len(sample_names)) if is_sv else None

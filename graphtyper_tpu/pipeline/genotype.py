@@ -44,6 +44,7 @@ def genotype_only_with_a_vcf(
         avg_cov_by_readlen=avg_cov_by_readlen,
         is_writing_calls_vcf=True,
         is_writing_hap=False,
+        ref_path=ref_path,
     )
 
     # region-structured output, <out>/<chr>/<start>-<end>.vcf.gz, like the
@@ -106,6 +107,7 @@ def genotype_sv(
         avg_cov_by_readlen=avg_cov_by_readlen,
         is_writing_calls_vcf=True,
         is_writing_hap=False,
+        ref_path=ref_path,
     )
 
     out_path = os.path.join(output_dir, "graphtyper.sv.vcf.gz")
@@ -219,6 +221,7 @@ def genotype(
             avg_cov_by_readlen=avg_cov_by_readlen,
             is_writing_calls_vcf=is_last,
             is_writing_hap=not is_last,
+            ref_path=ref_path,
         )
         if not is_last:
             next_vcf = os.path.join(out_dir, "final.vcf.gz")

@@ -758,7 +758,7 @@ def streamlined_discovery(
     per_file_reads: list[list[AlignedRead]] = []
 
     for file_i, path in enumerate(hts_paths):
-        header, reads = read_alignments_cached(path)
+        header, reads = read_alignments_cached(path, ref_path=ref_path)
         reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
         reads.sort(key=lambda r: r.pos)
         per_file_reads.append(reads)
