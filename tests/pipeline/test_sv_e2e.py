@@ -1,0 +1,89 @@
+"""End-to-end SV genotyping test: a heterozygous 150bp deletion simulated
+from diploid haplotypes must come back as DEL records (AGGREGATED +
+breakpoint/coverage models, sv.cpp reformat semantics) with a 0/1 call for
+the carrier sample and 0/0 for the hom-ref sample."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from graphtyper_tpu.pipeline.genotype import genotype_sv
+from graphtyper_tpu.utils.simulate import BASES, SimConfig, _random_seq, _write_fasta
+
+
+def _write_sv_vcf(path, chrom, pos1, ref_base, size, end1):
+    lines = [
+        "##fileformat=VCFv4.2",
+        f"##contig=<ID={chrom}>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        f"{chrom}\t{pos1}\t.\t{ref_base}\t<DEL>\t.\t.\tSVTYPE=DEL;SVLEN=-{size};SVSIZE={size};END={end1}",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _sim_reads(path, chrom, contig_len, haps, n_pairs, sample, seed, read_len=125, frag=320):
+    rng = np.random.default_rng(seed)
+    records = []
+    for i in range(n_pairs):
+        hap = haps[i % len(haps)]
+        f = min(frag + int(rng.normal(0, 30)), len(hap) - 1)
+        f = max(read_len + 10, f)
+        start = int(rng.integers(0, len(hap) - f))
+        r1 = hap[start : start + read_len]
+        r2 = hap[start + f - read_len : start + f]
+        qual = "I" * read_len
+        name = f"{sample}_r{i}"
+        # positions are approximations (mapper-style): deletion carriers map
+        # with the reference coordinates of the fragment start
+        p1, p2 = start, start + f - read_len
+        tlen = p2 + read_len - p1
+        records.append((p1, f"{name}\t99\t{chrom}\t{p1 + 1}\t60\t{read_len}M\t=\t{p2 + 1}\t{tlen}\t{r1.tobytes().decode()}\t{qual}"))
+        records.append((p2, f"{name}\t147\t{chrom}\t{p2 + 1}\t60\t{read_len}M\t=\t{p1 + 1}\t{-tlen}\t{r2.tobytes().decode()}\t{qual}"))
+    records.sort(key=lambda t: t[0])
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n")
+        f.write(f"@SQ\tSN:{chrom}\tLN:{contig_len}\n")
+        f.write(f"@RG\tID:rg_{sample}\tSM:{sample}\n")
+        for _, line in records:
+            f.write(line + "\n")
+
+
+def test_het_deletion(tmp_path):
+    rng = np.random.default_rng(4)
+    L = 8000
+    chrom = "chrS"
+    seq = _random_seq(rng, L)
+    fasta = str(tmp_path / "ref.fa")
+    _write_fasta(fasta, chrom, seq)
+
+    del_start0 = 3000  # 0-based position AFTER which bases are deleted
+    size = 150
+    sv_vcf = str(tmp_path / "sv.vcf")
+    _write_sv_vcf(sv_vcf, chrom, del_start0 + 1, chr(seq[del_start0]), size, del_start0 + 1 + size)
+
+    hap_ref = seq
+    hap_del = np.concatenate([seq[: del_start0 + 1], seq[del_start0 + 1 + size :]])
+    carrier = str(tmp_path / "carrier.sam")
+    homref = str(tmp_path / "homref.sam")
+    _sim_reads(carrier, chrom, L, [hap_ref, hap_del], 900, "carrier", 1)
+    _sim_reads(homref, chrom, L, [hap_ref, hap_ref], 900, "homref", 2)
+
+    out = genotype_sv(fasta, sv_vcf, [carrier, homref], f"{chrom}:1-{L}", str(tmp_path / "out"))
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    assert body, "no SV records emitted"
+    del_records = [l for l in body if "SVTYPE=DEL" in l]
+    assert del_records, body
+    models = {l.split("\t")[7].split("SVMODEL=")[1].split(";")[0] for l in del_records if "SVMODEL=" in l}
+    assert "AGGREGATED" in models, models
+
+    # the AGGREGATED record carries the genotype calls
+    agg = [l for l in del_records if "SVMODEL=AGGREGATED" in l][0].split("\t")
+    gts = [f.split(":")[0] for f in agg[9:11]]
+    assert gts[0] in ("0/1", "1/1"), agg  # carrier has the deletion
+    assert gts[1] == "0/0", agg  # hom-ref stays hom-ref
+    # breakpoint models also reported (sv.cpp combined calls)
+    assert any("SVMODEL=BREAKPOINT" in l for l in del_records) or any(
+        "SVMODEL=COVERAGE" in l for l in del_records
+    )
