@@ -175,6 +175,51 @@ def _chunk_rows(A: int) -> int:
     return max(4096, min(1 << 18, (1 << 23) // (A * A)))
 
 
+@lru_cache(maxsize=None)
+def _jitted_apply_tier_sharded(mesh_key):
+    """Multi-chip variant of the observation-application kernel: observation
+    rows are data-parallel over the mesh and the per-(site, sample) integer
+    state deltas are psum-reduced over ICI — the production analog of the
+    reference's thread-pool merge (SURVEY §2.5 'reduction across threads').
+    Exact: integer segment-sums commute with psum."""
+    from functools import partial
+
+    import jax
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _MESHES[mesh_key]
+
+    def sharded(obs, A, n_sites, n_samples):
+        out = _apply_tier_impl(obs, A, n_sites, n_samples)
+        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "data"), out)
+
+    def build(A, n_sites, n_samples):
+        specs = dict(mesh=mesh, in_specs=(P("data"),), out_specs=P())
+        body = partial(sharded, A=A, n_sites=n_sites, n_samples=n_samples)
+        try:
+            fn = shard_map(body, check_vma=False, **specs)
+        except TypeError:
+            fn = shard_map(body, check_rep=False, **specs)
+        return jax.jit(fn)
+
+    return lru_cache(maxsize=None)(build)
+
+
+_MESHES: dict = {}
+
+
+def register_mesh(mesh) -> str:
+    """Make a mesh usable by ObsBatcher(mesh_key=...); returns its key."""
+    key = f"mesh{id(mesh)}"
+    _MESHES[key] = mesh
+    return key
+
+
 def apply_obs_host(
     site,
     sample: int,
@@ -262,10 +307,11 @@ class ObsBatcher:
     """Accumulates per-(read, site) observations and applies them to the
     HaplotypeSite states in chunked device passes per allele tier."""
 
-    def __init__(self, sites, n_samples: int):
+    def __init__(self, sites, n_samples: int, mesh_key: str | None = None):
         self.sites = sites
         self.n_samples = n_samples
         self.tiers: dict[int, _TierBuffer] = {}
+        self.mesh_key = mesh_key  # set -> multi-chip sharded application
         # exact saturation tracking (haplotype.cpp:528-533): max_log_score is
         # the running sum of applied eps; a read is skipped for scoring once
         # the sum reaches 0xFFFF - eps
@@ -345,12 +391,25 @@ class ObsBatcher:
                     arrs["cov"][rows:] = COV_PAD
                 import jax.numpy as jnp
 
-                out = _jitted_apply_tier()(
-                    {k: jnp.asarray(v) for k, v in arrs.items()},
-                    A=A,
-                    n_sites=n_sites,
-                    n_samples=self.n_samples,
-                )
+                if self.mesh_key is not None:
+                    mesh = _MESHES[self.mesh_key]
+                    n_dev = mesh.devices.size
+                    if n_pad % n_dev:
+                        extra = n_dev - n_pad % n_dev
+                        for k in arrs:
+                            pad_val = COV_PAD if k == "cov" else 0
+                            arrs[k] = np.concatenate(
+                                [arrs[k], np.full(extra, pad_val, dtype=arrs[k].dtype)]
+                            )
+                    fn = _jitted_apply_tier_sharded(self.mesh_key)(A, n_sites, self.n_samples)
+                    out = fn({k: jnp.asarray(v) for k, v in arrs.items()})
+                else:
+                    out = _jitted_apply_tier()(
+                        {k: jnp.asarray(v) for k, v in arrs.items()},
+                        A=A,
+                        n_sites=n_sites,
+                        n_samples=self.n_samples,
+                    )
                 out = {k: np.asarray(v) for k, v in out.items()}
                 if totals is None:
                     totals = out

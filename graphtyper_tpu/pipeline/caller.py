@@ -208,10 +208,11 @@ def call_pool(
     force_align_both_orientations: bool = False,
     no_filter_on_coverage: bool = False,
     ref_path: str | None = None,
+    scorer_mesh_key: str | None = None,
 ) -> PoolResult:
     """parallel_reader_genotype_only for one pool of samples."""
     sample_names, pooled = read_pool_records(hts_paths, region, ref_path=ref_path)
-    scorer = SiteScorer(graph, sample_names)
+    scorer = SiteScorer(graph, sample_names, mesh_key=scorer_mesh_key)
     is_sv = graph.is_sv_graph
     reference_depth = ReferenceDepth(graph, len(sample_names)) if is_sv else None
 

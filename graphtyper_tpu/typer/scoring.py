@@ -75,6 +75,7 @@ class SiteScorer:
         sample_names: list[str],
         hq_reads: bool = False,
         device_scoring: bool | None = None,
+        mesh_key: str | None = None,
     ):
         self.graph = graph
         self.hq_reads = hq_reads
@@ -96,7 +97,7 @@ class SiteScorer:
         if device_scoring:
             from graphtyper_tpu.ops.site_scoring import ObsBatcher, tier_for
 
-            self.batcher = ObsBatcher(self.sites, len(sample_names))
+            self.batcher = ObsBatcher(self.sites, len(sample_names), mesh_key=mesh_key)
             self._tier_for = tier_for
 
     def finalize(self) -> None:

@@ -70,3 +70,35 @@ def test_dryrun_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_production_scoring_parity(tmp_path):
+    """The mesh-sharded observation application (psum-reduced segment sums)
+    must equal the single-device scorer bit-for-bit through call_pool."""
+    import numpy as np
+
+    from graphtyper_tpu.graph.build import construct_graph
+    from graphtyper_tpu.graph.coords import GenomicRegion
+    from graphtyper_tpu.index.build import index_graph
+    from graphtyper_tpu.ops.site_scoring import register_mesh
+    from graphtyper_tpu.parallel.mesh import make_mesh
+    from graphtyper_tpu.pipeline.caller import call_pool
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=4000, coverage=10.0, n_samples=2, seed=43)
+    sim = simulate_cohort(str(tmp_path), cfg)
+    graph = construct_graph(sim.fasta, sim.vcf, f"{cfg.chrom}:1-{cfg.region_length}", use_index=True)
+    index = index_graph(graph)
+    region = GenomicRegion.parse(f"{cfg.chrom}:1-{cfg.region_length}")
+    single = call_pool(graph, index, sim.sams, region=region)
+    graph2 = construct_graph(sim.fasta, sim.vcf, f"{cfg.chrom}:1-{cfg.region_length}", use_index=True)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    sharded = call_pool(graph2, index, sim.sams, region=region, scorer_mesh_key=register_mesh(mesh))
+    for a, b in zip(single.scorer.sites, sharded.scorer.sites):
+        for ha, hb in zip(a.hap_samples, b.hap_samples):
+            np.testing.assert_array_equal(ha.log_score, hb.log_score)
+            np.testing.assert_array_equal(ha.gt_coverage, hb.gt_coverage)
+    assert any(
+        s.hap_samples[0].log_score.max() > 0 or s.hap_samples[1].log_score.max() > 0
+        for s in single.scorer.sites
+    )
