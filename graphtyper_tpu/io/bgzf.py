@@ -160,6 +160,139 @@ def decompress_all(path: str) -> bytes:
     return b"".join(out)
 
 
+def bgzf_compress_bulk(data: bytes, level: int = -1, n_threads: int = 0) -> bytes | None:
+    """Compress a whole buffer into BGZF members (64KB blocks) with the
+    native threaded compressor (gt_bgzf_compress: libdeflate per block,
+    std::thread fan-out — the native analog of the reference's bgzf writer
+    threads, vcf.cpp open_for_writing). Returns None when the native library
+    is unavailable (callers fall back to the streaming writer). Does NOT
+    append the EOF marker."""
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    if not getattr(lib, "_bgzfc_ready", False):
+        lib.gt_bgzf_compress.restype = ctypes.c_int64
+        lib.gt_bgzf_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._bgzfc_ready = True
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    inp = np.frombuffer(data, dtype=np.uint8)
+    in_ptr = inp.ctypes.data_as(ctypes.c_void_p) if len(data) else None
+    bound = lib.gt_bgzf_compress(in_ptr, len(data), level, n_threads, None, 0)
+    out = np.zeros(bound, dtype=np.uint8)
+    n = lib.gt_bgzf_compress(
+        in_ptr, len(data), level, n_threads, out.ctypes.data_as(ctypes.c_void_p), bound
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def bgzf_block_coffsets(compressed: bytes) -> list[int]:
+    """Physical start offset of each BGZF member in `compressed` (for
+    translating uncompressed offsets into virtual offsets: block i covers
+    uncompressed [i*0xFF00, (i+1)*0xFF00))."""
+    out = []
+    off = 0
+    n = len(compressed)
+    while off + 18 <= n:
+        out.append(off)
+        bsize = int.from_bytes(compressed[off + 16 : off + 18], "little") + 1
+        off += bsize
+    return out
+
+
+def virtual_offset_of(u_offset: int, coffsets: list[int], total_compressed: int) -> int:
+    """(uncompressed offset) -> BGZF virtual offset, given 0xFF00 blocking."""
+    b = u_offset // 0xFF00
+    if b < len(coffsets):
+        return (coffsets[b] << 16) | (u_offset % 0xFF00)
+    return total_compressed << 16
+
+
+class ThreadedBgzfWriter:
+    """Bounded-memory BGZF writer over the native threaded compressor:
+    uncompressed bytes accumulate and full 64KB-aligned chunks are
+    compressed (multi-threaded libdeflate) and written incrementally.
+    Virtual offsets are resolved from uncompressed offsets via
+    `virtual_offset_of` once the covering block has been flushed (always
+    true after close) — callers record uncompressed offsets while writing
+    and translate when building the index. Falls back to the pure-Python
+    streaming writer when the native library is missing."""
+
+    FLUSH_BLOCKS = 256  # compress in ~16MB batches
+
+    def __init__(self, path: str, level: int = -1, n_threads: int = 0):
+        self._f = open(path, "wb")
+        self._level = level
+        self._threads = n_threads
+        self._buf = bytearray()
+        self._coffsets: list[int] = []
+        self._compressed_total = 0
+        self._u_total = 0
+        self.closed = False
+
+    @property
+    def u_offset(self) -> int:
+        """Total uncompressed bytes written so far."""
+        return self._u_total
+
+    def write(self, data: bytes) -> int:
+        self._buf += data
+        self._u_total += len(data)
+        limit = self.FLUSH_BLOCKS * 0xFF00
+        while len(self._buf) >= limit:
+            self._flush(limit)
+        return len(data)
+
+    def _flush(self, n_bytes: int) -> None:
+        chunk = bytes(self._buf[:n_bytes])
+        del self._buf[:n_bytes]
+        compressed = bgzf_compress_bulk(chunk, self._level, self._threads)
+        if compressed is None:  # no native library: single-threaded fallback
+            out = bytearray()
+            for i in range(0, len(chunk), 0xFF00):
+                blk = chunk[i : i + 0xFF00]
+                c = zlib.compressobj(6 if self._level < 0 else self._level, zlib.DEFLATED, -15)
+                cdata = c.compress(blk) + c.flush()
+                bsize = len(cdata) + 26 - 1
+                out += (
+                    b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                    + struct.pack("<H", 6) + b"BC" + struct.pack("<H", 2) + struct.pack("<H", bsize)
+                    + cdata
+                    + struct.pack("<II", zlib.crc32(blk) & 0xFFFFFFFF, len(blk) & 0xFFFFFFFF)
+                )
+            compressed = bytes(out)
+        for off in bgzf_block_coffsets(compressed):
+            self._coffsets.append(self._compressed_total + off)
+        self._compressed_total += len(compressed)
+        self._f.write(compressed)
+
+    def virtual_offset_of(self, u_offset: int) -> int:
+        b = u_offset // 0xFF00
+        if b < len(self._coffsets):
+            return (self._coffsets[b] << 16) | (u_offset % 0xFF00)
+        return self._compressed_total << 16
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self._buf:
+            self._flush(len(self._buf))
+        self._f.write(BGZF_EOF)
+        self._f.close()
+        self.closed = True
+
+
 class BgzfWriter(io.RawIOBase):
     """Streaming BGZF writer (multi-block, with EOF marker).
 

@@ -18,6 +18,7 @@ import numpy as np
 
 from graphtyper_tpu.config import Options
 from graphtyper_tpu.io.bam import AlignedRead, read_alignments
+from graphtyper_tpu.io.bam_writer import write_bam
 from graphtyper_tpu.io.sam_writer import write_sam
 
 CHAR_SET_SIZE = 93
@@ -184,8 +185,9 @@ def bamshrink(
     avg_cov_by_readlen: float = -1.0,
     opts: Options | None = None,
 ) -> str:
-    """Filter + trim + rename reads of one sample over one region; writes a
-    SAM file of the kept reads sorted by position."""
+    """Filter + trim + rename reads of one sample over one region; writes the
+    kept reads sorted by position as BAM (.bam suffix — the reference writes
+    temp BAMs, bamshrink.cpp:672 qualityFilterSlice2) or SAM (.sam)."""
     opts = opts or Options()
     header, reads = read_alignments(sam_path, parse_tags=True)
     pad = opts.bamshrink_max_fraglen - 100
@@ -271,7 +273,10 @@ def bamshrink(
             name_map[r.name] = new
         r.name = new
     kept.sort(key=lambda x: x.pos)
-    write_sam(out_path, header, kept)
+    if out_path.endswith(".bam"):
+        write_bam(out_path, header, kept)
+    else:
+        write_sam(out_path, header, kept)
     return out_path
 
 
@@ -289,7 +294,7 @@ def run_bamshrink(
     out = []
     for i, sam in enumerate(sams):
         cov = avg_cov_by_readlen[i] if avg_cov_by_readlen else -1.0
-        dst = os.path.join(tmp_dir, "bams", f"{i:04d}.sam")
+        dst = os.path.join(tmp_dir, "bams", f"{i:04d}.bam")
         bamshrink(sam, region.chr, region.begin, region.end, dst, cov, opts)
         out.append(dst)
     return out

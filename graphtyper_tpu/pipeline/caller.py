@@ -432,6 +432,65 @@ def _build_pool_result(
     )
 
 
+def call_pools(
+    graph,
+    index: KmerIndex,
+    hts_paths: list[str],
+    tmp_dir: str | None = None,
+    **kw,
+) -> PoolResult:
+    """Split the sample files into pools bounded by max_files_open
+    (caller.cpp:197-220 _determine_num_jobs_and_num_parts), run call_pool per
+    pool, and reduce: pool VCFs stream through batched files
+    (vcf_operations.cpp:20-142) and phasing maps OR-merge
+    (caller.cpp:439-482). Single pool passes straight through."""
+    from graphtyper_tpu.config import current_options
+
+    pool_size = max(1, current_options().max_files_open)
+    # SV mode keeps a single pool: its reformat pass derives records from
+    # per-pool ReferenceDepth state that is not mergeable across pools
+    if len(hts_paths) <= pool_size or graph.is_sv_graph:
+        return call_pool(graph, index, hts_paths, **kw)
+
+    import os
+    import tempfile
+
+    from graphtyper_tpu.pipeline.vcf_operations import merge_ph_maps, vcf_merge_streamed
+
+    own_tmp = tmp_dir is None
+    tmp = tmp_dir or tempfile.mkdtemp(prefix="gt_pools_")
+    pool_files: list[str] = []
+    ph_maps: list[dict] = []
+    num_records = 0
+    num_duplicated = 0
+    last = None
+    for p, lo in enumerate(range(0, len(hts_paths), pool_size)):
+        res = call_pool(graph, index, hts_paths[lo : lo + pool_size], **kw)
+        path = os.path.join(tmp, f"pool{p}.vcfb")
+        res.vcf.save_batched(path)
+        pool_files.append(path)
+        ph_maps.append(res.ph)
+        num_records += res.num_records
+        num_duplicated += res.num_duplicated
+        last = res
+        # drop per-pool call state before the next pool runs
+        res.vcf = None
+    sample_names, variants = vcf_merge_streamed(pool_files)
+    merged = VcfOutput(sample_names=sample_names, variants=list(variants))
+    if own_tmp:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return PoolResult(
+        vcf=merged,
+        ph=merge_ph_maps(ph_maps),
+        scorer=last.scorer,
+        reference_depth=last.reference_depth,
+        num_records=num_records,
+        num_duplicated=num_duplicated,
+    )
+
+
 def compute_ph_map(scorer: SiteScorer) -> dict:
     """Derive the phasing map from accumulated per-sample connections
     (hts_parallel_reader.cpp:790-904)."""

@@ -13,7 +13,7 @@ import os
 from graphtyper_tpu.graph.build import construct_graph
 from graphtyper_tpu.graph.coords import GenomicRegion, split_region
 from graphtyper_tpu.index.build import index_graph
-from graphtyper_tpu.pipeline.caller import call_pool
+from graphtyper_tpu.pipeline.caller import call_pool, call_pools
 from graphtyper_tpu.pipeline.vcf_operations import vcf_merge_and_break, vcf_merge_and_filter
 
 
@@ -36,7 +36,7 @@ def genotype_only_with_a_vcf(
     graph = construct_graph(ref_path, vcf_path, padded.to_string(), is_sv_graph=False, use_index=True)
     index = index_graph(graph)
 
-    result = call_pool(
+    result = call_pools(
         graph,
         index,
         sams,
@@ -213,7 +213,7 @@ def genotype(
             ref_path, prev_vcf, padded.to_string(), is_sv_graph=False, use_index=True, add_all_variants=True
         )
         index = index_graph(graph)
-        result = call_pool(
+        result = call_pools(
             graph,
             index,
             sams,

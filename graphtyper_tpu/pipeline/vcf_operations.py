@@ -31,6 +31,70 @@ def vcf_merge(pool_vcfs: list[VcfOutput]) -> VcfOutput:
     return base
 
 
+def vcf_merge_streamed(pool_paths: list[str]):
+    """Streaming cross-pool merge over batched pool files (save_batched):
+    corresponding allele batches are loaded pool-by-pool, merged (sample
+    calls concatenated, stats summed), and yielded — cohort merges never
+    hold every pool's full call matrix in memory
+    (vcf_operations.cpp:20-142, batch size options.hpp:109).
+
+    Returns (sample_names, variant_generator)."""
+    opened = [VcfOutput.open_batched(p) for p in pool_paths]
+    sample_names: list[str] = []
+    for names, _gen in opened:
+        sample_names.extend(names)
+
+    def gen():
+        gens = [g for _n, g in opened]
+        while True:
+            batches = []
+            for g in gens:
+                batches.append(next(g, None))
+            if batches[0] is None:
+                if any(b is not None for b in batches):
+                    raise ValueError("pool batch streams are misaligned")
+                return
+            base = batches[0]
+            for other in batches[1:]:
+                if other is None or len(other) != len(base):
+                    raise ValueError("pool batch streams are misaligned")
+                for var, ovar in zip(base, other):
+                    if var.abs_pos != ovar.abs_pos or var.seqs != ovar.seqs:
+                        raise ValueError("pool variants differ between pools")
+                    var.stats.add_stats(ovar.stats)
+                    var.calls.extend(ovar.calls)
+            for var in base:
+                yield var
+
+    return sample_names, gen()
+
+
+def merge_ph_maps(ph_maps: list[dict]) -> dict:
+    """OR-merge per-pool phasing maps (caller.cpp:439-482)."""
+    out: dict = {}
+    for ph in ph_maps:
+        for key, bucket in ph.items():
+            dst = out.setdefault(key, {})
+            for k2, flags in bucket.items():
+                dst[k2] = dst.get(k2, 0) | flags
+    return out
+
+
+def vcf_merge_and_break_streamed(
+    pool_paths: list[str],
+    output_path: str,
+    region_str: str,
+    graph,
+    **kw,
+) -> None:
+    """vcf_merge_and_break over batched pool files with bounded memory: the
+    merged variants stream through decomposition/INFO generation and out via
+    the threaded bgzf writer."""
+    sample_names, variants = vcf_merge_streamed(pool_paths)
+    merged = VcfOutput(sample_names=sample_names, variants=list(variants))
+    vcf_merge_and_break([merged], output_path, region_str, graph, **kw)
+
+
 def vcf_merge_and_break(
     pool_vcfs: list[VcfOutput],
     output_path: str,

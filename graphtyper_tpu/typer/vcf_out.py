@@ -75,6 +75,46 @@ class VcfOutput:
         with open(path, "rb") as f:
             return pickle.load(f)
 
+    # -- batched pool serialization (replaces cereal save_vcf/load_vcf;
+    # vcf.cpp:1662+, batch size options.hpp:109 num_alleles_in_batch) -------
+
+    def save_batched(self, path: str, num_alleles_in_batch: int = 250) -> None:
+        """Serialize as a pickle stream: sample names first, then variant
+        batches of ~`num_alleles_in_batch` alleles each, so cohort merges can
+        stream pool files batch-by-batch with bounded memory."""
+        with open(path, "wb") as f:
+            pickle.dump(list(self.sample_names), f, protocol=pickle.HIGHEST_PROTOCOL)
+            batch: list = []
+            alleles = 0
+            for var in self.variants:
+                batch.append(var)
+                alleles += len(var.seqs)
+                if alleles >= num_alleles_in_batch:
+                    pickle.dump(batch, f, protocol=pickle.HIGHEST_PROTOCOL)
+                    batch = []
+                    alleles = 0
+            if batch:
+                pickle.dump(batch, f, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.dump(None, f, protocol=pickle.HIGHEST_PROTOCOL)  # end marker
+
+    @staticmethod
+    def open_batched(path: str):
+        """Returns (sample_names, batch_generator)."""
+        f = open(path, "rb")
+        sample_names = pickle.load(f)
+
+        def gen():
+            try:
+                while True:
+                    batch = pickle.load(f)
+                    if batch is None:
+                        break
+                    yield batch
+            finally:
+                f.close()
+
+        return sample_names, gen()
+
     # ------------------------------------------------------------------
     # text output
     # ------------------------------------------------------------------
@@ -218,8 +258,15 @@ class VcfOutput:
     ) -> None:
         """Write bgzf-compressed VCF (+ .tbi). Duplicate positions get .N
         ID suffixes (vcf.cpp:1243-1273)."""
-        w = BgzfWriter(path)
         tbi = TabixWriter() if write_tbi else None
+        # bounded-memory threaded writer: records are rendered and streamed
+        # through the native multi-threaded bgzf compressor; the tabix index
+        # is built from uncompressed offsets translated after compression
+        # (vcf.cpp writes through threaded bgzf; io/bgzf.py gt_bgzf_compress)
+        from graphtyper_tpu.io.bgzf import ThreadedBgzfWriter
+
+        w = ThreadedBgzfWriter(path)
+        record_spans: list[tuple[str, int, int, int, int]] = []  # chrom,beg,end,u0,u1
         for line in self.header_lines(contigs, is_dropping_genotypes):
             w.write(line.encode() + b"\n")
         variants = sorted(self.variants, key=lambda v: (v.abs_pos, v.seqs))
@@ -249,17 +296,15 @@ class VcfOutput:
             )
             if line is None:
                 continue
+            u0 = w.u_offset
+            w.write(line.encode() + b"\n")
             if tbi is not None:
-                w.flush_current()
-                start_voff = w.virtual_offset
                 chrom, pos = abs_pos.get_contig_position(var.abs_pos)
-                w.write(line.encode() + b"\n")
-                w.flush_current()
-                tbi.add(chrom, pos - 1, pos - 1 + len(var.seqs[0]), start_voff, w.virtual_offset)
-            else:
-                w.write(line.encode() + b"\n")
+                record_spans.append((chrom, pos - 1, pos - 1 + len(var.seqs[0]), u0, w.u_offset))
         w.close()
         if tbi is not None:
+            for chrom, beg, end, u0, u1 in record_spans:
+                tbi.add(chrom, beg, end, w.virtual_offset_of(u0), w.virtual_offset_of(u1))
             tbi.save(path + ".tbi")
 
 

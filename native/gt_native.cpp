@@ -19,11 +19,90 @@
 
 #include <libdeflate.h>
 
+#include <thread>
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
 // BGZF
 // ---------------------------------------------------------------------------
+
+// Compress `in` into BGZF members of <= 0xFF00 uncompressed bytes each,
+// fanning blocks out over `n_threads` libdeflate compressors (the native
+// replacement for the reference's bgzf writer threads, vcf.cpp
+// open_for_writing). Returns total output size, or -1 if out_capacity is too
+// small. Call with out=nullptr to get a safe capacity bound.
+int64_t gt_bgzf_compress(uint8_t const * in, int64_t in_size, int32_t level, int32_t n_threads,
+                         uint8_t * out, int64_t out_capacity)
+{
+  constexpr int64_t BLOCK = 0xFF00;
+  int64_t n_blocks = (in_size + BLOCK - 1) / BLOCK;
+  if (in_size == 0)
+    n_blocks = 0;
+  // worst case per block from libdeflate + 26 bytes bgzf wrapper
+  int64_t per_block_bound = (int64_t)libdeflate_deflate_compress_bound(nullptr, BLOCK);
+  int64_t bound = n_blocks * (per_block_bound + 26) + 28;
+  if (out == nullptr)
+    return bound;
+  if (out_capacity < bound)
+    return -1;
+
+  std::vector<int64_t> sizes(n_blocks, 0);
+  std::vector<std::vector<uint8_t>> parts(n_blocks);
+
+  auto compress_range = [&](int64_t lo, int64_t hi) {
+    struct libdeflate_compressor * comp = libdeflate_alloc_compressor(level <= 0 ? 6 : level);
+    for (int64_t b = lo; b < hi; ++b)
+    {
+      int64_t off = b * BLOCK;
+      int64_t len = std::min<int64_t>(BLOCK, in_size - off);
+      std::vector<uint8_t> & blk = parts[b];
+      blk.resize(libdeflate_deflate_compress_bound(comp, len) + 26);
+      size_t csz = libdeflate_deflate_compress(comp, in + off, len, blk.data() + 18, blk.size() - 26);
+      uint32_t crc = libdeflate_crc32(0, in + off, len);
+      uint16_t bsize = (uint16_t)(csz + 26 - 1);
+      uint8_t hdr[18] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff,
+                         6, 0, 'B', 'C', 2, 0,
+                         (uint8_t)(bsize & 0xff), (uint8_t)(bsize >> 8)};
+      memcpy(blk.data(), hdr, 18);
+      uint8_t * foot = blk.data() + 18 + csz;
+      memcpy(foot, &crc, 4);
+      uint32_t isize = (uint32_t)len;
+      memcpy(foot + 4, &isize, 4);
+      sizes[b] = 18 + (int64_t)csz + 8;
+      blk.resize(sizes[b]);
+    }
+    libdeflate_free_compressor(comp);
+  };
+
+  int nt = n_threads > 1 ? std::min<int64_t>(n_threads, n_blocks) : 1;
+  if (nt <= 1)
+  {
+    compress_range(0, n_blocks);
+  }
+  else
+  {
+    std::vector<std::thread> threads;
+    int64_t per = (n_blocks + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t)
+    {
+      int64_t lo = t * per, hi = std::min<int64_t>(n_blocks, (t + 1) * per);
+      if (lo >= hi)
+        break;
+      threads.emplace_back(compress_range, lo, hi);
+    }
+    for (auto & th : threads)
+      th.join();
+  }
+
+  int64_t w = 0;
+  for (int64_t b = 0; b < n_blocks; ++b)
+  {
+    memcpy(out + w, parts[b].data(), sizes[b]);
+    w += sizes[b];
+  }
+  return w;
+}
 
 // Decompress a whole BGZF/gzip file buffer (concatenated members).
 // Returns total decompressed size, or -1 on error. If out==nullptr, only
