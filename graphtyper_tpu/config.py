@@ -71,7 +71,11 @@ class Options:
 
     # calling
     hq_reads: bool = False
-    force_device_sw: bool = False  # route big SW batches to the Pallas TPU kernel
+    # Pallas TPU Smith-Waterman routing for realignment: "auto" (default —
+    # device kernel whenever a TPU backend is active and the batch is worth
+    # dispatching, shapes bucketed to amortize compiles), "on", or "off".
+    device_sw: str = "auto"
+    force_device_sw: bool = False  # legacy alias for device_sw="on"
     # native C++ batch aligner (native/gt_align.cpp); "on" | "off". Path-level
     # parity with the Python aligner is asserted by
     # tests/typer/test_native_align.py; "off" keeps the Python loop.

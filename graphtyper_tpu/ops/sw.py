@@ -64,6 +64,9 @@ def _tpu_available() -> bool:
         return False
 
 
+_device_sw_failures = 0  # logged fallbacks from the device kernel
+
+
 def align_batch(
     queries: np.ndarray,  # [B, M] uint8 codes, pad=5
     q_lens: np.ndarray,  # [B]
@@ -78,25 +81,38 @@ def align_batch(
 ) -> SWResult:
     B, M = queries.shape
     _, N = databases.shape
-    # The Pallas TPU kernel (5.5 Gcell/s/chip) is opt-in via
-    # --force_device_sw: score/begin/end match the host DP exactly on real
-    # hardware (lexicographic tie keys make the reduction order-independent);
-    # clip counts come back as -1 (no pipeline consumer needs them). Opt-in
-    # because the first compile per shape costs minutes over a tunnel.
+    # The Pallas TPU kernel (5.5 Gcell/s/chip) is the DEFAULT realignment
+    # path on a TPU backend: score/begin/end match the host DP exactly on
+    # real hardware (lexicographic tie keys make the reduction
+    # order-independent); clip counts come back as -1 (no pipeline consumer
+    # needs them). Shapes are bucketed (M/N padded up to multiples of 64) so
+    # per-shape compiles amortize across batches; device_sw="off" keeps the
+    # host DP, "on" forces the kernel when a TPU is present.
     if device is None:
         from graphtyper_tpu.config import current_options
 
-        device = (
-            getattr(current_options(), "force_device_sw", False)
-            and B >= 128
-            and _tpu_available()
-        )
+        opts = current_options()
+        mode = getattr(opts, "device_sw", "auto")
+        if getattr(opts, "force_device_sw", False):
+            mode = "on"
+        if mode == "off":
+            device = False
+        elif mode == "on":
+            device = _tpu_available()
+        else:  # auto: TPU backend and a batch worth dispatching
+            device = B >= 32 and _tpu_available()
     if device:
         try:
             from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
 
+            # shape bucketing: pad sequence dims to 64-multiples (length
+            # masks make the padding inert) so compiles are reused
+            Mp = max(64, -(-M // 64) * 64)
+            Np = max(64, -(-N // 64) * 64)
+            q = queries if Mp == M else np.pad(queries, ((0, 0), (0, Mp - M)), constant_values=5)
+            d = databases if Np == N else np.pad(databases, ((0, 0), (0, Np - N)), constant_values=5)
             s, bg, en = sw_align_pallas(
-                queries, q_lens, databases, d_lens, match, mismatch, gap_open, gap_extend, clip
+                q, q_lens, d, d_lens, match, mismatch, gap_open, gap_extend, clip
             )
             return SWResult(
                 np.asarray(s),
@@ -105,8 +121,14 @@ def align_batch(
                 np.full(B, -1, dtype=np.int32),
                 np.full(B, -1, dtype=np.int32),
             )
-        except Exception:
-            pass  # fall back to the host DP
+        except Exception as e:  # pragma: no cover - device-specific
+            global _device_sw_failures
+            _device_sw_failures += 1
+            from graphtyper_tpu.utils.log import get_logger
+
+            get_logger().warning(
+                "device SW kernel failed (%r); host DP fallback #%d", e, _device_sw_failures
+            )
     ge = gap_extend
     go = gap_open
 
