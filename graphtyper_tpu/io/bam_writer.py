@@ -14,20 +14,29 @@ from graphtyper_tpu.io.bam import AlignedRead, BamHeader
 from graphtyper_tpu.io.bgzf import BgzfWriter
 
 _SEQ2NIB = {b: i for i, b in enumerate(b"=ACMGRSVTWYHKDBN")}
+_SEQ2NIB_ARR = np.full(256, 15, dtype=np.uint8)
+for _b, _i in _SEQ2NIB.items():
+    _SEQ2NIB_ARR[_b] = _i
 
 
 def _encode_record(r: AlignedRead) -> bytes:
     name = r.name.encode() + b"\x00"
-    cigar = b"".join(struct.pack("<I", (cnt << 4) | op) for op, cnt in r.cigar)
+    if r.cigar:
+        cig = np.fromiter(((cnt << 4) | op for op, cnt in r.cigar), dtype=np.uint32)
+        cigar = cig.tobytes()
+    else:
+        cigar = b""
     l_seq = len(r.seq)
-    nib = bytearray((l_seq + 1) // 2)
-    for i, b in enumerate(r.seq):
-        v = _SEQ2NIB.get(b, 15)
-        if i % 2 == 0:
-            nib[i // 2] |= v << 4
-        else:
-            nib[i // 2] |= v
-    qual = bytes(int(q) for q in r.qual) if r.qual is not None and len(r.qual) else b"\xff" * l_seq
+    # vectorized 4-bit packing (hi nibble = even positions)
+    v = _SEQ2NIB_ARR[np.frombuffer(r.seq, dtype=np.uint8)]
+    if l_seq % 2:
+        v = np.concatenate([v, np.zeros(1, dtype=np.uint8)])
+    nib = ((v[0::2] << 4) | v[1::2]).astype(np.uint8).tobytes()
+    qual = (
+        np.asarray(r.qual, dtype=np.uint8).tobytes()
+        if r.qual is not None and len(r.qual)
+        else b"\xff" * l_seq
+    )
     tags = b""
     for tag, val in r.tags.items():
         if isinstance(val, int):
@@ -51,7 +60,7 @@ def _encode_record(r: AlignedRead) -> bytes:
         )
         + name
         + cigar
-        + bytes(nib)
+        + nib
         + qual
         + tags
     )
@@ -59,7 +68,9 @@ def _encode_record(r: AlignedRead) -> bytes:
 
 
 def write_bam(path: str, header: BamHeader, reads: list[AlignedRead]) -> None:
-    w = BgzfWriter(path)
+    from graphtyper_tpu.io.bgzf import ThreadedBgzfWriter
+
+    w = ThreadedBgzfWriter(path)
     text = header.text or "@HD\tVN:1.6\tSO:coordinate\n"
     if not text.endswith("\n"):
         text += "\n"

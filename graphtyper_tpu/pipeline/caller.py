@@ -245,12 +245,23 @@ def call_pool(
     stats_dir = getattr(current_options(), "stats", "")
     stats = _StatsWriter(stats_dir, sample_names, graph) if stats_dir else None
 
+    # amplicon primer masking (primers.cpp, hooked before scoring like
+    # vcf_writer.cpp:88-143); forces the Python loop since the native loop
+    # has no primer hook
+    primers = None
+    primer_bedpe = getattr(current_options(), "primer_bedpe", "")
+    if primer_bedpe:
+        from graphtyper_tpu.typer.primers import Primers
+
+        primers = Primers(primer_bedpe, graph)
+
     # Fully-native pooled loop (alignment + dedup + pairing + extraction in
     # C++, device scoring after): the production fast path for non-SV calls.
     if (
         current_options().native_caller != "off"
         and not is_sv
         and stats is None
+        and primers is None
         and scorer.batcher is not None
     ):
         from graphtyper_tpu.pipeline import native_caller as nc
@@ -317,7 +328,7 @@ def call_pool(
                 if selected is not None:
                     if stats is not None:
                         stats.add(selected, read, sample_i)
-                    scorer.update_haplotype_scores(selected, sample_i)
+                    scorer.update_haplotype_scores(selected, sample_i, primers=primers)
         else:
             update_paths(genos, read)
             if (genos[0].flags & IS_FIRST_IN_PAIR) == (found[0].flags & IS_FIRST_IN_PAIR):
@@ -330,7 +341,7 @@ def call_pool(
                 if stats is not None:
                     stats.add(better[0], read, sample_i)
                     stats.add(better[1], read, sample_i)
-                scorer.update_haplotype_scores_pair(better[0], better[1], sample_i)
+                scorer.update_haplotype_scores_pair(better[0], better[1], sample_i, primers=primers)
             del map_gpaths[read.name]
 
     for read, sample_i, rg_i in pooled:

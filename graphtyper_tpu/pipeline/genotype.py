@@ -172,9 +172,19 @@ def genotype(
     os.makedirs(os.path.join(output_path, region.chr), exist_ok=True)
     os.makedirs(os.path.join(output_path, "input_sites", region.chr), exist_ok=True)
 
+    from graphtyper_tpu.config import current_options
+
+    # read-preprocessing copy step (genotype.cpp:48-121 run_bamshrink): per
+    # sample, slice + filter + trim into temp BAMs unless --no_bamshrink
+    if not current_options().no_bamshrink:
+        from graphtyper_tpu.pipeline.bamshrink import run_bamshrink
+
+        sams = run_bamshrink(
+            list(sams), padded, tmp, avg_cov_by_readlen, current_options()
+        )
+
     # very large cohorts: merge per-sample inputs in chunks so pool readers
     # open fewer files (genotype.cpp:174-260)
-    from graphtyper_tpu.config import current_options
     from graphtyper_tpu.pipeline.sam_merge import run_sam_merge
 
     sams = run_sam_merge(list(sams), tmp, current_options())

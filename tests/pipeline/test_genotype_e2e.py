@@ -151,3 +151,52 @@ def test_low_base_quality_penalty(chr1_setup):
     pl_lq = run(",", "lq")   # phred 11 < 25 -> low-qual penalty
     assert pl_hq[1] == 0 and pl_lq[1] == 0  # both still het
     assert pl_lq[0] < pl_hq[0] and pl_lq[2] < pl_hq[2]  # weaker evidence
+
+
+def test_genotype_with_bamshrink(tmp_path):
+    """The default pipeline runs bamshrink first (genotype.cpp:48-121): the
+    shrunk temp BAMs must still genotype concordantly with the truth."""
+    import gzip
+
+    from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=6000, coverage=20.0, seed=61)
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    out = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-6000", str(tmp_path / "out"))
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    pos2rec = {(int(l.split("\t")[1]), l.split("\t")[3], l.split("\t")[4]): l.split("\t") for l in body}
+    ok = tot = 0
+    for (pos, ref, alt), gts in sim.truth.items():
+        key = (pos + 1, ref.decode(), alt.decode())
+        if key in pos2rec:
+            called = pos2rec[key][9].split(":")[0]
+            tot += 1
+            ok += called == f"{gts[0][0]}/{gts[0][1]}"
+    assert tot >= 5 and ok / tot > 0.9, (ok, tot)
+
+
+def test_genotype_primer_masking_runs(tmp_path):
+    """--primer_bedpe flows into call_pool (primers.cpp hook): the pipeline
+    completes with primers active and emits records."""
+    import gzip
+
+    from graphtyper_tpu.config import current_options, replace, set_options
+    from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=5000, coverage=16.0, seed=71)
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    bedpe = str(tmp_path / "p.bedpe")
+    with open(bedpe, "w") as f:
+        f.write(f"{cfg.chrom}\t1000\t1030\t{cfg.chrom}\t1400\t1430\n")
+    old = current_options()
+    try:
+        set_options(replace(old, primer_bedpe=bedpe))
+        out = genotype_only_with_a_vcf(
+            sim.fasta, sim.sams, sim.vcf, f"{cfg.chrom}:1-5000", str(tmp_path / "out")
+        )
+    finally:
+        set_options(old)
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    assert body
