@@ -244,6 +244,17 @@ _READ_CACHE: dict = {}
 _READ_CACHE_MAX = 6
 
 
+def prime_read_cache(path: str, header: BamHeader, reads: list[AlignedRead]) -> None:
+    """Insert freshly written records for `path` into the read cache so the
+    next consumer (discovery/caller) skips the decode entirely (bamshrink
+    writes temp BAMs that the same process immediately re-reads)."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    if len(_READ_CACHE) >= _READ_CACHE_MAX:
+        _READ_CACHE.pop(next(iter(_READ_CACHE)))
+    _READ_CACHE[key] = (header, reads)
+
+
 def read_alignments_cached(
     path: str, parse_tags: bool = False, ref_path: str | None = None
 ) -> tuple[BamHeader, list[AlignedRead]]:

@@ -277,6 +277,9 @@ def bamshrink(
         write_bam(out_path, header, kept)
     else:
         write_sam(out_path, header, kept)
+    from graphtyper_tpu.io.bam import prime_read_cache
+
+    prime_read_cache(out_path, header, kept)
     return out_path
 
 
