@@ -176,26 +176,24 @@ def _process_tags(read: AlignedRead, opts: Options) -> bool:
     return True
 
 
-def bamshrink(
-    sam_path: str,
+def _shrink_region(
+    header,
+    reads: list[AlignedRead],
     chrom: str,
     region_begin: int,
     region_end: int,
-    out_path: str,
-    avg_cov_by_readlen: float = -1.0,
-    opts: Options | None = None,
-) -> str:
-    """Filter + trim + rename reads of one sample over one region; writes the
-    kept reads sorted by position as BAM (.bam suffix — the reference writes
-    temp BAMs, bamshrink.cpp:672 qualityFilterSlice2) or SAM (.sam)."""
-    opts = opts or Options()
-    header, reads = read_alignments(sam_path, parse_tags=True)
+    avg_cov_by_readlen: float,
+    opts: Options,
+    kept: list[AlignedRead],
+    seen: set[int],
+) -> None:
+    """The per-region filter/trim loop; appends surviving reads to `kept`
+    (each input record at most once across regions, tracked via `seen`)."""
     pad = opts.bamshrink_max_fraglen - 100
     lo = max(0, region_begin - pad)
     hi = region_end + pad
     max_bin_sum = (2**30) if opts.no_filter_on_coverage or avg_cov_by_readlen <= 0 else int(avg_cov_by_readlen * 50.0 * 2.5)
 
-    kept: list[AlignedRead] = []
     read_num = 0
     first_pos = -1
     bin_counts: dict[int, int] = {}
@@ -235,6 +233,8 @@ def bamshrink(
         return True
 
     for r in reads:
+        if id(r) in seen:
+            continue
         if r.ref_id < 0 or header.ref_names[r.ref_id] != chrom:
             continue
         if r.pos < lo or r.pos > hi:
@@ -261,8 +261,11 @@ def bamshrink(
         bin_counts[b] = bin_counts.get(b, 0) + 1
         r.qual = _binarize_qual(r.qual)
         r.cigar = _remove_hard_clipped(r.cigar)
+        seen.add(id(r))
         kept.append(r)
 
+
+def _rename_sort_write(header, kept: list[AlignedRead], out_path: str) -> str:
     # compact base-93 read renaming; mates share the original name, so they
     # share the new name too (bamshrink.cpp:48-64 CHANGE_READ_NAMES)
     name_map: dict[str, str] = {}
@@ -281,6 +284,71 @@ def bamshrink(
 
     prime_read_cache(out_path, header, kept)
     return out_path
+
+
+def bamshrink(
+    sam_path: str,
+    chrom: str,
+    region_begin: int,
+    region_end: int,
+    out_path: str,
+    avg_cov_by_readlen: float = -1.0,
+    opts: Options | None = None,
+) -> str:
+    """Filter + trim + rename reads of one sample over one region; writes the
+    kept reads sorted by position as BAM (.bam suffix — the reference writes
+    temp BAMs, bamshrink.cpp:672 qualityFilterSlice2) or SAM (.sam)."""
+    opts = opts or Options()
+    header, reads = read_alignments(sam_path, parse_tags=True)
+    kept: list[AlignedRead] = []
+    _shrink_region(header, reads, chrom, region_begin, region_end, avg_cov_by_readlen, opts, kept, set())
+    return _rename_sort_write(header, kept, out_path)
+
+
+def bamshrink_multi(
+    sam_path: str,
+    intervals: list[tuple[str, int, int]],
+    out_path: str,
+    avg_cov_by_readlen: float = -1.0,
+    opts: Options | None = None,
+) -> str:
+    """Multi-interval slice of one sample into a single temp BAM
+    (bamshrink.cpp:1352 bamshrink_multi, used by HLA genotyping over BED
+    intervals, genotype_hla.cpp:106-107)."""
+    opts = opts or Options()
+    header, reads = read_alignments(sam_path, parse_tags=True)
+    kept: list[AlignedRead] = []
+    seen: set[int] = set()
+    for chrom, begin, end in intervals:
+        _shrink_region(header, reads, chrom, begin, end, avg_cov_by_readlen, opts, kept, seen)
+    return _rename_sort_write(header, kept, out_path)
+
+
+def run_bamshrink_multi(
+    sams: list[str],
+    interval_fn: str,
+    tmp_dir: str,
+    avg_cov_by_readlen: list[float] | None = None,
+    opts: Options | None = None,
+) -> list[str]:
+    """Fan bamshrink_multi out per sample over the intervals of a BED file
+    (genotype_hla.cpp run_bamshrink_multi)."""
+    import os
+
+    intervals: list[tuple[str, int, int]] = []
+    with open(interval_fn) as f:
+        for line in f:
+            fields = line.split()
+            if len(fields) >= 3:
+                intervals.append((fields[0], int(fields[1]), int(fields[2])))
+    os.makedirs(os.path.join(tmp_dir, "bams"), exist_ok=True)
+    out = []
+    for i, sam in enumerate(sams):
+        cov = avg_cov_by_readlen[i] if avg_cov_by_readlen else -1.0
+        dst = os.path.join(tmp_dir, "bams", f"{i:04d}.bam")
+        bamshrink_multi(sam, intervals, dst, cov, opts)
+        out.append(dst)
+    return out
 
 
 def run_bamshrink(

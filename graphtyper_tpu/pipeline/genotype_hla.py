@@ -25,7 +25,13 @@ def genotype_hla(
     sams: list[str],
     region_str: str,
     output_path: str,
+    interval_fn: str | None = None,
+    segment_fasta_files: list[str] | None = None,
 ) -> str:
+    """HLA genotyping (genotype_hla.cpp): optional multi-interval bamshrink
+    preprocessing over a BED file (:106-107), allele-level <H> record from
+    the panel VCF, and — when segment FASTAs are given — whole-panel segment
+    calling (segment_calling.cpp) into a sibling .segments.vcf.gz."""
     from graphtyper_tpu.io.fasta import FastaFile
 
     region = GenomicRegion.parse(region_str)
@@ -35,6 +41,12 @@ def genotype_hla(
     fasta.close()
     padded = GenomicRegion(region.chr, region.begin, region.end)
     padded.pad(1000)
+
+    if interval_fn:
+        from graphtyper_tpu.pipeline.bamshrink import run_bamshrink_multi
+
+        shrink_tmp = tempfile.mkdtemp(prefix="graphtyper_tpu_hla_shrink_")
+        sams = run_bamshrink_multi(sams, interval_fn, shrink_tmp)
 
     graph = construct_graph(ref_path, hla_vcf_fn, padded.to_string(), use_index=True)
     index = index_graph(graph)
@@ -52,6 +64,15 @@ def genotype_hla(
         var.infos["HLA_ALLELES"] = ",".join(allele_names)
 
     os.makedirs(os.path.join(output_path, region.chr), exist_ok=True)
+    if segment_fasta_files:
+        from graphtyper_tpu.typer.segment_calling import segment_calling
+
+        seg_dst = os.path.join(
+            output_path, region.chr, f"{region.begin + 1:09d}-{region.end:09d}.segments.vcf.gz"
+        )
+        segment_calling(
+            graph, index, result.scorer, segment_fasta_files, seg_dst, result.vcf.sample_names
+        )
     dst = os.path.join(output_path, region.chr, f"{region.begin + 1:09d}-{region.end:09d}.hla.vcf.gz")
     tmp = tempfile.mkdtemp(prefix="graphtyper_tpu_hla_")
     out_tmp = os.path.join(tmp, "hla.vcf.gz")

@@ -113,3 +113,103 @@ def test_genotype_hla(tmp_path):
     assert "HLA_ALLELES=A1,A2" in rec[7]
     gt = rec[9].split(":")[0]
     assert gt in ("0/1", "1/0"), rec  # heterozygous A1/A2
+
+
+def test_bamshrink_multi(tmp_path):
+    """Multi-interval slice writes one BAM covering both intervals without
+    duplicating reads (bamshrink.cpp bamshrink_multi)."""
+    from graphtyper_tpu.io.bam import read_alignments
+    from graphtyper_tpu.pipeline.bamshrink import bamshrink_multi
+
+    cfg = SimConfig(region_length=9000, coverage=12.0, seed=77)
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    out = str(tmp_path / "multi.bam")
+    bamshrink_multi(sim.sams[0], [(cfg.chrom, 1000, 3000), (cfg.chrom, 6000, 8000)], out)
+    h, reads = read_alignments(out)
+    assert len(reads) > 50
+    names = [r.name for r in reads]
+    # reads sorted and unique per mate slot
+    assert all(reads[i].pos <= reads[i + 1].pos for i in range(len(reads) - 1))
+    from collections import Counter
+
+    worst = Counter((r.name, r.flag & 0x40) for r in reads).most_common(1)[0][1]
+    assert worst == 1, "a read was emitted twice across intervals"
+    # no kept read maps into the uncovered middle gap (pads are +-900)
+    assert not any(4000 < r.pos < 5000 for r in reads)
+
+
+def test_segment_calling(tmp_path):
+    """Whole-panel segment calling: a sample carrying panel alleles A1/A2
+    genotypes as 0/1 on the <S> record (segment_calling.cpp semantics)."""
+    import numpy as np
+
+    from graphtyper_tpu.graph.build import construct_graph
+    from graphtyper_tpu.graph.coords import GenomicRegion
+    from graphtyper_tpu.index.build import index_graph
+    from graphtyper_tpu.pipeline.caller import call_pool
+    from graphtyper_tpu.typer.segment_calling import segment_calling
+    from graphtyper_tpu.utils.simulate import _random_seq, _write_fasta
+
+    rng = np.random.default_rng(101)
+    L = 4000
+    chrom = "chrH"
+    seq = _random_seq(rng, L)
+    fasta = str(tmp_path / "ref.fa")
+    _write_fasta(fasta, chrom, seq)
+
+    p1, p2 = 1500, 1600
+    ref1, ref2 = chr(seq[p1]), chr(seq[p2])
+    alt1 = "ACGT"[("ACGT".index(ref1) + 1) % 4]
+    alt2 = "ACGT"[("ACGT".index(ref2) + 1) % 4]
+    vcf = str(tmp_path / "p.vcf")
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n##contig=<ID=chrH>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        f.write(f"{chrom}\t{p1 + 1}\t.\t{ref1}\t{alt1}\t.\t.\t.\n")
+        f.write(f"{chrom}\t{p2 + 1}\t.\t{ref2}\t{alt2}\t.\t.\t.\n")
+
+    hapA1 = seq.copy()
+    hapA2 = seq.copy()
+    hapA2[p1] = ord(alt1)
+    hapA2[p2] = ord(alt2)
+
+    # panel FASTA: per allele an intron (0), a long exon (1) spanning both
+    # SNPs, and a trailing intron (2)
+    panel = str(tmp_path / "gene.fa")
+    with open(panel, "w") as f:
+        for name, hap in (("A1", hapA1), ("A2", hapA2)):
+            f.write(f">{name}.0\n" + hap[1100:1300].tobytes().decode() + "\n")
+            f.write(f">{name}.1\n" + hap[1400:1700].tobytes().decode() + "\n")
+            f.write(f">{name}.2\n" + hap[1800:2000].tobytes().decode() + "\n")
+
+    sam = str(tmp_path / "s.sam")
+    records = []
+    read_len, frag = 125, 320
+    for i in range(500):
+        hap = [hapA1, hapA2][i % 2]
+        start = int(rng.integers(0, L - frag))
+        r1 = hap[start : start + read_len].tobytes().decode()
+        r2 = hap[start + frag - read_len : start + frag].tobytes().decode()
+        q = "I" * read_len
+        records.append((start, f"r{i}\t99\t{chrom}\t{start + 1}\t60\t{read_len}M\t=\t{start + frag - read_len + 1}\t{frag}\t{r1}\t{q}"))
+        records.append((start + frag - read_len, f"r{i}\t147\t{chrom}\t{start + frag - read_len + 1}\t60\t{read_len}M\t=\t{start + 1}\t{-frag}\t{r2}\t{q}"))
+    records.sort(key=lambda t: t[0])
+    with open(sam, "w") as f:
+        f.write(f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{chrom}\tLN:{L}\n@RG\tID:rg\tSM:s1\n")
+        for _, l in records:
+            f.write(l + "\n")
+
+    graph = construct_graph(fasta, vcf, f"{chrom}:1-{L}", use_index=True)
+    index = index_graph(graph)
+    res = call_pool(graph, index, [sam], region=GenomicRegion.parse(f"{chrom}:1-{L}"), is_writing_hap=False)
+
+    out = str(tmp_path / "seg.vcf.gz")
+    segment_calling(graph, index, res.scorer, [panel], out, res.vcf.sample_names)
+    txt = gzip.open(out, "rt").read()
+    body = [l for l in txt.splitlines() if not l.startswith("#")]
+    assert body, "no segment record"
+    rec = body[0].split("\t")
+    assert "SEGMENT_ALLELES=" in rec[7]
+    names = rec[7].split("SEGMENT_ALLELES=")[1].split(";")[0].split(",")
+    gt = rec[9].split(":")[0]
+    a, b = sorted(int(x) for x in gt.replace("|", "/").split("/"))
+    assert {names[a], names[b]} == {"A1", "A2"}, (gt, names)
