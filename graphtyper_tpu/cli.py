@@ -198,7 +198,15 @@ def cmd_genotype_hla(args) -> int:
     from graphtyper_tpu.pipeline.genotype_hla import genotype_hla
 
     sams = _read_sams_arg(args)
-    out = genotype_hla(args.ref, args.hla_vcf, sams, args.region, args.output)
+    out = genotype_hla(
+        args.ref,
+        args.hla_vcf,
+        sams,
+        args.region,
+        args.output,
+        interval_fn=args.interval_file,
+        segment_fasta_files=args.segment_fasta or None,
+    )
     print(out)
     return 0
 
@@ -322,6 +330,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_genotype_camou)
 
     p = sub.add_parser("genotype_hla", help="Genotype HLA alleles (WIP, as in the reference)")
+    p.add_argument("--interval_file", default=None,
+                   help="BED intervals for multi-interval bamshrink preprocessing")
+    p.add_argument("--segment_fasta", action="append", default=[],
+                   help="Per-gene panel FASTA for whole-segment calling (repeatable)")
     p.add_argument("ref")
     p.add_argument("hla_vcf")
     _add_common(p)

@@ -153,15 +153,79 @@ def run_first_pass(
         is_acgt[_c] = True
     ref_ok = is_acgt[ref_arr]
 
-    for read in reads:
+    # bulk prepass: mismatch offsets of all pure-M reads found in one matrix
+    # compare per read length (the dominant case); other cigars fall back to
+    # the per-op compare below
+    bulk_hits: dict[int, np.ndarray] = {}
+    by_len: dict[int, list[int]] = {}
+    for ri, read in enumerate(reads):
+        if (
+            len(read.cigar) == 1
+            and read.cigar[0][0] in (0, 7, 8)
+            and read.pos >= region_begin
+            and read.pos - region_begin + len(read.seq) <= REF_SIZE
+            and read.cigar[0][1] == len(read.seq)
+        ):
+            by_len.setdefault(len(read.seq), []).append(ri)
+    for L_r, idxs in by_len.items():
+        if len(idxs) < 8:
+            continue
+        mat = np.frombuffer(b"".join(reads[ri].seq for ri in idxs), dtype=np.uint8).reshape(
+            len(idxs), L_r
+        )
+        starts = np.array([reads[ri].pos - region_begin for ri in idxs])
+        refs = ref_arr[starts[:, None] + np.arange(L_r)[None, :]]
+        mism = (mat != refs) & is_acgt[mat] & is_acgt[refs]
+        rows, cols = np.nonzero(mism)
+        split = np.searchsorted(rows, np.arange(len(idxs) + 1))
+        for k, ri in enumerate(idxs):
+            bulk_hits[ri] = cols[split[k] : split[k + 1]]
+
+    # bulk coverage + bucket bookkeeping for EVERY read (order-faithful:
+    # cov_up/cov_down are order-free sums; bucket.max_pos_end is the max of
+    # its reads' alignment ends; global_max_pos_end at a bucket is the
+    # running max as of its last read, reads being position-sorted)
+    valid_ri: list[int] = []
+    valid_ends: list[int] = []
+    for ri, read in enumerate(reads):
+        if not read.cigar or read.pos < region_begin:
+            continue
+        off = read.pos - region_begin
+        if off >= REF_SIZE:
+            break
+        span = sum(c for opc, c in read.cigar if opc in (0, 2, 3, 7, 8))
+        valid_ri.append(ri)
+        valid_ends.append(min(off + span, REF_SIZE - 1))
+    if valid_ri:
+        starts_v = np.array([reads[ri].pos - region_begin for ri in valid_ri])
+        ends_v = np.array(valid_ends)
+        np.add.at(cov_up, starts_v, 1)
+        np.add.at(cov_down, ends_v, 1)
+        b_idx = starts_v // BUCKET_SIZE
+        n_b = int(b_idx.max()) + 1
+        while len(buckets) < n_b:
+            buckets.append(BucketFirstPass())
+        ends_abs = ends_v + region_begin
+        bucket_max = np.full(n_b, -1, dtype=np.int64)
+        np.maximum.at(bucket_max, b_idx, ends_abs)
+        run_max = np.maximum.accumulate(ends_abs)
+        global_max_pos_end = int(run_max[-1])
+        for b in np.unique(b_idx):
+            buckets[b].max_pos_end = int(bucket_max[b])
+            last = int(np.searchsorted(b_idx, b, side="right")) - 1
+            buckets[b].global_max_pos_end = int(run_max[last])
+
+    for ri, read in enumerate(reads):
         if not read.cigar or read.pos < region_begin:
             continue
         ref_offset = read.pos - region_begin
         if ref_offset >= REF_SIZE:
             break
-        bucket_index = ref_offset // BUCKET_SIZE
-        while bucket_index >= len(buckets):
-            buckets.append(BucketFirstPass())
+        # pure-M reads without mismatches produce no events; their coverage
+        # and bucket state were handled in the bulk pass above
+        pre_hits = bulk_hits.get(ri)
+        if pre_hits is not None and len(pre_hits) == 0:
+            continue
 
         read_offset = 0
         seq = read.seq
@@ -174,16 +238,20 @@ def run_first_pass(
             if ref_offset >= REF_SIZE:
                 break
             if op in (0, 7, 8):  # M, =, X
-                # mismatch positions in one vector compare (bounded by both
-                # the reference end and the read end, like the scalar loop)
-                n_cmp = min(cnt, REF_SIZE - ref_offset, len(seq) - read_offset)
-                if n_cmp > 0:
-                    a = seq_arr[read_offset : read_offset + n_cmp]
-                    b_ = ref_arr[ref_offset : ref_offset + n_cmp]
-                    mism = (a != b_) & ref_ok[ref_offset : ref_offset + n_cmp] & is_acgt[a]
-                    hits = np.nonzero(mism)[0]
+                pre = bulk_hits.get(ri)
+                if pre is not None:
+                    hits = pre
                 else:
-                    hits = ()
+                    # mismatch positions in one vector compare (bounded by
+                    # both the reference end and the read end)
+                    n_cmp = min(cnt, REF_SIZE - ref_offset, len(seq) - read_offset)
+                    if n_cmp > 0:
+                        a = seq_arr[read_offset : read_offset + n_cmp]
+                        b_ = ref_arr[ref_offset : ref_offset + n_cmp]
+                        mism = (a != b_) & ref_ok[ref_offset : ref_offset + n_cmp] & is_acgt[a]
+                        hits = np.nonzero(mism)[0]
+                    else:
+                        hits = ()
                 for r in map(int, hits):
                     ref_pos = ref_offset + r
                     read_pos = read_offset + r
@@ -265,16 +333,6 @@ def run_first_pass(
                 for prev in range(e):
                     prev_info = cigar_events[prev][1]
                     prev_info.phase[ev] = prev_info.phase.get(ev, 0) + 1
-
-        aln_pos = read.pos
-        aln_pos_end = region_begin + min(ref_offset, REF_SIZE - 1)
-        cov_up[aln_pos - region_begin] += 1
-        cov_down[aln_pos_end - region_begin] += 1
-        bucket = buckets[bucket_index]
-        if aln_pos_end > bucket.max_pos_end:
-            bucket.max_pos_end = aln_pos_end
-            global_max_pos_end = max(global_max_pos_end, aln_pos_end)
-        bucket.global_max_pos_end = global_max_pos_end
 
     # trim excess buckets
     if (len(buckets) - 1) * BUCKET_SIZE >= REF_SIZE:
