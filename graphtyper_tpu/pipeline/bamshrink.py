@@ -286,6 +286,107 @@ def _rename_sort_write(header, kept: list[AlignedRead], out_path: str) -> str:
     return out_path
 
 
+def _bamshrink_native(
+    path: str,
+    intervals: list[tuple[str, int, int]],
+    out_path: str,
+    avg_cov_by_readlen: float,
+    opts: Options,
+) -> str | None:
+    """Run the whole shrink (decode + filter + trim + rename + encode) in the
+    native runtime (native/gt_bamshrink.cpp); returns None to fall back."""
+    if not (path.endswith(".bam") and out_path.endswith(".bam")):
+        return None
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    import struct
+
+    from graphtyper_tpu.io.bgzf import BGZF_EOF, bgzf_compress_bulk, decompress_all
+
+    data = decompress_all(path)
+    if data[:4] != b"BAM\x01":
+        return None
+    # resolve contig names -> BAM ref ids
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    off = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    name2id = {}
+    for i in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, off)
+        off += 4
+        name2id[data[off : off + l_name - 1].decode()] = i
+        off += l_name + 4
+    itv_ref, itv_begin, itv_end = [], [], []
+    for chrom, begin, end in intervals:
+        rid = name2id.get(chrom)
+        if rid is None:
+            continue
+        itv_ref.append(rid)
+        itv_begin.append(begin)
+        itv_end.append(end)
+    if not itv_ref:
+        itv_ref, itv_begin, itv_end = [-1], [0], [0]
+
+    if not getattr(lib, "_shrink_ready", False):
+        lib.gt_bamshrink.restype = ctypes.c_void_p
+        lib.gt_bamshrink.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.gt_bamshrink_fetch.restype = ctypes.c_int32
+        lib.gt_bamshrink_fetch.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.gt_bamshrink_free.restype = None
+        lib.gt_bamshrink_free.argtypes = [ctypes.c_void_p]
+        lib._shrink_ready = True
+
+    opt_ints = np.array(
+        [
+            opts.bamshrink_max_fraglen,
+            opts.bamshrink_min_matching,
+            1 if opts.bamshrink_is_not_filtering_mapq0 else 0,
+            opts.bamshrink_min_readlen,
+            opts.bamshrink_min_readlen_low_mapq,
+            opts.bamshrink_min_unpair_readlen,
+            opts.bamshrink_as_filter_threshold,
+            opts.sam_flag_filter,
+            1 if opts.no_filter_on_coverage else 0,
+        ],
+        dtype=np.int64,
+    )
+    buf = np.frombuffer(data, dtype=np.uint8)
+    a_ref = np.array(itv_ref, dtype=np.int64)
+    a_beg = np.array(itv_begin, dtype=np.int64)
+    a_end = np.array(itv_end, dtype=np.int64)
+    out_size = ctypes.c_int64()
+    n_kept = ctypes.c_int64()
+    handle = lib.gt_bamshrink(
+        buf.ctypes.data_as(ctypes.c_void_p), len(data),
+        a_ref.ctypes.data_as(ctypes.c_void_p), a_beg.ctypes.data_as(ctypes.c_void_p),
+        a_end.ctypes.data_as(ctypes.c_void_p), len(a_ref),
+        opt_ints.ctypes.data_as(ctypes.c_void_p), float(avg_cov_by_readlen),
+        ctypes.byref(out_size), ctypes.byref(n_kept),
+    )
+    try:
+        out = np.zeros(out_size.value, dtype=np.uint8)
+        rc = lib.gt_bamshrink_fetch(handle, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            return None
+    finally:
+        lib.gt_bamshrink_free(handle)
+    compressed = bgzf_compress_bulk(out.tobytes())
+    with open(out_path, "wb") as f:
+        f.write(compressed)
+        f.write(BGZF_EOF)
+    return out_path
+
+
 def bamshrink(
     sam_path: str,
     chrom: str,
@@ -299,6 +400,14 @@ def bamshrink(
     kept reads sorted by position as BAM (.bam suffix — the reference writes
     temp BAMs, bamshrink.cpp:672 qualityFilterSlice2) or SAM (.sam)."""
     opts = opts or Options()
+    from graphtyper_tpu.config import current_options
+
+    if current_options().native_aligner != "off":
+        native = _bamshrink_native(
+            sam_path, [(chrom, region_begin, region_end)], out_path, avg_cov_by_readlen, opts
+        )
+        if native is not None:
+            return native
     header, reads = read_alignments(sam_path, parse_tags=True)
     kept: list[AlignedRead] = []
     _shrink_region(header, reads, chrom, region_begin, region_end, avg_cov_by_readlen, opts, kept, set())
@@ -316,6 +425,12 @@ def bamshrink_multi(
     (bamshrink.cpp:1352 bamshrink_multi, used by HLA genotyping over BED
     intervals, genotype_hla.cpp:106-107)."""
     opts = opts or Options()
+    from graphtyper_tpu.config import current_options
+
+    if current_options().native_aligner != "off":
+        native = _bamshrink_native(sam_path, intervals, out_path, avg_cov_by_readlen, opts)
+        if native is not None:
+            return native
     header, reads = read_alignments(sam_path, parse_tags=True)
     kept: list[AlignedRead] = []
     seen: set[int] = set()
