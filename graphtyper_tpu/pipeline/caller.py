@@ -211,6 +211,46 @@ def call_pool(
     scorer_mesh_key: str | None = None,
 ) -> PoolResult:
     """parallel_reader_genotype_only for one pool of samples."""
+    from graphtyper_tpu.config import current_options as _copts
+
+    # Fastest path: BAM bytes straight into the native loop (no AlignedRead
+    # objects at all); falls through to the object paths on any mismatch.
+    if (
+        _copts().native_caller != "off"
+        and _copts().device_scoring != "off"
+        and not graph.is_sv_graph
+        and not getattr(_copts(), "stats", "")
+        and not getattr(_copts(), "primer_bedpe", "")
+        and scorer_mesh_key is None
+        and region is not None
+    ):
+        from graphtyper_tpu.pipeline import native_caller as nc
+
+        if nc.available():
+            fast = nc.run_native_call_pool_bam(
+                graph,
+                index,
+                hts_paths,
+                region,
+                sam_flag_filter=SAM_FLAG_FILTER,
+                force_both=force_align_both_orientations,
+                hq_reads=getattr(_copts(), "hq_reads", False),
+            )
+            if fast is not None:
+                sample_names, scorer, num_records, num_duplicated = fast
+                scorer.finalize()
+                ph = compute_ph_map(scorer) if is_writing_hap else {}
+                return _build_pool_result(
+                    graph,
+                    scorer,
+                    sample_names,
+                    ph,
+                    None,
+                    is_writing_calls_vcf,
+                    num_records,
+                    num_duplicated,
+                )
+
     sample_names, pooled = read_pool_records(hts_paths, region, ref_path=ref_path)
     scorer = SiteScorer(graph, sample_names, mesh_key=scorer_mesh_key)
     is_sv = graph.is_sv_graph

@@ -39,6 +39,17 @@ def _setup_lib(lib) -> None:
     )
     lib.gt_call_pool_fetch.restype = ctypes.c_int32
     lib.gt_call_pool_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 28
+    lib.gt_call_pool_bam.restype = ctypes.c_void_p
+    lib.gt_call_pool_bam.argtypes = (
+        [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
+        + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64]  # files
+        + [ctypes.c_int32] * 5
+        + [_p64] * 5
+    )
     lib.gt_call_pool_free.restype = None
     lib.gt_call_pool_free.argtypes = [ctypes.c_void_p]
     lib._call_ready = True
@@ -46,6 +57,157 @@ def _setup_lib(lib) -> None:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+# decompressed-BAM bytes cache (the caller re-reads the shrunk pool files
+# once per iteration; objects are never built on this path)
+_BYTES_CACHE: dict = {}
+_BYTES_CACHE_MAX = 6
+
+
+def _bam_bytes(path: str) -> bytes:
+    import os
+
+    from graphtyper_tpu.io.bgzf import decompress_all
+
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    hit = _BYTES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    data = decompress_all(path)
+    if len(_BYTES_CACHE) >= _BYTES_CACHE_MAX:
+        _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
+    _BYTES_CACHE[key] = data
+    return data
+
+
+def _parse_bam_header_meta(data: bytes):
+    """(ref_names, sample_names, text) from decompressed BAM bytes."""
+    import struct
+
+    if data[:4] != b"BAM\x01":
+        return None
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    text = data[8 : 8 + l_text].rstrip(b"\x00").decode()
+    off = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    ref_names = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, off)
+        off += 4
+        ref_names.append(data[off : off + l_name - 1].decode())
+        off += l_name + 4
+    samples = []
+    for line in text.split("\n"):
+        if line.startswith("@RG"):
+            for fld in line.split("\t")[1:]:
+                if fld.startswith("SM:") and fld[3:] not in samples:
+                    samples.append(fld[3:])
+    return ref_names, samples, text
+
+
+def run_native_call_pool_bam(
+    graph,
+    index,
+    hts_paths: list[str],
+    region,
+    sam_flag_filter: int = 3840,
+    force_both: bool = False,
+    hq_reads: bool = False,
+    n_threads: int = 0,
+):
+    """Fully array-native pool call: BAM bytes go straight into C++ (decode +
+    pool sort + dedup + pairing + extraction); no AlignedRead objects are
+    built. Returns (sample_names, scorer, num_records, num_duplicated) or
+    None when the pool needs the object path (non-BAM input, multi-sample
+    files, no region)."""
+    if region is None or not all(p.endswith(".bam") for p in hts_paths):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup_lib(lib)
+
+    datas = []
+    targets = []
+    sample_idx = []
+    sample_names: list[str] = []
+    for path in hts_paths:
+        data = _bam_bytes(path)
+        meta = _parse_bam_header_meta(data)
+        if meta is None:
+            return None
+        ref_names, samples, _text = meta
+        if not samples:
+            samples = [path.rsplit("/", 1)[-1].split(".")[0]]
+        if len(samples) > 1:
+            return None  # merged multi-sample files use the object path (RG)
+        sample_idx.append(len(sample_names))
+        sample_names.append(samples[0])
+        datas.append(data)
+        targets.append(ref_names.index(region.chr) if region.chr in ref_names else -2)
+
+    from graphtyper_tpu.typer.scoring import SiteScorer
+
+    scorer = SiteScorer(graph, sample_names)
+    if scorer.batcher is None:
+        return None
+
+    import ctypes
+
+    from graphtyper_tpu.typer.native_align import NativeAligner
+
+    na = NativeAligner(graph, index)
+    sites = scorer.sites
+    site_order = np.array([s.gt.id for s in sites], dtype=np.int64)
+    site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
+    site_is_snp = np.array([1 if graph.is_snp(s.gt) else 0 for s in sites], dtype=np.uint8)
+
+    bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+    ptr_arr = (ctypes.c_void_p * len(bufs))(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
+    )
+    size_arr = np.array([len(d) for d in datas], dtype=np.int64)
+    target_arr = np.array(targets, dtype=np.int64)
+    sidx_arr = np.array(sample_idx, dtype=np.int32)
+
+    if n_threads <= 0:
+        import os
+
+        n_threads = min(8, os.cpu_count() or 1)
+
+    n_obs = ctypes.c_int64()
+    n_xvals = ctypes.c_int64()
+    n_conn = ctypes.c_int64()
+    n_counts = ctypes.c_int64()
+    n_touched = ctypes.c_int64()
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    handle = lib.gt_call_pool_bam(
+        ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
+        ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
+        ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
+        ptr(na.var_out_ref), len(na.var_order), ptr(na.var_arena),
+        ptr(na.sp_ref_reach), ptr(na.sp_actual), len(na.sp_ref_reach),
+        ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
+        ptr(na.keys), len(na.keys), ptr(na.offsets),
+        ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
+        ptr_arr, ptr(size_arr), ptr(target_arr), ptr(sidx_arr), len(bufs),
+        len(sample_names), sam_flag_filter, 1 if force_both else 0, 1 if hq_reads else 0,
+        n_threads,
+        ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn),
+        ctypes.byref(n_counts), ctypes.byref(n_touched),
+    )
+    stats = _consume_call_result(
+        lib, handle, scorer, len(sample_names), n_obs, n_xvals, n_conn, n_counts, n_touched
+    )
+    if stats is None:
+        return None
+    return sample_names, scorer, stats[0], stats[1]
 
 
 def run_native_call_pool(
@@ -144,6 +306,21 @@ def run_native_call_pool(
         ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn), ctypes.byref(n_counts),
         ctypes.byref(n_touched),
     )
+
+    return _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn, n_counts, n_touched)
+
+
+def _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn, n_counts, n_touched):
+    """Fetch a CallResult and feed the scorer's device batcher + connection
+    maps; shared by the object-array and BAM-bytes entries. Returns
+    (num_records, num_duplicated) or None on error."""
+    from graphtyper_tpu.ops.site_scoring import ALLELE_TIERS, _TierBuffer, apply_obs_host
+
+    sites = scorer.sites
+    site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
 
     try:
         N = n_obs.value

@@ -2190,6 +2190,248 @@ void gt_call_pool_free(void * handle)
   delete static_cast<CallResult *>(handle);
 }
 
+// ---------------------------------------------------------------------------
+// Array-native entry: parse pool BAM bytes directly (no Python record
+// objects), pool-sort by (ref_id, pos, seq), and run the same caller loop.
+// ---------------------------------------------------------------------------
+
+void * gt_call_pool_bam(
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // pool files: decompressed BAM bytes per file
+  const uint8_t ** file_data, const int64_t * file_size,
+  const int64_t * file_target_ref, const int32_t * file_sample_idx, int64_t n_files,
+  // options
+  int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
+  int32_t n_threads,
+  // out sizes
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  // ASCII -> code, matching utils/dna.py _CODE (BAM nibble chars only need
+  // "=ACMGRSVTWYHKDBN", but cover the full IUPAC set like the table)
+  static uint8_t CODE[256];
+  static bool init = false;
+  if (!init)
+  {
+    for (int i = 0; i < 256; ++i)
+      CODE[i] = 4;
+    const char * bases = "ACGT";
+    for (int i = 0; i < 4; ++i)
+    {
+      CODE[(uint8_t)bases[i]] = i;
+      CODE[(uint8_t)(bases[i] + 32)] = i;
+    }
+    CODE[(uint8_t)'U'] = CODE[(uint8_t)'u'] = 3;
+    const char * iupac = "NRYSWKMBDHV";
+    for (int i = 0; iupac[i]; ++i)
+    {
+      CODE[(uint8_t)iupac[i]] = 4 + i;
+      CODE[(uint8_t)(iupac[i] + 32)] = 4 + i;
+    }
+    init = true;
+  }
+
+  struct PRead {
+    int32_t ref_id;
+    int64_t pos;
+    const uint8_t * rec;  // record body (after block_size)
+    int32_t block_size;
+    int32_t sample;
+    std::string seq_ascii;
+  };
+  std::vector<PRead> pooled;
+
+  for (int64_t f = 0; f < n_files; ++f)
+  {
+    const uint8_t * data = file_data[f];
+    int64_t size = file_size[f];
+    if (size < 12 || memcmp(data, "BAM\1", 4) != 0)
+      continue;
+    int32_t l_text;
+    memcpy(&l_text, data + 4, 4);
+    int64_t off = 8 + l_text;
+    int32_t nref;
+    memcpy(&nref, data + off, 4);
+    off += 4;
+    for (int32_t i = 0; i < nref; ++i)
+    {
+      int32_t l_name;
+      memcpy(&l_name, data + off, 4);
+      off += 4 + l_name + 4;
+    }
+    while (off + 4 <= size)
+    {
+      int32_t block_size;
+      memcpy(&block_size, data + off, 4);
+      if (block_size <= 0 || off + 4 + block_size > size)
+        break;
+      const uint8_t * p = data + off + 4;
+      int32_t ref_id, pos;
+      memcpy(&ref_id, p, 4);
+      memcpy(&pos, p + 4, 4);
+      if (ref_id >= 0 && ref_id == file_target_ref[f])
+      {
+        PRead pr;
+        pr.ref_id = ref_id;
+        pr.pos = pos;
+        pr.rec = p;
+        pr.block_size = block_size;
+        pr.sample = file_sample_idx[f];
+        // decode seq to ASCII for the pool sort / dedup key
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar;
+        memcpy(&n_cigar, p + 12, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, p + 16, 4);
+        const uint8_t * s = p + 32 + l_read_name + 4 * n_cigar;
+        pr.seq_ascii.resize(l_seq);
+        static const char NIB[17] = "=ACMGRSVTWYHKDBN";
+        for (int i = 0; i < l_seq; ++i)
+          pr.seq_ascii[i] = NIB[(i % 2 == 0) ? (s[i / 2] >> 4) : (s[i / 2] & 0xF)];
+        pooled.push_back(std::move(pr));
+      }
+      off += 4 + block_size;
+    }
+  }
+
+  std::stable_sort(pooled.begin(), pooled.end(), [](const PRead & a, const PRead & b) {
+    if (a.ref_id != b.ref_id)
+      return a.ref_id < b.ref_id;
+    if (a.pos != b.pos)
+      return a.pos < b.pos;
+    return a.seq_ascii < b.seq_ascii;
+  });
+
+  // flatten into the array layout of gt_call_pool
+  int64_t n = (int64_t)pooled.size();
+  std::vector<uint8_t> read_codes, names, quals;
+  std::vector<int64_t> read_off(n + 1, 0), name_off(n + 1, 0), qual_off(n + 1, 0), pos_v(n);
+  std::vector<int32_t> flags_v(n), mapq_v(n), tlen_v(n), sdiff_v(n), clip_v(n), rg_v(n);
+  std::vector<uint8_t> same_ref_v(n);
+
+  for (int64_t r = 0; r < n; ++r)
+  {
+    const PRead & pr = pooled[r];
+    const uint8_t * p = pr.rec;
+    uint8_t l_read_name = p[8];
+    uint8_t mapq8 = p[9];
+    uint16_t n_cigar, flag16;
+    memcpy(&n_cigar, p + 12, 2);
+    memcpy(&flag16, p + 14, 2);
+    int32_t l_seq, next_ref, next_pos, tl;
+    memcpy(&l_seq, p + 16, 4);
+    memcpy(&next_ref, p + 20, 4);
+    memcpy(&next_pos, p + 24, 4);
+    memcpy(&tl, p + 28, 4);
+    pos_v[r] = pr.pos;
+    flags_v[r] = flag16;
+    mapq_v[r] = mapq8;
+    tlen_v[r] = tl;
+    same_ref_v[r] = (pr.ref_id == next_ref) ? 1 : 0;
+    rg_v[r] = pr.sample;
+
+    const uint8_t * q = p + 32;
+    names.insert(names.end(), q, q + l_read_name - 1);
+    name_off[r + 1] = (int64_t)names.size();
+    q += l_read_name;
+    // clipped count (alignment.py _clipped_count): front S count, else back
+    int32_t clip = 0;
+    if (n_cigar > 0)
+    {
+      uint32_t c0, cl;
+      memcpy(&c0, q, 4);
+      memcpy(&cl, q + 4 * (n_cigar - 1), 4);
+      if ((c0 & 0xF) == 4)
+        clip = (int32_t)(c0 >> 4);
+      else if ((cl & 0xF) == 4)
+        clip = (int32_t)(cl >> 4);
+    }
+    clip_v[r] = clip;
+    q += 4 * n_cigar;
+    for (char ch : pr.seq_ascii)
+      read_codes.push_back(CODE[(uint8_t)ch]);
+    read_off[r + 1] = (int64_t)read_codes.size();
+    q += (l_seq + 1) / 2;
+    quals.insert(quals.end(), q, q + l_seq);
+    qual_off[r + 1] = (int64_t)quals.size();
+    q += l_seq;
+
+    // AS/XS tags -> score_diff (alignment.py _score_diff)
+    const uint8_t * end = p + pr.block_size;
+    int64_t as_ = -1, xs = -1;
+    while (q + 3 <= end)
+    {
+      char t0 = q[0], t1 = q[1], typ = q[2];
+      q += 3;
+      int64_t val = 0;
+      int adv = 0;
+      switch (typ)
+      {
+      case 'A': val = q[0]; adv = 1; break;
+      case 'c': val = (int8_t)q[0]; adv = 1; break;
+      case 'C': val = q[0]; adv = 1; break;
+      case 's': { int16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
+      case 'S': { uint16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
+      case 'i': { int32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
+      case 'I': { uint32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
+      case 'f': adv = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t * z = q;
+        while (z < end && *z) ++z;
+        adv = (int)(z - q) + 1;
+        break;
+      }
+      case 'B': {
+        char sub = (char)q[0];
+        uint32_t cnt;
+        memcpy(&cnt, q + 1, 4);
+        int es = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        adv = 5 + es * (int)cnt;
+        break;
+      }
+      default: adv = (int)(end - q); break;
+      }
+      if (t0 == 'A' && t1 == 'S') as_ = val;
+      if (t0 == 'X' && t1 == 'S') xs = val;
+      q += adv;
+    }
+    int64_t sd = 0;
+    if (!(as_ == -1 || as_ < xs))
+    {
+      if (xs == -1)
+        xs = 0;
+      sd = std::min<int64_t>(as_ - xs, 255);
+    }
+    sdiff_v[r] = (int32_t)sd;
+  }
+
+  return gt_call_pool(
+    ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+    var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+    sp_ref_reach, sp_actual, n_special,
+    site_order, site_cnum, site_is_snp, n_sites,
+    keys, n_keys, offsets, lab_start, lab_end, lab_var,
+    read_codes.data(), read_off.data(), n,
+    names.data(), name_off.data(),
+    flags_v.data(), mapq_v.data(), tlen_v.data(), same_ref_v.data(), pos_v.data(),
+    sdiff_v.data(), clip_v.data(),
+    quals.data(), qual_off.data(),
+    rg_v.data(),
+    n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
+    out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -88,3 +88,37 @@ def test_native_caller_parity(sim):
         for ca, cb in zip(a.calls, b.calls):
             np.testing.assert_array_equal(ca.phred, cb.phred)
             np.testing.assert_array_equal(ca.coverage, cb.coverage)
+
+
+def test_bam_bytes_fast_path_parity(tmp_path):
+    """The BAM-bytes fast path (gt_call_pool_bam: no AlignedRead objects)
+    must match the object-based Python loop state-for-state."""
+    cfg = SimConfig(region_length=8000, coverage=18.0, n_samples=2, seed=37, out_format="bam", error_rate=0.004)
+    sim = simulate_cohort(str(tmp_path), cfg)
+
+    def run(native):
+        graph = construct_graph(sim.fasta, sim.vcf, f"{cfg.chrom}:1-{cfg.region_length}", use_index=True)
+        index = index_graph(graph)
+        region = GenomicRegion.parse(f"{cfg.chrom}:1-{cfg.region_length}")
+        old = current_options()
+        set_options(replace(old, native_caller="on" if native else "off", device_scoring="on"))
+        try:
+            return call_pool(graph, index, sim.sams, region=region, is_writing_hap=True)
+        finally:
+            set_options(old)
+
+    py = run(False)
+    na = run(True)
+    assert na.num_records == py.num_records
+    assert na.num_duplicated == py.num_duplicated
+    assert na.vcf.sample_names == py.vcf.sample_names
+    for sh, sd in zip(py.scorer.sites, na.scorer.sites):
+        for hh, hd in zip(sh.hap_samples, sd.hap_samples):
+            np.testing.assert_array_equal(hh.log_score, hd.log_score)
+            np.testing.assert_array_equal(hh.gt_coverage, hd.gt_coverage)
+    assert py.ph == dict(na.ph)
+    for a, b in zip(py.vcf.variants, na.vcf.variants):
+        assert a.abs_pos == b.abs_pos and a.seqs == b.seqs
+        for ca, cb in zip(a.calls, b.calls):
+            np.testing.assert_array_equal(ca.phred, cb.phred)
+            np.testing.assert_array_equal(ca.coverage, cb.coverage)
