@@ -815,17 +815,44 @@ def streamlined_discovery(
     num_buckets = 0
     per_file_reads: list[list[AlignedRead]] = []
 
-    for file_i, path in enumerate(hts_paths):
-        header, reads = read_alignments_cached(path, ref_path=ref_path)
-        reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
-        reads.sort(key=lambda r: r.pos)
-        per_file_reads.append(reads)
-        if sample_names_out is not None:
-            name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
-            sample_names_out.append(name)
-        from graphtyper_tpu.config import current_options
+    from graphtyper_tpu.config import current_options
 
-        buckets, sample_haps = run_first_pass(reads, region_begin, reference, opts=current_options())
+    use_native_fp = current_options().native_caller != "off"
+    if use_native_fp:
+        from graphtyper_tpu.typer import native_discovery
+
+        use_native_fp = native_discovery.available()
+
+    for file_i, path in enumerate(hts_paths):
+        buckets = sample_haps = None
+        if use_native_fp and path.endswith(".bam"):
+            # native first pass straight from BAM bytes; reads load lazily
+            # only if this file later needs realignment
+            from graphtyper_tpu.pipeline.native_caller import _bam_bytes, _parse_bam_header_meta
+
+            data = _bam_bytes(path)
+            meta = _parse_bam_header_meta(data)
+            if meta is not None:
+                ref_names, samples, _text = meta
+                target = ref_names.index(region.chr) if region.chr in ref_names else -2
+                out = native_discovery.run_first_pass_native(
+                    data, target, region_begin, reference, current_options()
+                )
+                if out is not None:
+                    buckets, sample_haps = out
+                    per_file_reads.append(None)
+                    if sample_names_out is not None:
+                        name = samples[0] if samples else path.rsplit("/", 1)[-1].split(".")[0]
+                        sample_names_out.append(name)
+        if buckets is None:
+            header, reads = read_alignments_cached(path, ref_path=ref_path)
+            reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
+            reads.sort(key=lambda r: r.pos)
+            per_file_reads.append(reads)
+            if sample_names_out is not None:
+                name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
+                sample_names_out.append(name)
+            buckets, sample_haps = run_first_pass(reads, region_begin, reference, opts=current_options())
         # fix file index on surviving indels
         for b in buckets:
             for ev, info in b.events.items():
@@ -853,11 +880,19 @@ def streamlined_discovery(
         if not info.has_indel_good_support:
             indel_to_realign.setdefault(info.max_log_qual_file_i, []).append(ev)
 
+    def _file_reads(file_i: int):
+        if per_file_reads[file_i] is None:
+            header, reads = read_alignments_cached(hts_paths[file_i], ref_path=ref_path)
+            reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
+            reads.sort(key=lambda r: r.pos)
+            per_file_reads[file_i] = reads
+        return per_file_reads[file_i]
+
     for file_i, indels in indel_to_realign.items():
         if not indels:
             continue
         buckets2, max_read_size = read_reads_into_buckets(
-            per_file_reads[file_i], indel_events, num_buckets, region_begin, reference
+            _file_reads(file_i), indel_events, num_buckets, region_begin, reference
         )
         # include nearby good events (caller.cpp:2690-2730)
         NEARBY_BP = 60

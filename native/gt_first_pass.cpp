@@ -1,0 +1,663 @@
+// Native discovery first pass: the per-sample CIGAR pileup with SNP
+// has_good_support and indel realignment-support gates plus the SNP
+// haplotype phase analysis, consuming decompressed BAM bytes directly.
+//
+// Ports graphtyper_tpu/typer/discovery.py run_first_pass (reference
+// semantics src/typer/caller.cpp:488-1365) and the EventSupport gates of
+// typer/events.py (event.cpp:218-291). Event-level parity with the Python
+// pass is asserted by tests/pipeline/test_native_first_pass.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int64_t BUCKET_SIZE = 50;
+constexpr uint32_t FP_IS_PROPER_PAIR = 0x2;
+constexpr uint32_t FP_IS_REVERSED = 0x10;
+constexpr uint32_t FP_IS_FIRST_IN_PAIR = 0x40;
+
+struct FpOpts {
+  int64_t filter_on_proper_pairs;
+  int64_t no_filter_on_begin_pos;
+  int64_t filter_on_read_bias;
+  int64_t filter_on_strand_bias;
+};
+
+// type order I < D < X at equal positions (event.cpp:173-181)
+struct EvKey {
+  int64_t pos;
+  uint8_t type;  // 0=I 1=D 2=X
+  std::string seq;
+
+  bool operator<(const EvKey & o) const
+  {
+    if (pos != o.pos)
+      return pos < o.pos;
+    if (type != o.type)
+      return type < o.type;
+    return seq < o.seq;
+  }
+  bool operator==(const EvKey & o) const { return pos == o.pos && type == o.type && seq == o.seq; }
+};
+
+struct EvSupport {
+  int64_t hq_count = 0, lq_count = 0, proper_pairs = 0, first_in_pairs = 0;
+  int64_t sequence_reversed = 0, clipped = 0, max_mapq = 0, max_distance = 0;
+  int64_t uniq_pos1 = -1, uniq_pos2 = -1, uniq_pos3 = -1;
+  int64_t span = 1;
+  bool has_realignment_support = false, has_indel_good_support = false;
+  int64_t max_log_qual = 0;
+  std::map<EvKey, int64_t> phase;
+
+  int64_t raw() const { return hq_count + lq_count; }
+  double corrected() const { return hq_count + lq_count / 2.0; }
+};
+
+static int64_t get_log_qual_double(double count, double anti, double eps)
+{
+  double gt00 = count * eps;
+  double gt01 = count + anti;
+  double gt11 = anti * eps;
+  double gt_alt = std::min(gt01, gt11);
+  return gt00 > gt_alt ? (int64_t)(gt00 - gt_alt + 0.5) : 0;
+}
+
+static bool has_good_support(const EvSupport & e, int64_t cov, const FpOpts & o)
+{
+  if (cov < 1)
+    cov = 1;
+  int64_t raw = e.raw();
+  double ratio = (double)raw / (double)cov;
+  bool very_promising =
+    e.uniq_pos3 != -1 &&
+    ((e.hq_count >= 8 && ratio >= 0.35) || (e.hq_count >= 7 && ratio >= 0.40)) &&
+    (!o.filter_on_proper_pairs || e.proper_pairs >= 6);
+  bool promising =
+    e.uniq_pos3 != -1 &&
+    ((e.hq_count >= 7 && ratio >= 0.20) || (e.hq_count >= 6 && ratio >= 0.30) ||
+     (e.hq_count >= 5 && ratio >= 0.40)) &&
+    (!o.filter_on_proper_pairs || e.proper_pairs >= 4);
+  return (o.no_filter_on_begin_pos || e.uniq_pos2 != -1) &&
+         (!o.filter_on_proper_pairs || e.proper_pairs >= 2) && (e.hq_count >= 3) &&
+         (!o.filter_on_read_bias || promising ||
+          (e.first_in_pairs > 0 && e.first_in_pairs < raw)) &&
+         (very_promising || !o.filter_on_strand_bias ||
+          (promising && e.sequence_reversed > 0 && e.sequence_reversed < raw) ||
+          (e.sequence_reversed > 1 && e.sequence_reversed < raw - 1)) &&
+         (e.clipped <= 1 || (e.clipped + 5) <= raw) &&
+         (e.max_distance >= 10 || (promising && e.hq_count >= 10)) &&
+         (e.corrected() >= 3.9) && (ratio > 0.26 || promising);
+}
+
+static int64_t compute_indel_span(const EvKey & ev, const uint8_t * ref, int64_t ref_size,
+                                  int64_t ref_offset)
+{
+  int64_t span = 0;
+  int64_t count = (int64_t)ev.seq.size();
+  if (ev.type == 0)  // I
+  {
+    while (span < count)
+    {
+      if (ref_offset + span >= ref_size || (uint8_t)ev.seq[span] != ref[ref_offset + span])
+        break;
+      ++span;
+    }
+    if (span == count)
+    {
+      while (ref_offset + span < ref_size)
+      {
+        if (ref[ref_offset + span - count] != ref[ref_offset + span])
+          break;
+        ++span;
+      }
+    }
+  }
+  else  // D
+  {
+    while (ref_offset + span + count < ref_size)
+    {
+      if (ref[ref_offset + span] != ref[ref_offset + span + count])
+        break;
+      ++span;
+    }
+  }
+  return std::min<int64_t>(span, 0xFFFE) + 1;
+}
+
+struct FpRead {
+  int64_t pos;
+  uint16_t flag;
+  uint8_t mapq;
+  std::string seq;           // ASCII
+  std::vector<uint8_t> qual; // raw phred
+  std::vector<std::pair<uint8_t, int32_t>> cigar;
+};
+
+static bool is_acgt(uint8_t c) { return c == 'A' || c == 'C' || c == 'G' || c == 'T'; }
+
+struct FpResult {
+  // flattened event table (all phase-time survivors, sorted enumeration)
+  std::vector<EvKey> keys;
+  std::vector<EvSupport> infos;
+  std::vector<uint8_t> in_bucket;         // indel survivor flag
+  std::vector<std::vector<int64_t>> ever; // per event: ever_together indices
+  std::vector<std::vector<int64_t>> always;
+  std::vector<std::vector<std::pair<int64_t, int64_t>>> phase;  // per event: (idx, count)
+  int64_t n_buckets = 0;
+  int32_t error = 0;
+  // flattened views (filled by finalize)
+  std::vector<int64_t> f_pos, f_span, f_maxlq;
+  std::vector<uint8_t> f_type, f_in_bucket, f_has_good, f_has_realn;
+  std::vector<int64_t> f_counts;  // 11 per event
+  std::vector<uint8_t> f_seq;
+  std::vector<int64_t> f_seq_off, f_ever_off, f_always_off, f_phase_off;
+  std::vector<int64_t> f_ever, f_always, f_phase_idx, f_phase_cnt;
+
+  void finalize()
+  {
+    int64_t n = (int64_t)keys.size();
+    f_seq_off.assign(1, 0);
+    f_ever_off.assign(1, 0);
+    f_always_off.assign(1, 0);
+    f_phase_off.assign(1, 0);
+    for (int64_t i = 0; i < n; ++i)
+    {
+      const EvKey & k = keys[i];
+      const EvSupport & e = infos[i];
+      f_pos.push_back(k.pos);
+      f_type.push_back(k.type);
+      f_seq.insert(f_seq.end(), k.seq.begin(), k.seq.end());
+      f_seq_off.push_back((int64_t)f_seq.size());
+      f_span.push_back(e.span);
+      f_maxlq.push_back(e.max_log_qual);
+      f_in_bucket.push_back(in_bucket[i]);
+      f_has_good.push_back(e.has_indel_good_support ? 1 : 0);
+      f_has_realn.push_back(e.has_realignment_support ? 1 : 0);
+      int64_t cs[11] = {e.hq_count, e.lq_count, e.proper_pairs, e.first_in_pairs,
+                        e.sequence_reversed, e.clipped, e.max_mapq, e.max_distance,
+                        e.uniq_pos1, e.uniq_pos2, e.uniq_pos3};
+      f_counts.insert(f_counts.end(), cs, cs + 11);
+      f_ever.insert(f_ever.end(), ever[i].begin(), ever[i].end());
+      f_ever_off.push_back((int64_t)f_ever.size());
+      f_always.insert(f_always.end(), always[i].begin(), always[i].end());
+      f_always_off.push_back((int64_t)f_always.size());
+      for (auto const & pc : phase[i])
+      {
+        f_phase_idx.push_back(pc.first);
+        f_phase_cnt.push_back(pc.second);
+      }
+      f_phase_off.push_back((int64_t)f_phase_idx.size());
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void * gt_first_pass(const uint8_t * data, int64_t size, int64_t target_ref,
+                     int64_t region_begin, const uint8_t * reference, int64_t ref_size,
+                     const int64_t * opt_ints,
+                     int64_t * out_n_events, int64_t * out_n_seq, int64_t * out_n_ever,
+                     int64_t * out_n_always, int64_t * out_n_phase, int64_t * out_n_buckets)
+{
+  FpResult * R = new FpResult();
+  FpOpts opts{opt_ints[0], opt_ints[1], opt_ints[2], opt_ints[3]};
+
+  // ---- parse reads on the target contig (position-sorted stable) ---------
+  std::vector<FpRead> reads;
+  if (size >= 12 && memcmp(data, "BAM\1", 4) == 0)
+  {
+    int32_t l_text;
+    memcpy(&l_text, data + 4, 4);
+    int64_t off = 8 + l_text;
+    int32_t nref;
+    memcpy(&nref, data + off, 4);
+    off += 4;
+    for (int32_t i = 0; i < nref; ++i)
+    {
+      int32_t l_name;
+      memcpy(&l_name, data + off, 4);
+      off += 4 + l_name + 4;
+    }
+    static const char NIB[17] = "=ACMGRSVTWYHKDBN";
+    while (off + 4 <= size)
+    {
+      int32_t block_size;
+      memcpy(&block_size, data + off, 4);
+      if (block_size <= 0 || off + 4 + block_size > size)
+        break;
+      const uint8_t * p = data + off + 4;
+      off += 4 + block_size;
+      int32_t ref_id, pos;
+      memcpy(&ref_id, p, 4);
+      memcpy(&pos, p + 4, 4);
+      if (ref_id < 0 || ref_id != target_ref)
+        continue;
+      FpRead r;
+      r.pos = pos;
+      uint8_t l_read_name = p[8];
+      r.mapq = p[9];
+      uint16_t n_cigar;
+      memcpy(&n_cigar, p + 12, 2);
+      memcpy(&r.flag, p + 14, 2);
+      int32_t l_seq;
+      memcpy(&l_seq, p + 16, 4);
+      const uint8_t * q = p + 32 + l_read_name;
+      for (int i = 0; i < n_cigar; ++i)
+      {
+        uint32_t c;
+        memcpy(&c, q + 4 * i, 4);
+        r.cigar.push_back({(uint8_t)(c & 0xF), (int32_t)(c >> 4)});
+      }
+      q += 4 * n_cigar;
+      r.seq.resize(l_seq);
+      for (int i = 0; i < l_seq; ++i)
+        r.seq[i] = NIB[(i % 2 == 0) ? (q[i / 2] >> 4) : (q[i / 2] & 0xF)];
+      q += (l_seq + 1) / 2;
+      r.qual.assign(q, q + l_seq);
+      reads.push_back(std::move(r));
+    }
+  }
+  std::stable_sort(reads.begin(), reads.end(),
+                   [](const FpRead & a, const FpRead & b) { return a.pos < b.pos; });
+
+  // ---- pileup --------------------------------------------------------
+  std::vector<int64_t> cov_up(ref_size, 0), cov_down(ref_size, 0);
+  std::map<EvKey, EvSupport> events;         // all events during the pass
+  std::vector<std::vector<EvKey>> bucket_events;  // bucket -> keys (for filters)
+  auto bucket_of = [&](int64_t pos) { return (pos - region_begin) / BUCKET_SIZE; };
+
+  constexpr int HIGH_EVENT_COUNT = 12;
+  constexpr int VHIGH_EVENT_COUNT = 18;
+
+  int64_t n_bucket_reads = 0;
+  for (auto const & read : reads)
+  {
+    if (read.cigar.empty() || read.pos < region_begin)
+      continue;
+    int64_t ref_offset = read.pos - region_begin;
+    if (ref_offset >= ref_size)
+      break;
+    n_bucket_reads = std::max(n_bucket_reads, ref_offset / BUCKET_SIZE + 1);
+
+    int64_t read_offset = 0;
+    bool is_read_clipped =
+      (!read.cigar.empty() &&
+       ((read.cigar.front().first == 4 && read.cigar.front().second >= 1) ||
+        (read.cigar.back().first == 4 && read.cigar.back().second >= 1)));
+    std::vector<EvSupport *> cigar_infos;
+    std::vector<EvKey> cigar_keys;
+
+    int64_t walk_offset = ref_offset;
+    for (auto const & [op, cnt] : read.cigar)
+    {
+      if (walk_offset >= ref_size)
+        break;
+      if (op == 0 || op == 7 || op == 8)
+      {
+        for (int64_t r = 0; r < cnt; ++r)
+        {
+          int64_t ref_pos = walk_offset + r;
+          if (ref_pos >= ref_size)
+            break;
+          int64_t read_pos = read_offset + r;
+          if (read_pos >= (int64_t)read.seq.size())
+            break;
+          uint8_t ref_b = reference[ref_pos];
+          uint8_t read_b = (uint8_t)read.seq[read_pos];
+          if (read_b == ref_b || !is_acgt(ref_b) || !is_acgt(read_b))
+            continue;
+          EvKey ev{ref_pos + region_begin, 2, std::string(1, (char)read_b)};
+          EvSupport & info = events[ev];
+          if (read.qual[read_pos] >= 25)
+            info.hq_count += 1;
+          else
+            info.lq_count += 1;
+          if (read.mapq != 255 && read.mapq > info.max_mapq)
+            info.max_mapq = read.mapq;
+          info.proper_pairs += (read.flag & FP_IS_PROPER_PAIR) != 0;
+          info.first_in_pairs += (read.flag & FP_IS_FIRST_IN_PAIR) != 0;
+          info.sequence_reversed += (read.flag & FP_IS_REVERSED) != 0;
+          info.clipped += is_read_clipped;
+          if (info.uniq_pos1 == -1)
+            info.uniq_pos1 = read.pos;
+          else if (info.uniq_pos2 == -1)
+          {
+            if (info.uniq_pos1 != read.pos)
+              info.uniq_pos2 = read.pos;
+          }
+          else if (info.uniq_pos3 == -1 && info.uniq_pos2 != read.pos)
+            info.uniq_pos3 = read.pos;
+          int64_t max_distance =
+            std::min(read_pos, (int64_t)read.seq.size() - 1 - read_pos);
+          if (max_distance > info.max_distance)
+            info.max_distance = max_distance;
+          cigar_infos.push_back(&info);
+          cigar_keys.push_back(ev);
+        }
+        read_offset += cnt;
+        walk_offset += cnt;
+      }
+      else if (op == 1)  // I
+      {
+        bool ok = cnt > 0;
+        for (int64_t i = 0; i < cnt && ok; ++i)
+          ok = is_acgt((uint8_t)read.seq[read_offset + i]);
+        if (ok)
+        {
+          EvKey ev{region_begin + walk_offset, 0, read.seq.substr(read_offset, cnt)};
+          auto it = events.find(ev);
+          if (it == events.end())
+          {
+            it = events.emplace(ev, EvSupport()).first;
+            it->second.span = compute_indel_span(ev, reference, ref_size, walk_offset);
+          }
+          EvSupport & info = it->second;
+          info.hq_count += 1;
+          if (read.mapq != 255 && read.mapq > info.max_mapq)
+            info.max_mapq = read.mapq;
+          info.proper_pairs += (read.flag & FP_IS_PROPER_PAIR) != 0;
+          info.sequence_reversed += (read.flag & FP_IS_REVERSED) != 0;
+          info.clipped += is_read_clipped;
+          cigar_infos.push_back(&info);
+          cigar_keys.push_back(ev);
+        }
+        read_offset += cnt;
+      }
+      else if (op == 2)  // D
+      {
+        if (walk_offset + cnt >= ref_size)
+        {
+          walk_offset += cnt;
+          continue;
+        }
+        bool ok = true;
+        for (int64_t i = 0; i < cnt && ok; ++i)
+          ok = is_acgt(reference[walk_offset + i]);
+        if (ok)
+        {
+          EvKey ev{region_begin + walk_offset, 1,
+                   std::string((const char *)reference + walk_offset, cnt)};
+          auto it = events.find(ev);
+          if (it == events.end())
+          {
+            it = events.emplace(ev, EvSupport()).first;
+            it->second.span = compute_indel_span(ev, reference, ref_size, walk_offset);
+          }
+          EvSupport & info = it->second;
+          info.hq_count += 1;
+          if (read.mapq != 255 && read.mapq > info.max_mapq)
+            info.max_mapq = read.mapq;
+          info.proper_pairs += (read.flag & FP_IS_PROPER_PAIR) != 0;
+          info.sequence_reversed += (read.flag & FP_IS_REVERSED) != 0;
+          info.clipped += is_read_clipped;
+          cigar_infos.push_back(&info);
+          cigar_keys.push_back(ev);
+        }
+        walk_offset += cnt;
+      }
+      else if (op == 4)  // S
+        read_offset += cnt;
+      // H/P: nothing
+    }
+
+    // demote event support on messy reads (caller.cpp:1114-1146)
+    if ((int)cigar_infos.size() >= HIGH_EVENT_COUNT)
+    {
+      for (EvSupport * info : cigar_infos)
+      {
+        if ((int)cigar_infos.size() >= VHIGH_EVENT_COUNT)
+        {
+          if (info->hq_count > 0)
+            info->hq_count -= 1;
+          else if (info->lq_count > 0)
+            info->lq_count -= 1;
+        }
+        else
+        {
+          if (info->hq_count > 0)
+          {
+            info->hq_count -= 1;
+            info->lq_count += 1;
+          }
+        }
+      }
+    }
+    if ((int)cigar_infos.size() < VHIGH_EVENT_COUNT)
+    {
+      for (size_t e = 1; e < cigar_infos.size(); ++e)
+        for (size_t prev = 0; prev < e; ++prev)
+          cigar_infos[prev]->phase[cigar_keys[e]] += 1;
+    }
+
+    // coverage tracks (order-free)
+    int64_t ref_span = 0;
+    for (auto const & [op, cnt] : read.cigar)
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        ref_span += cnt;
+    int64_t end_off = std::min(ref_offset + ref_span, ref_size - 1);
+    cov_up[ref_offset] += 1;
+    cov_down[end_off] += 1;
+  }
+
+  // trim excess buckets like the Python pass
+  int64_t NUM_BUCKETS = n_bucket_reads;
+  // events can extend the bucket list in Python; mirror with event positions
+  for (auto const & kv : events)
+    NUM_BUCKETS = std::max(NUM_BUCKETS, bucket_of(kv.first.pos) + 1);
+  if ((NUM_BUCKETS - 1) * BUCKET_SIZE >= ref_size)
+    NUM_BUCKETS = (ref_size - 1) / BUCKET_SIZE + 1;
+  R->n_buckets = NUM_BUCKETS;
+
+  std::vector<int64_t> cum(ref_size + 1, 0);
+  for (int64_t i = 0; i < ref_size; ++i)
+    cum[i + 1] = cum[i] + cov_up[i] - cov_down[i];
+  auto cov_at = [&](int64_t pos) { return cum[std::min(pos + 1, ref_size)]; };
+
+  // ---- SNP filter (caller.cpp:915-990) -----------------------------------
+  for (auto it = events.begin(); it != events.end();)
+  {
+    if (it->first.type != 2 || bucket_of(it->first.pos) >= NUM_BUCKETS)
+    {
+      ++it;
+      continue;
+    }
+    int64_t begin = std::max<int64_t>(0, it->first.pos - region_begin);
+    if (!has_good_support(it->second, cov_at(begin), opts))
+      it = events.erase(it);
+    else
+      ++it;
+  }
+
+  // ---- indel gates (caller.cpp:993-1190) ---------------------------------
+  for (auto it = events.begin(); it != events.end();)
+  {
+    const EvKey & ev = it->first;
+    EvSupport & info = it->second;
+    if (ev.type == 2 || bucket_of(ev.pos) >= NUM_BUCKETS)
+    {
+      ++it;
+      continue;
+    }
+    int64_t naive_pad = (int64_t)(4.0 + (double)ev.seq.size() / 3.0);
+    int64_t naive_begin = std::max<int64_t>(0, ev.pos - naive_pad - region_begin);
+    int64_t naive_end = std::min<int64_t>(ref_size, ev.pos + info.span + naive_pad - region_begin);
+    double correction = (ev.type == 0) ? ((double)ev.seq.size() / 2.0 + 8.0) / 8.0
+                                       : ((double)ev.seq.size() / 3.0 + 10.0) / 10.0;
+    double count = correction * (double)(info.hq_count + info.lq_count);
+    int64_t cov = cum[naive_begin];
+    int64_t s = std::max(bucket_of(ev.pos) * BUCKET_SIZE, naive_begin);
+    int64_t end_limit = std::min(naive_end, ref_size - 1);
+    if (s <= end_limit)
+      for (int64_t x = s; x <= end_limit; ++x)
+        cov -= cov_down[x];
+    double corrected_cov = std::max((double)cov, count);
+    double anti_count_d = corrected_cov - count;
+    int64_t log_qual = get_log_qual_double(count, anti_count_d, 10.0);
+    if (info.hq_count >= 6 && count >= 8.0 && log_qual >= 60 && info.sequence_reversed > 0 &&
+        info.sequence_reversed < info.hq_count && info.proper_pairs >= 3 && info.max_mapq >= 20 &&
+        (info.clipped == 0 || (info.clipped + 3) <= info.hq_count))
+    {
+      info.has_indel_good_support = true;
+      info.has_realignment_support = true;
+      info.max_log_qual = log_qual;
+      ++it;
+    }
+    else if (count >= 3.0 && log_qual > 0 && info.proper_pairs >= 1 &&
+             (info.hq_count >= 5 || info.max_mapq >= 25) && info.max_mapq >= 10 &&
+             info.clipped < info.hq_count)
+    {
+      info.has_realignment_support = true;
+      info.max_log_qual = log_qual;
+      ++it;
+    }
+    else
+      it = events.erase(it);
+  }
+
+  // drop events past the bucket range (Python never added them to buckets)
+  for (auto it = events.begin(); it != events.end();)
+  {
+    if (bucket_of(it->first.pos) >= NUM_BUCKETS || it->first.pos < region_begin)
+      it = events.erase(it);
+    else
+      ++it;
+  }
+
+  // ---- phase analysis (caller.cpp:1193-1360) ------------------------------
+  // survivors enumerated in (bucket, sort_key) order == global sorted order
+  std::vector<const EvKey *> order;
+  for (auto const & kv : events)
+    order.push_back(&kv.first);
+  int64_t n = (int64_t)order.size();
+  std::map<EvKey, int64_t> index_of;
+  for (int64_t i = 0; i < n; ++i)
+    index_of[*order[i]] = i;
+
+  R->keys.resize(n);
+  R->infos.resize(n);
+  R->in_bucket.assign(n, 0);
+  R->ever.resize(n);
+  R->always.resize(n);
+  R->phase.resize(n);
+
+  for (int64_t i = 0; i < n; ++i)
+  {
+    const EvKey & ev = *order[i];
+    const EvSupport & info = events[ev];
+    int64_t begin = std::max<int64_t>(0, ev.pos - region_begin);
+    int64_t cov = cov_at(begin);
+    double support_ratio =
+      std::max(0.3, (double)info.raw() / (double)std::max<int64_t>(cov, 1));
+
+    for (int64_t j = 0; j < n; ++j)
+    {
+      const EvKey & ev2 = *order[j];
+      if (ev2.pos == ev.pos && ev2.type == ev.type)
+        continue;
+      if (ev2.pos <= ev.pos)
+        continue;
+      if (ev2.pos >= ev.pos + 2 * BUCKET_SIZE)
+        continue;
+      // bucket window: same bucket (later events), +1, +2
+      int64_t b1 = bucket_of(ev.pos), b2 = bucket_of(ev2.pos);
+      if (b2 < b1 || b2 > b1 + 2)
+        continue;
+      if (b2 == b1 && !(ev < ev2))
+        continue;
+      bool is_indel = ev.type != 2 || ev2.type != 2;
+      int64_t flags;
+      auto ph_it = info.phase.find(ev2);
+      int64_t support = ph_it == info.phase.end() ? 0 : ph_it->second;
+      if (is_indel)
+        flags = support == 0 ? 2 : 3;
+      else
+      {
+        int64_t end = std::max<int64_t>(0, ev2.pos - region_begin);
+        int64_t local_cov = cov;
+        int64_t hi = std::min(end, ref_size - 1);
+        for (int64_t x = begin + 1; x <= hi; ++x)
+          local_cov -= cov_down[x];
+        if (local_cov <= 2)
+          flags = 0;
+        else
+        {
+          double rr = (double)support / (double)local_cov / support_ratio;
+          flags = rr < 0.22 ? 2 : (rr > 0.78 ? 1 : 3);
+        }
+      }
+      if (flags & 1)
+      {
+        R->ever[i].push_back(j);
+        if (ev2.pos <= ev.pos + 10)
+          R->always[i].push_back(j);
+      }
+    }
+    R->keys[i] = ev;
+    R->infos[i] = info;
+    R->in_bucket[i] = ev.type != 2;  // X events leave the buckets
+    for (auto const & pc : info.phase)
+    {
+      auto f = index_of.find(pc.first);
+      if (f != index_of.end())
+        R->phase[i].push_back({f->second, pc.second});
+    }
+  }
+
+  R->finalize();
+  *out_n_events = n;
+  *out_n_seq = (int64_t)R->f_seq.size();
+  *out_n_ever = (int64_t)R->f_ever.size();
+  *out_n_always = (int64_t)R->f_always.size();
+  *out_n_phase = (int64_t)R->f_phase_idx.size();
+  *out_n_buckets = R->n_buckets;
+  return R;
+}
+
+int32_t gt_first_pass_fetch(void * handle,
+                            int64_t * pos, uint8_t * type, uint8_t * seq, int64_t * seq_off,
+                            int64_t * counts, int64_t * span, int64_t * maxlq,
+                            uint8_t * in_bucket, uint8_t * has_good, uint8_t * has_realn,
+                            int64_t * ever, int64_t * ever_off,
+                            int64_t * always, int64_t * always_off,
+                            int64_t * phase_idx, int64_t * phase_cnt, int64_t * phase_off)
+{
+  FpResult * R = static_cast<FpResult *>(handle);
+  if (!R)
+    return -1;
+  auto cp = [](auto * dst, auto const & src) {
+    memcpy(dst, src.data(), src.size() * sizeof(src[0]));
+  };
+  cp(pos, R->f_pos);
+  cp(type, R->f_type);
+  cp(seq, R->f_seq);
+  cp(seq_off, R->f_seq_off);
+  cp(counts, R->f_counts);
+  cp(span, R->f_span);
+  cp(maxlq, R->f_maxlq);
+  cp(in_bucket, R->f_in_bucket);
+  cp(has_good, R->f_has_good);
+  cp(has_realn, R->f_has_realn);
+  cp(ever, R->f_ever);
+  cp(ever_off, R->f_ever_off);
+  cp(always, R->f_always);
+  cp(always_off, R->f_always_off);
+  cp(phase_idx, R->f_phase_idx);
+  cp(phase_cnt, R->f_phase_cnt);
+  cp(phase_off, R->f_phase_off);
+  return 0;
+}
+
+void gt_first_pass_free(void * handle)
+{
+  delete static_cast<FpResult *>(handle);
+}
+
+}  // extern "C"
