@@ -121,6 +121,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vverbose", action="store_true")
     p.add_argument("--log", default="", help="Log file ('-' for stderr)")
     p.add_argument("--no_bamshrink", action="store_true")
+    p.add_argument("--num_hosts", type=int, default=0,
+                   help="Shard regions across this many hosts (multi-host run)")
+    p.add_argument("--host_id", type=int, default=None,
+                   help="This host's id in a multi-host run (0-based)")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address (host:port)")
     p.add_argument("--no_decompose", action="store_true")
     p.add_argument("--no_cleanup", action="store_true")
     p.add_argument("--output_all_variants", action="store_true")
@@ -144,6 +150,29 @@ def cmd_genotype(args) -> int:
         if len(avg_cov) != len(sams):
             print("error: --avg_cov_by_readlen line count != number of SAM/BAM files", file=sys.stderr)
             return 1
+    # multi-host region sharding (parallel/distributed.py): each host
+    # genotypes its deterministic share of the regions; the union of the
+    # hosts' region-structured outputs is the complete result
+    if args.num_hosts and args.num_hosts > 1:
+        from graphtyper_tpu.parallel.distributed import genotype_regions_distributed, initialize
+
+        if args.coordinator:
+            initialize(args.coordinator, args.num_hosts, args.host_id)
+        outs = genotype_regions_distributed(
+            args.ref,
+            sams,
+            regions,
+            args.output,
+            n_hosts=args.num_hosts,
+            host=args.host_id,
+            avg_cov_by_readlen=avg_cov,
+            prior_vcf=args.prior_vcf or None,
+            output_all_variants=args.output_all_variants,
+        )
+        for o in outs:
+            print(o)
+        return 0
+
     for region in regions:
         if args.vcf:
             out = genotype_only_with_a_vcf(args.ref, sams, args.vcf, region, args.output)

@@ -376,7 +376,8 @@ class ObsBatcher:
             n_sites = len(buf.site_ids)
             chunk = _chunk_rows(A)
             totals: dict[str, np.ndarray] | None = None
-            for lo_i in range(0, n, chunk):
+
+            def make_chunk(lo_i: int) -> dict:
                 hi_i = min(n, lo_i + chunk)
                 rows = hi_i - lo_i
                 # pad rows to bucketed sizes to bound jit recompiles
@@ -389,11 +390,29 @@ class ObsBatcher:
                     arrs[k] = a
                 if n_pad > rows:
                     arrs["cov"][rows:] = COV_PAD
+                return arrs
+
+            chunk_starts = list(range(0, n, chunk))
+            if self.mesh_key is None and len(chunk_starts) > 1:
+                # double-buffer H2D with device compute (parallel/prefetch):
+                # chunk k+1 stages onto the device while chunk k computes
+                from graphtyper_tpu.parallel.prefetch import prefetch_to_device
+
+                staged = prefetch_to_device((make_chunk(lo_i) for lo_i in chunk_starts), size=2)
+            else:
+                staged = None
+
+            for ci, lo_i in enumerate(chunk_starts):
                 import jax.numpy as jnp
 
+                if staged is not None:
+                    arrs = next(staged)
+                else:
+                    arrs = make_chunk(lo_i)
                 if self.mesh_key is not None:
                     mesh = _MESHES[self.mesh_key]
                     n_dev = mesh.devices.size
+                    n_pad = len(arrs["cov"])
                     if n_pad % n_dev:
                         extra = n_dev - n_pad % n_dev
                         for k in arrs:
