@@ -44,11 +44,11 @@ def child_pipeline() -> None:
     from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
 
     tmp = tempfile.mkdtemp(prefix="gt_bench_")
-    # small warm-up region: compiles the device scoring kernels so the timed
-    # run measures steady-state throughput
-    warm_cfg = SimConfig(region_length=4000, coverage=10.0, seed=7, out_format="bam")
+    # warm-up at the SAME workload shape (different seed): compiles the
+    # bucketed device scoring kernels so the timed run reuses every shape
+    warm_cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=2, out_format="bam")
     warm = simulate_cohort(os.path.join(tmp, "warm"), warm_cfg)
-    genotype(warm.fasta, warm.sams, f"{warm_cfg.chrom}:1-4000", os.path.join(tmp, "warm_out"))
+    genotype(warm.fasta, warm.sams, f"{warm_cfg.chrom}:1-{REGION_LENGTH}", os.path.join(tmp, "warm_out"))
 
     cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=1, out_format="bam")
     sim = simulate_cohort(os.path.join(tmp, "main"), cfg)

@@ -87,11 +87,13 @@ def _jitted_apply_tier():
     return partial(jax.jit, static_argnames=("A", "n_sites", "n_samples"))(_apply_tier_impl)
 
 
-def _apply_tier_impl(obs: dict, A: int, n_sites: int, n_samples: int) -> dict:
+def _apply_tier_impl(obs_mat, A: int, n_sites: int, n_samples: int) -> dict:
     """One chunk of observations -> segment-summed state deltas.
 
-    All inputs are int32 (bits_* uint32) of equal length N. Padding rows
-    carry eps=0, bits=0, cov=COV_PAD, zero scalars and contribute nothing.
+    `obs_mat` is one [14, N] int64 matrix (OBS_FIELDS row order) so the whole
+    chunk ships to the device in a single transfer (the tunnel to the chip
+    charges per round trip, not just per byte). Padding rows carry eps=0,
+    bits=0, cov=COV_PAD, zero scalars and contribute nothing.
     """
     import jax
     import jax.numpy as jnp
@@ -99,15 +101,19 @@ def _apply_tier_impl(obs: dict, A: int, n_sites: int, n_samples: int) -> dict:
     S = n_sites * n_samples
     xs, ys = _triangle_xy(A)
 
+    rows = {k: obs_mat[i].astype(jnp.int32) for i, k in enumerate(OBS_FIELDS)}
+    obs = rows
     site = obs["site"]
     sample = obs["sample"]
     cov = obs["cov"]
     apply_score = obs["apply_score"]
 
     # explains bitmap [N, A]
-    lo_bits = (obs["bits_lo"][:, None] >> jnp.arange(min(A, 32), dtype=jnp.uint32)[None, :]) & 1
+    bits_lo = obs_mat[OBS_FIELDS.index("bits_lo")].astype(jnp.uint32)
+    bits_hi = obs_mat[OBS_FIELDS.index("bits_hi")].astype(jnp.uint32)
+    lo_bits = (bits_lo[:, None] >> jnp.arange(min(A, 32), dtype=jnp.uint32)[None, :]) & 1
     if A > 32:
-        hi_bits = (obs["bits_hi"][:, None] >> jnp.arange(A - 32, dtype=jnp.uint32)[None, :]) & 1
+        hi_bits = (bits_hi[:, None] >> jnp.arange(A - 32, dtype=jnp.uint32)[None, :]) & 1
         B = jnp.concatenate([lo_bits, hi_bits], axis=1).astype(jnp.int32)
     else:
         B = lo_bits.astype(jnp.int32)
@@ -154,19 +160,43 @@ def _apply_tier_impl(obs: dict, A: int, n_sites: int, n_samples: int) -> dict:
     strand_seg = aseg * 4 + obs["strand"]
     pa_strand = jax.ops.segment_sum(amask, strand_seg, num_segments=SA * 4)
 
+    # single flat output vector: one D2H fetch instead of twelve
+    return jnp.concatenate([
+        log_delta.reshape(-1),
+        gt_cov.reshape(-1),
+        amb.reshape(-1),
+        amb_alt.reshape(-1),
+        alt_pp.reshape(-1),
+        clip_reads.reshape(-1),
+        site_mapq_sq.reshape(-1),
+        pa_clip.reshape(-1),
+        pa_mapq.reshape(-1),
+        pa_mm.reshape(-1),
+        pa_sdiff.reshape(-1),
+        pa_strand.reshape(-1),
+    ])
+
+
+def _split_out_vec(vec: np.ndarray, A: int, n_sites: int, n_samples: int) -> dict:
+    """Host-side split of the kernel's flat output vector."""
+    S = n_sites * n_samples
+    T = A * (A + 1) // 2
+    sizes = [S * T, S * A, S, S, S, n_sites, n_sites, n_sites * A, n_sites * A,
+             n_sites * A, n_sites * A, n_sites * A * 4]
+    parts = np.split(vec, np.cumsum(sizes)[:-1])
     return dict(
-        log_delta=log_delta,
-        gt_cov=gt_cov,
-        amb=amb,
-        amb_alt=amb_alt,
-        alt_pp=alt_pp,
-        clip_reads=clip_reads,
-        site_mapq_sq=site_mapq_sq,
-        pa_clip=pa_clip.reshape(n_sites, A),
-        pa_mapq=pa_mapq.reshape(n_sites, A),
-        pa_mm=pa_mm.reshape(n_sites, A),
-        pa_sdiff=pa_sdiff.reshape(n_sites, A),
-        pa_strand=pa_strand.reshape(n_sites, A, 4),
+        log_delta=parts[0].reshape(S, T),
+        gt_cov=parts[1].reshape(S, A),
+        amb=parts[2],
+        amb_alt=parts[3],
+        alt_pp=parts[4],
+        clip_reads=parts[5],
+        site_mapq_sq=parts[6],
+        pa_clip=parts[7].reshape(n_sites, A),
+        pa_mapq=parts[8].reshape(n_sites, A),
+        pa_mm=parts[9].reshape(n_sites, A),
+        pa_sdiff=parts[10].reshape(n_sites, A),
+        pa_strand=parts[11].reshape(n_sites, A, 4),
     )
 
 
@@ -194,12 +224,12 @@ def _jitted_apply_tier_sharded(mesh_key):
 
     mesh = _MESHES[mesh_key]
 
-    def sharded(obs, A, n_sites, n_samples):
-        out = _apply_tier_impl(obs, A, n_sites, n_samples)
-        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "data"), out)
+    def sharded(obs_mat, A, n_sites, n_samples):
+        out = _apply_tier_impl(obs_mat, A, n_sites, n_samples)
+        return jax.lax.psum(out, "data")
 
     def build(A, n_sites, n_samples):
-        specs = dict(mesh=mesh, in_specs=(P("data"),), out_specs=P())
+        specs = dict(mesh=mesh, in_specs=(P(None, "data"),), out_specs=P())
         body = partial(sharded, A=A, n_sites=n_sites, n_samples=n_samples)
         try:
             fn = shard_map(body, check_vma=False, **specs)
@@ -373,24 +403,25 @@ class ObsBatcher:
             if n == 0:
                 continue
             A = buf.A
-            n_sites = len(buf.site_ids)
+            # pad the site count to coarse power-of-two buckets (floor 256) so
+            # the jitted kernel shape is reused across regions and iterations
+            # (site ids stay < len(site_ids); pad slots read back as zeros)
+            real_sites = len(buf.site_ids)
+            n_sites = 1 << max(8, (real_sites - 1).bit_length())
             chunk = _chunk_rows(A)
             totals: dict[str, np.ndarray] | None = None
 
-            def make_chunk(lo_i: int) -> dict:
+            def make_chunk(lo_i: int) -> np.ndarray:
                 hi_i = min(n, lo_i + chunk)
                 rows = hi_i - lo_i
                 # pad rows to bucketed sizes to bound jit recompiles
                 n_pad = 1 << max(10, (rows - 1).bit_length())
-                arrs = {}
-                for k, vals in buf.cols.items():
-                    dtype = np.uint32 if k.startswith("bits") else np.int32
-                    a = np.zeros(n_pad, dtype=dtype)
-                    a[:rows] = np.asarray(vals[lo_i:hi_i], dtype=dtype)
-                    arrs[k] = a
+                mat = np.zeros((len(OBS_FIELDS), n_pad), dtype=np.int64)
+                for i, k in enumerate(OBS_FIELDS):
+                    mat[i, :rows] = np.asarray(buf.cols[k][lo_i:hi_i], dtype=np.int64)
                 if n_pad > rows:
-                    arrs["cov"][rows:] = COV_PAD
-                return arrs
+                    mat[OBS_FIELDS.index("cov"), rows:] = COV_PAD
+                return mat
 
             chunk_starts = list(range(0, n, chunk))
             if self.mesh_key is None and len(chunk_starts) > 1:
@@ -406,30 +437,28 @@ class ObsBatcher:
                 import jax.numpy as jnp
 
                 if staged is not None:
-                    arrs = next(staged)
+                    mat = next(staged)
                 else:
-                    arrs = make_chunk(lo_i)
+                    mat = make_chunk(lo_i)
                 if self.mesh_key is not None:
                     mesh = _MESHES[self.mesh_key]
                     n_dev = mesh.devices.size
-                    n_pad = len(arrs["cov"])
+                    n_pad = mat.shape[1]
                     if n_pad % n_dev:
                         extra = n_dev - n_pad % n_dev
-                        for k in arrs:
-                            pad_val = COV_PAD if k == "cov" else 0
-                            arrs[k] = np.concatenate(
-                                [arrs[k], np.full(extra, pad_val, dtype=arrs[k].dtype)]
-                            )
+                        pad = np.zeros((mat.shape[0], extra), dtype=mat.dtype)
+                        pad[OBS_FIELDS.index("cov"), :] = COV_PAD
+                        mat = np.concatenate([mat, pad], axis=1)
                     fn = _jitted_apply_tier_sharded(self.mesh_key)(A, n_sites, self.n_samples)
-                    out = fn({k: jnp.asarray(v) for k, v in arrs.items()})
+                    vec = fn(jnp.asarray(mat))
                 else:
-                    out = _jitted_apply_tier()(
-                        {k: jnp.asarray(v) for k, v in arrs.items()},
+                    vec = _jitted_apply_tier()(
+                        jnp.asarray(mat),
                         A=A,
                         n_sites=n_sites,
                         n_samples=self.n_samples,
                     )
-                out = {k: np.asarray(v) for k, v in out.items()}
+                out = _split_out_vec(np.asarray(vec), A, n_sites, self.n_samples)
                 if totals is None:
                     totals = out
                 else:
