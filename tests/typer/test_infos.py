@@ -228,3 +228,91 @@ def test_primer_masking(tmp_path):
     geno2.paths = [p2]
     primers.check(geno2)
     assert p2.nums[0] == {0, 1}
+
+
+def test_generate_infos_fuzz():
+    """Randomized cohorts: INFO fields must match an independent brute-force
+    recomputation from the calls (round-1 priority: INFO parity fuzzing)."""
+    rng = np.random.default_rng(12345)
+    for trial in range(25):
+        n_alleles = int(rng.integers(2, 5))
+        n_samples = int(rng.integers(1, 12))
+        pl_len = n_alleles * (n_alleles + 1) // 2
+        var = Variant(abs_pos=100 + trial, seqs=[bytes([65 + a]) for a in range(n_alleles)])
+        for _ in range(n_samples):
+            phred = rng.integers(0, 99, size=pl_len)
+            phred[rng.integers(0, pl_len)] = 0  # ensure a call
+            cov = rng.integers(0, 25, size=n_alleles)
+            var.calls.append(
+                SampleCall(
+                    phred=phred.astype(np.int64),
+                    coverage=cov.astype(np.int64),
+                    ambiguous_depth=int(rng.integers(0, 4)),
+                )
+            )
+        var.generate_infos()
+        infos = var.infos
+
+        # brute-force recomputation
+        def gt_of(c):
+            i = 0
+            for y in range(n_alleles):
+                for x in range(y + 1):
+                    if c.phred[i] == 0:
+                        return x, y
+                    i += 1
+            return 0, 0
+
+        gts = [gt_of(c) for c in var.calls]
+        ac = [0] * n_alleles
+        for a, b in gts:
+            ac[a] += 1
+            ac[b] += 1
+        n_genotyped = sum(1 for c in var.calls if (c.phred != 0).any())
+        assert infos["AC"] == ",".join(str(x) for x in ac[1:])
+        assert infos["AN"] == str(2 * n_genotyped)
+        if n_genotyped:
+            for got, want in zip(infos["AF"].split(","), ac[1:]):
+                assert abs(float(got) - want / (2 * n_genotyped)) < 1e-3
+        # het/hom allele balance
+        het0 = sum(int(c.coverage[a]) for c, (a, b) in zip(var.calls, gts) if a != b)
+        het1 = sum(int(c.coverage[b]) for c, (a, b) in zip(var.calls, gts) if a != b)
+        if het0 + het1:
+            assert abs(float(infos["ABHet"]) - het1 / (het0 + het1)) < 1e-3
+        else:
+            assert infos["ABHet"] == "-1"
+        hom_called = sum(int(c.coverage[a]) for c, (a, b) in zip(var.calls, gts) if a == b)
+        hom_other = sum(
+            int(c.coverage.sum()) - int(c.coverage[a])
+            for c, (a, b) in zip(var.calls, gts)
+            if a == b
+        )
+        if hom_called + hom_other:
+            assert abs(float(infos["ABHom"]) - hom_called / (hom_called + hom_other)) < 1e-3
+        # NHet/NHomRef/NHomAlt per alt
+        for e in range(1, n_alleles):
+            nhet = sum(1 for a, b in gts if (a == e) != (b == e))
+            nhomalt = sum(1 for a, b in gts if a == e and b == e)
+            nhomref = sum(1 for a, b in gts if a != e and b != e)
+            assert int(infos["NHet"].split(",")[e - 1]) == nhet
+            assert int(infos["NHomAlt"].split(",")[e - 1]) == nhomalt
+            assert int(infos["NHomRef"].split(",")[e - 1]) == nhomref
+        # SeqDepth = sum of coverage + ambiguous
+        assert infos["SeqDepth"] == str(
+            sum(int(c.coverage.sum()) + c.ambiguous_depth for c in var.calls)
+        )
+        # MaxAAS = max per-alt coverage over samples
+        for e in range(1, n_alleles):
+            assert int(infos["MaxAAS"].split(",")[e - 1]) == max(
+                int(c.coverage[e]) for c in var.calls
+            )
+        # QUAL-by-depth from the brute-force definition
+        tq = td = 0
+        for c in var.calls:
+            if len(c.phred) and c.phred[0] > 0:
+                depth = min(10, int(c.coverage[1:].sum()) + c.ambiguous_depth)
+                if depth > 0:
+                    tq += min(25 * depth, int(c.phred[0]))
+                    td += depth
+        want_qd = tq / td if td else 0.0
+        assert abs(float(infos["QD"]) - want_qd) < 1e-2
