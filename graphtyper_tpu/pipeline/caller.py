@@ -497,7 +497,14 @@ def call_pools(
     (caller.cpp:439-482). Single pool passes straight through."""
     from graphtyper_tpu.config import current_options
 
-    pool_size = max(1, current_options().max_files_open)
+    opts = current_options()
+    pool_size = max(1, opts.max_files_open)
+    # reference-style thread fan-out (caller.cpp:313-437): pools sized so
+    # every worker thread gets one, run concurrently (the native loop
+    # releases the GIL); multi-pool output is byte-identical to single-pool
+    threads = max(1, getattr(opts, "threads", 1))
+    if threads > 1 and len(hts_paths) > 1 and not graph.is_sv_graph:
+        pool_size = min(pool_size, max(1, -(-len(hts_paths) // threads)))
     # SV mode keeps a single pool: its reformat pass derives records from
     # per-pool ReferenceDepth state that is not mergeable across pools
     if len(hts_paths) <= pool_size or graph.is_sv_graph:
@@ -510,13 +517,25 @@ def call_pools(
 
     own_tmp = tmp_dir is None
     tmp = tmp_dir or tempfile.mkdtemp(prefix="gt_pools_")
+    pools = [hts_paths[lo : lo + pool_size] for lo in range(0, len(hts_paths), pool_size)]
+
+    def run_one(pool):
+        return call_pool(graph, index, pool, **kw)
+
+    if threads > 1 and len(pools) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(threads, len(pools))) as ex:
+            results = list(ex.map(run_one, pools))
+    else:
+        results = [run_one(pool) for pool in pools]
+
     pool_files: list[str] = []
     ph_maps: list[dict] = []
     num_records = 0
     num_duplicated = 0
     last = None
-    for p, lo in enumerate(range(0, len(hts_paths), pool_size)):
-        res = call_pool(graph, index, hts_paths[lo : lo + pool_size], **kw)
+    for p, res in enumerate(results):
         path = os.path.join(tmp, f"pool{p}.vcfb")
         res.vcf.save_batched(path)
         pool_files.append(path)
@@ -524,7 +543,6 @@ def call_pools(
         num_records += res.num_records
         num_duplicated += res.num_duplicated
         last = res
-        # drop per-pool call state before the next pool runs
         res.vcf = None
     sample_names, variants = vcf_merge_streamed(pool_files)
     merged = VcfOutput(sample_names=sample_names, variants=list(variants))

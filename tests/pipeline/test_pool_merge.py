@@ -101,3 +101,27 @@ def test_multi_pool_genotype_identical(tmp_path):
     b1, b2 = body(out1), body(out2)
     assert len(b1) > 0
     assert b1 == b2
+
+
+def test_threaded_pools_identical(tmp_path):
+    """Thread-parallel pools (opts.threads > 1) produce the byte-identical
+    VCF to the serial single-pool run."""
+    from graphtyper_tpu.pipeline.genotype import genotype
+
+    cfg = SimConfig(region_length=5000, coverage=12.0, n_samples=6, seed=53, out_format="bam")
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    old = current_options()
+    try:
+        set_options(replace(old, threads=1, max_files_open=864))
+        out1 = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-5000", str(tmp_path / "o1"))
+        set_options(replace(old, threads=3, max_files_open=864))
+        out2 = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-5000", str(tmp_path / "o2"))
+    finally:
+        set_options(old)
+
+    def body(p):
+        return [l for l in gzip.open(p, "rt").read().splitlines() if not l.startswith("#")]
+
+    b1, b2 = body(out1), body(out2)
+    assert len(b1) > 0
+    assert b1 == b2
