@@ -87,3 +87,77 @@ def test_het_deletion(tmp_path):
     assert any("SVMODEL=BREAKPOINT" in l for l in del_records) or any(
         "SVMODEL=COVERAGE" in l for l in del_records
     )
+
+
+def test_het_insertion(tmp_path):
+    """A 120bp insertion carried heterozygously genotypes as INS 0/1."""
+    rng = np.random.default_rng(7)
+    L = 8000
+    chrom = "chrS"
+    seq = _random_seq(rng, L)
+    fasta = str(tmp_path / "ref.fa")
+    _write_fasta(fasta, chrom, seq)
+
+    ins_at0 = 3500  # insertion after this 0-based position
+    ins_seq = _random_seq(rng, 120).tobytes().decode()
+    sv_vcf = str(tmp_path / "sv.vcf")
+    with open(sv_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n##contig=<ID=chrS>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        f.write(
+            f"{chrom}\t{ins_at0 + 1}\t.\t{chr(seq[ins_at0])}\t<INS>\t.\t.\t"
+            f"SVTYPE=INS;SVLEN=120;SVSIZE=120;SEQ={ins_seq}\n"
+        )
+
+    hap_ref = seq
+    hap_ins = np.concatenate([
+        seq[: ins_at0 + 1],
+        np.frombuffer(ins_seq.encode(), dtype=np.uint8),
+        seq[ins_at0 + 1 :],
+    ])
+    carrier = str(tmp_path / "carrier.sam")
+    _sim_reads(carrier, chrom, L, [hap_ref, hap_ins], 900, "carrier", 3)
+
+    out = genotype_sv(fasta, sv_vcf, [carrier], f"{chrom}:1-{L}", str(tmp_path / "out"))
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    ins_records = [l for l in body if "SVTYPE=INS" in l]
+    assert ins_records, body
+    # at least one INS model (breakpoint or aggregated) calls the carrier
+    gts = {l.split("\t")[9].split(":")[0] for l in ins_records}
+    assert gts & {"0/1", "1/1"}, ins_records
+
+
+def test_hom_duplication(tmp_path):
+    """A 200bp tandem duplication (DUP with END/SVSIZE) genotypes as DUP with
+    alt support for the homozygous carrier."""
+    rng = np.random.default_rng(9)
+    L = 9000
+    chrom = "chrS"
+    seq = _random_seq(rng, L)
+    fasta = str(tmp_path / "ref.fa")
+    _write_fasta(fasta, chrom, seq)
+
+    dup_start0 = 4000
+    dup_len = 200
+    sv_vcf = str(tmp_path / "sv.vcf")
+    with open(sv_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n##contig=<ID=chrS>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        f.write(
+            f"{chrom}\t{dup_start0 + 1}\t.\t{chr(seq[dup_start0])}\t<DUP>\t.\t.\t"
+            f"SVTYPE=DUP;SVLEN={dup_len};SVSIZE={dup_len};END={dup_start0 + 1 + dup_len}\n"
+        )
+
+    # tandem duplication: the segment repeats
+    hap_dup = np.concatenate([
+        seq[: dup_start0 + 1 + dup_len],
+        seq[dup_start0 + 1 : dup_start0 + 1 + dup_len],
+        seq[dup_start0 + 1 + dup_len :],
+    ])
+    carrier = str(tmp_path / "carrier.sam")
+    _sim_reads(carrier, chrom, L, [hap_dup, hap_dup], 1000, "carrier", 5)
+
+    out = genotype_sv(fasta, sv_vcf, [carrier], f"{chrom}:1-{L}", str(tmp_path / "out"))
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    dup_records = [l for l in body if "SVTYPE=DUP" in l]
+    assert dup_records, body
+    gts = {l.split("\t")[9].split(":")[0] for l in dup_records}
+    assert gts & {"0/1", "1/1"}, dup_records
