@@ -180,10 +180,18 @@ class TabixWriter:
         self.idx.save(path)
 
 
+def load_index(path: str):
+    """Load a .tbi or .csi index by magic."""
+    data = decompress_all(path)
+    if data[:4] == b"CSI\x01":
+        return CsiIndex.load(path)
+    return TabixIndex.load(path)
+
+
 def read_region_lines(gz_path: str, tbi_path: str, contig: str, beg: int, end: int) -> list[str]:
-    """All text lines of a tabix-indexed bgzf file whose start position falls
-    in 0-based [beg, end) on contig (caller re-filters precisely)."""
-    idx = TabixIndex.load(tbi_path)
+    """All text lines of a tabix/CSI-indexed bgzf file whose start position
+    falls in 0-based [beg, end) on contig (caller re-filters precisely)."""
+    idx = load_index(tbi_path)
     chunks = idx.query_chunks(contig, beg, end)
     lines: list[str] = []
     if not chunks:
@@ -198,3 +206,150 @@ def read_region_lines(gz_path: str, tbi_path: str, contig: str, beg: int, end: i
                 if raw:
                     lines.append(raw.decode())
     return lines
+
+
+# ---------------------------------------------------------------------------
+# CSI (v1): the generalized binning index the reference writes with --is_csi
+# (vcf.cpp write_tbi_index csi branch) — required for contigs >= 512 Mb.
+# ---------------------------------------------------------------------------
+
+
+def csi_reg2bin(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> int:
+    """Generalized reg2bin (CSIv1 spec)."""
+    end -= 1
+    l = depth
+    s = min_shift
+    t = ((1 << (depth * 3)) - 1) // 7
+    while l > 0:
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        l -= 1
+        s += 3
+        t -= 1 << (l * 3)
+    return 0
+
+
+def csi_reg2bins(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> list[int]:
+    out = []
+    end -= 1
+    l = 0
+    t = 0
+    s = min_shift + depth * 3
+    while l <= depth:
+        b = t + (beg >> s)
+        e = t + (end >> s)
+        out.extend(range(b, e + 1))
+        s -= 3
+        t += 1 << (l * 3)
+        l += 1
+    return out
+
+
+class CsiIndex:
+    """CSI v1 index: same chunk structure as tabix with configurable binning
+    and the tabix parameters carried in the aux blob."""
+
+    def __init__(self, min_shift: int = 14, depth: int = 5):
+        self.min_shift = min_shift
+        self.depth = depth
+        self.names: list[str] = []
+        self.bins: list[dict[int, list[tuple[int, int]]]] = []
+        self.loffsets: list[dict[int, int]] = []  # per ref: bin -> loffset
+
+    @classmethod
+    def load(cls, path: str) -> "CsiIndex":
+        data = decompress_all(path)
+        if data[:4] != b"CSI\x01":
+            raise ValueError("not a CSI index")
+        min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
+        idx = cls(min_shift, depth)
+        off = 16
+        aux = data[off : off + l_aux]
+        off += l_aux
+        if len(aux) >= 32:
+            # tabix aux: format, col_seq, col_beg, col_end, meta, skip, l_nm, names
+            (l_nm,) = struct.unpack_from("<i", aux, 24)
+            names_blob = aux[28 : 28 + l_nm]
+            idx.names = [n.decode() for n in names_blob.split(b"\x00") if n]
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            loff: dict[int, int] = {}
+            for _ in range(n_bin):
+                bin_id, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bins[bin_id] = chunks
+                loff[bin_id] = loffset
+            idx.bins.append(bins)
+            idx.loffsets.append(loff)
+        return idx
+
+    def save(self, path: str) -> None:
+        out = BgzfWriter(path)
+        names_blob = b"".join(n.encode() + b"\x00" for n in self.names)
+        aux = struct.pack("<7i", 2, 1, 2, 0, ord("#"), 0, len(names_blob)) + names_blob
+        out.write(b"CSI\x01")
+        out.write(struct.pack("<3i", self.min_shift, self.depth, len(aux)))
+        out.write(aux)
+        out.write(struct.pack("<i", len(self.bins)))
+        for bins, loff in zip(self.bins, self.loffsets):
+            out.write(struct.pack("<i", len(bins)))
+            for bin_id in sorted(bins):
+                chunks = bins[bin_id]
+                out.write(struct.pack("<IQi", bin_id, loff.get(bin_id, 0), len(chunks)))
+                for cb, ce in chunks:
+                    out.write(struct.pack("<QQ", cb, ce))
+        out.close()
+
+    def query_chunks(self, contig: str, beg: int, end: int) -> list[tuple[int, int]]:
+        if contig not in self.names:
+            return []
+        rid = self.names.index(contig)
+        bins = self.bins[rid]
+        chunks = []
+        for b in csi_reg2bins(beg, end, self.min_shift, self.depth):
+            chunks.extend(bins.get(b, []))
+        chunks.sort()
+        merged: list[tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        return merged
+
+
+class CsiWriter:
+    """CSI-producing twin of TabixWriter."""
+
+    def __init__(self, min_shift: int = 14, depth: int = 5):
+        self.idx = CsiIndex(min_shift, depth)
+        self._cur_name: str | None = None
+
+    def add(self, contig: str, beg: int, end: int, voff_start: int, voff_end: int) -> None:
+        if contig != self._cur_name:
+            self.idx.names.append(contig)
+            self.idx.bins.append({})
+            self.idx.loffsets.append({})
+            self._cur_name = contig
+        bins = self.idx.bins[-1]
+        loff = self.idx.loffsets[-1]
+        b = csi_reg2bin(beg, end, self.idx.min_shift, self.idx.depth)
+        chunks = bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == voff_start:
+            chunks[-1] = (chunks[-1][0], voff_end)
+        else:
+            chunks.append((voff_start, voff_end))
+        if b not in loff or voff_start < loff[b]:
+            loff[b] = voff_start
+
+    def save(self, path: str) -> None:
+        self.idx.save(path)

@@ -95,6 +95,8 @@ class VcfReader:
         """Records overlapping 0-based [beg, end). Uses .tbi when available,
         else scans the whole file (fine for test-scale data)."""
         tbi = self.path + ".tbi"
+        if not os.path.exists(tbi) and os.path.exists(self.path + ".csi"):
+            tbi = self.path + ".csi"
         if os.path.exists(tbi) and (self.path.endswith(".gz") or is_bgzf(self.path)):
             # read header separately for sample names
             if not self.header_lines:

@@ -258,7 +258,17 @@ class VcfOutput:
     ) -> None:
         """Write bgzf-compressed VCF (+ .tbi). Duplicate positions get .N
         ID suffixes (vcf.cpp:1243-1273)."""
-        tbi = TabixWriter() if write_tbi else None
+        from graphtyper_tpu.config import current_options as _opts
+
+        use_csi = getattr(_opts(), "is_csi", False)
+        if write_tbi and use_csi:
+            from graphtyper_tpu.io.tabix import CsiWriter
+
+            tbi = CsiWriter()
+        elif write_tbi:
+            tbi = TabixWriter()
+        else:
+            tbi = None
         # bounded-memory threaded writer: records are rendered and streamed
         # through the native multi-threaded bgzf compressor; the tabix index
         # is built from uncompressed offsets translated after compression
@@ -305,7 +315,7 @@ class VcfOutput:
         if tbi is not None:
             for chrom, beg, end, u0, u1 in record_spans:
                 tbi.add(chrom, beg, end, w.virtual_offset_of(u0), w.virtual_offset_of(u1))
-            tbi.save(path + ".tbi")
+            tbi.save(path + (".csi" if use_csi else ".tbi"))
 
 
 _INFO_HEADER_LINES = [

@@ -95,3 +95,40 @@ def test_read_index_test_vcf_golden(data_dir):
     assert vars_[0].abs_pos == 37
     assert [len(v.seqs) for v in vars_[:5]] == [2, 2, 2, 3, 2]
     assert vcf.sample_names == []
+
+
+def test_csi_index_roundtrip(tmp_path):
+    """--is_csi writes a CSI index whose region queries match the tabix
+    queries (vcf.cpp write_tbi_index csi branch)."""
+    import gzip
+
+    from graphtyper_tpu.config import current_options, replace, set_options
+    from graphtyper_tpu.io.tabix import CsiIndex, load_index
+    from graphtyper_tpu.io.vcf_io import VcfReader
+    from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=8000, coverage=14.0, seed=41)
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    old = current_options()
+    try:
+        set_options(replace(old, is_csi=True))
+        out_csi = genotype_only_with_a_vcf(
+            sim.fasta, sim.sams, sim.vcf, f"{cfg.chrom}:1-8000", str(tmp_path / "csi")
+        )
+        set_options(replace(old, is_csi=False))
+        out_tbi = genotype_only_with_a_vcf(
+            sim.fasta, sim.sams, sim.vcf, f"{cfg.chrom}:1-8000", str(tmp_path / "tbi")
+        )
+    finally:
+        set_options(old)
+    import os
+
+    assert os.path.exists(out_csi + ".csi") and not os.path.exists(out_csi + ".tbi")
+    assert isinstance(load_index(out_csi + ".csi"), CsiIndex)
+    r1 = VcfReader(out_csi).read_region(cfg.chrom, 2000, 6000)
+    r2 = VcfReader(out_tbi).read_region(cfg.chrom, 2000, 6000)
+    assert len(r1) == len(r2) > 0
+    assert [(r.pos, r.ref, tuple(r.alts)) for r in r1] == [
+        (r.pos, r.ref, tuple(r.alts)) for r in r2
+    ]
