@@ -353,3 +353,34 @@ class CsiWriter:
 
     def save(self, path: str) -> None:
         self.idx.save(path)
+
+
+def write_index_for(gz_path: str, use_csi: bool = False) -> str:
+    """Build a .tbi/.csi for an existing bgzf VCF by scanning its lines
+    (used e.g. after popVCF re-encoding changes the byte layout)."""
+    from graphtyper_tpu.io.bgzf import BGZF_EOF, ThreadedBgzfWriter, decompress_all
+
+    text = decompress_all(gz_path)
+    # rewrite through the threaded writer so uncompressed offsets map to
+    # virtual offsets deterministically
+    w = ThreadedBgzfWriter(gz_path)
+    spans: list[tuple[str, int, int, int, int]] = []
+    for line in text.split(b"\n"):
+        if not line:
+            continue
+        u0 = w.u_offset
+        w.write(line + b"\n")
+        if line.startswith(b"#"):
+            continue
+        fields = line.split(b"\t", 4)
+        chrom = fields[0].decode()
+        pos = int(fields[1])
+        ref_len = len(fields[3])
+        spans.append((chrom, pos - 1, pos - 1 + ref_len, u0, w.u_offset))
+    w.close()
+    writer = CsiWriter() if use_csi else TabixWriter()
+    for chrom, beg, end, u0, u1 in spans:
+        writer.add(chrom, beg, end, w.virtual_offset_of(u0), w.virtual_offset_of(u1))
+    idx_path = gz_path + (".csi" if use_csi else ".tbi")
+    writer.save(idx_path)
+    return idx_path

@@ -146,6 +146,21 @@ def vcf_merge_and_break(
         is_sv_graph=graph.is_sv_graph,
     )
 
+    from graphtyper_tpu.config import current_options
+
+    if current_options().encoding == "p":
+        # popVCF-encode the final output in place and rebuild its index
+        # (--encoding=popvcf, main.cpp:440-444 + include/popvcf/encode.hpp)
+        import os
+
+        from graphtyper_tpu.io.popvcf import encode_file
+        from graphtyper_tpu.io.tabix import write_index_for
+
+        tmp_path = output_path + ".pop_tmp"
+        encode_file(output_path, tmp_path)
+        os.replace(tmp_path, output_path)
+        write_index_for(output_path, use_csi=getattr(current_options(), "is_csi", False))
+
 
 def vcf_merge_and_filter(
     pool_vcfs: list[VcfOutput],

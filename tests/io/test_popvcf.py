@@ -47,3 +47,36 @@ def test_roundtrip_multisample_random():
     enc = encode_lines(lines)
     assert decode_lines(enc) == lines
     assert sum(len(l) for l in enc) < sum(len(l) for l in lines)  # actually compresses
+
+
+def test_genotype_with_popvcf_encoding(tmp_path):
+    """--encoding=popvcf: the final VCF is popVCF-encoded in place (lossless
+    on decode) and carries a rebuilt index."""
+    import gzip
+    import os
+
+    from graphtyper_tpu.config import current_options, replace, set_options
+    from graphtyper_tpu.io.popvcf import decode_lines
+    from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=6000, coverage=14.0, seed=47, n_samples=3)
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    old = current_options()
+    try:
+        set_options(replace(old, encoding="v"))
+        out_v = genotype_only_with_a_vcf(
+            sim.fasta, sim.sams, sim.vcf, f"{cfg.chrom}:1-6000", str(tmp_path / "v")
+        )
+        set_options(replace(old, encoding="p"))
+        out_p = genotype_only_with_a_vcf(
+            sim.fasta, sim.sams, sim.vcf, f"{cfg.chrom}:1-6000", str(tmp_path / "p")
+        )
+    finally:
+        set_options(old)
+    assert os.path.exists(out_p + ".tbi")
+    plain = gzip.open(out_v, "rt").read().rstrip("\n").split("\n")
+    encoded = gzip.open(out_p, "rt").read().rstrip("\n").split("\n")
+    decoded = decode_lines(encoded)
+    assert decoded == plain  # lossless
+    assert encoded != plain  # actually encoded (repeated fields dedup)
