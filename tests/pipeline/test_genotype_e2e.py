@@ -200,3 +200,68 @@ def test_genotype_primer_masking_runs(tmp_path):
         set_options(old)
     body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
     assert body
+
+
+def test_multi_contig_region_file(tmp_path):
+    """Two contigs genotyped via a region file; outputs land in per-contig
+    trees and concatenate cleanly (vcf_concatenate)."""
+    import gzip
+
+    import numpy as np
+
+    from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.pipeline.vcf_operations import vcf_concatenate
+    from graphtyper_tpu.utils.simulate import BASES, SimConfig, simulate_cohort
+
+    rng = np.random.default_rng(67)
+    # build a 2-contig FASTA by hand + per-contig reads
+    seqs = {f"c{i}": BASES[rng.integers(0, 4, size=6000)] for i in (1, 2)}
+    fasta = str(tmp_path / "ref.fa")
+    with open(fasta, "w") as f:
+        for name, seq in seqs.items():
+            f.write(f">{name}\n")
+            raw = seq.tobytes().decode()
+            for j in range(0, len(raw), 70):
+                f.write(raw[j : j + 70] + "\n")
+    with open(fasta + ".fai", "w") as f:
+        off = 0
+        for name, seq in seqs.items():
+            off += len(name) + 2
+            f.write(f"{name}\t{len(seq)}\t{off}\t70\t71\n")
+            off += len(seq) + (len(seq) + 69) // 70
+
+    sams = []
+    for name, seq in seqs.items():
+        # simple het SNP per contig
+        p = 3000
+        alt = BASES[(int(np.searchsorted(BASES, seq[p])) + 1) % 4]
+        hap2 = seq.copy()
+        hap2[p] = alt
+        lines = [f"@HD\tVN:1.6\tSO:coordinate", f"@SQ\tSN:c1\tLN:6000", f"@SQ\tSN:c2\tLN:6000",
+                 f"@RG\tID:rg_{name}\tSM:sample_{name}"]
+        recs = []
+        for i in range(700):
+            hap = [seq, hap2][i % 2]
+            start = int(rng.integers(0, 6000 - 320))
+            r1 = hap[start : start + 125].tobytes().decode()
+            r2 = hap[start + 195 : start + 320].tobytes().decode()
+            q = "I" * 125
+            recs.append((start, f"{name}_r{i}\t99\t{name}\t{start + 1}\t60\t125M\t=\t{start + 196}\t320\t{r1}\t{q}"))
+            recs.append((start + 195, f"{name}_r{i}\t147\t{name}\t{start + 196}\t60\t125M\t=\t{start + 1}\t-320\t{r2}\t{q}"))
+        recs.sort(key=lambda t: t[0])
+        sam = str(tmp_path / f"{name}.sam")
+        with open(sam, "w") as f:
+            f.write("\n".join(lines + [r[1] for r in recs]) + "\n")
+        sams.append(sam)
+
+    outs = []
+    for region in ("c1:1-6000", "c2:1-6000"):
+        out = genotype(fasta, sams, region, str(tmp_path / "out"))
+        body_r = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+        assert body_r, f"no records for {region}"
+        outs.append(out)
+    concat = str(tmp_path / "all.vcf.gz")
+    vcf_concatenate(outs, concat)
+    body = [l for l in gzip.open(concat, "rt").read().splitlines() if not l.startswith("#")]
+    chroms = {l.split("\t")[0] for l in body}
+    assert chroms == {"c1", "c2"}, body
