@@ -1084,11 +1084,65 @@ class CramFile:
         return out
 
 
+def _regenerate_nm_md(r: "_CramRec", ref: bytes) -> None:
+    """NM/MD tags from the alignment vs the real reference (htslib regenerates
+    these on CRAM decode when the reference is available; encoders drop them)."""
+    if not ref or not r.cigar:
+        return
+    nm = 0
+    md_parts: list[str] = []
+    match_run = 0
+    rpos = r.pos - 1
+    spos = 0
+    for op, cnt in r.cigar:
+        if op in (0, 7, 8):  # M
+            for i in range(cnt):
+                rb = ref[rpos + i] if rpos + i < len(ref) else ord("N")
+                sb = r.seq[spos + i]
+                if rb == sb:
+                    match_run += 1
+                else:
+                    nm += 1
+                    md_parts.append(str(match_run))
+                    md_parts.append(chr(rb))
+                    match_run = 0
+            rpos += cnt
+            spos += cnt
+        elif op == 1:  # I
+            nm += cnt
+            spos += cnt
+        elif op == 2:  # D
+            nm += cnt
+            md_parts.append(str(match_run))
+            md_parts.append("^" + ref[rpos : rpos + cnt].decode("latin1"))
+            match_run = 0
+            rpos += cnt
+        elif op == 3:  # N
+            rpos += cnt
+        elif op == 4:  # S
+            spos += cnt
+        # H/P: nothing
+    md_parts.append(str(match_run))
+    r.tags.setdefault("NM", nm)
+    r.tags.setdefault("MD", "".join(md_parts))
+
+
 def read_cram(path: str, ref_path: str | None = None, parse_tags: bool = True):
-    """Decode a CRAM file into (BamHeader, [AlignedRead]) like read_bam."""
+    """Decode a CRAM file into (BamHeader, [AlignedRead]) like read_bam.
+    When the provided reference verifies (slice MD5), NM/MD tags dropped by
+    the encoder are regenerated like htslib does."""
     cf = CramFile(path, ref_path)
     reads: list[AlignedRead] = []
     for r in cf.records():
+        if (
+            parse_tags
+            and ref_path is not None
+            and not (r.bf & BAM_FUNMAP)
+            and r.ref_id >= 0
+        ):
+            ref = cf._ref_cache.get(r.ref_id, b"")
+            if ref and not ref.startswith(b"NNNNNNNN"):
+                _regenerate_nm_md(r, ref)
         qual = r.qual if r.qual is not None else np.full(len(r.seq), 0xFF, dtype=np.uint8)
         reads.append(
             AlignedRead(

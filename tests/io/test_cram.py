@@ -115,3 +115,39 @@ def test_genotype_from_cram_input(tmp_path):
     b1, b2 = body(out_bam), body(out_cram)
     assert len(b1) > 0
     assert b1 == b2
+
+
+def test_nm_md_regeneration(tmp_path):
+    """With a verifying reference, NM/MD come back on decode (htslib
+    behavior); without one they stay absent."""
+    from graphtyper_tpu.io.bam import read_alignments
+    from graphtyper_tpu.io.cram_writer import write_cram
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=5000, coverage=8.0, seed=57, out_format="bam", error_rate=0.01)
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    h, reads = read_alignments(sim.sams[0], parse_tags=True)
+    cram = str(tmp_path / "s.cram")
+    write_cram(cram, h, reads)
+    # our writer stores bases verbatim (all-N reference) so the MD5 check
+    # fails against the real fasta -> seqs still decode; NM/MD only generate
+    # for refs that verify. Use the real reference by zeroing... instead:
+    # decode without ref (no NM), then verify manual NM on a synthetic case.
+    h2, creads = read_cram(cram)
+    assert all("NM" not in r.tags for r in creads)
+
+    # direct unit check of the generator
+    from graphtyper_tpu.io.cram import _CramRec, _regenerate_nm_md
+
+    ref = b"ACGTACGTACGT"
+    r = _CramRec(pos=3, seq=b"GTATT", cigar=[(0, 5)], tags={})
+    _regenerate_nm_md(r, ref)
+    # ref[2:7] = GTACG vs GTATT -> mismatches at offsets 3 (C>T) and 4 (G>T)
+    assert r.tags["NM"] == 2
+    assert r.tags["MD"] == "3C0G0"
+
+    r2 = _CramRec(pos=1, seq=b"ACGTCGT", cigar=[(0, 4), (2, 1), (0, 3)], tags={})
+    _regenerate_nm_md(r2, ref)
+    # ACGT match, delete A, CGT match -> NM 1, MD 4^A3
+    assert r2.tags["NM"] == 1
+    assert r2.tags["MD"] == "4^A3"
