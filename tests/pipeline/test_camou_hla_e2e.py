@@ -37,6 +37,53 @@ def test_genotype_camou(tmp_path):
     assert hits >= max(1, len(truth_alt) // 2), (hits, len(truth_alt))
 
 
+def test_camou_two_intervals_ploidy4(tmp_path):
+    """Two BED intervals -> camou ploidy 4 (genotype_camou.cpp ploidy =
+    2 x intervals): both intervals produce a VCF, and the PL renormalization
+    uses the ploidy-4 coverage scaling."""
+    import os
+
+    from graphtyper_tpu.pipeline.genotype_camou import genotype_camou
+
+    cfg = SimConfig(region_length=9000, coverage=22.0, seed=23, snp_rate=1 / 700.0, indel_rate=0.0)
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    bed = str(tmp_path / "intervals.bed")
+    with open(bed, "w") as f:
+        f.write(f"{cfg.chrom}\t1000\t4000\n{cfg.chrom}\t5000\t8000\n")
+    genotype_camou(sim.fasta, bed, sim.sams, str(tmp_path / "out"))
+    outs = sorted(
+        os.path.join(tmp_path, "out", cfg.chrom, f)
+        for f in os.listdir(tmp_path / "out" / cfg.chrom)
+        if f.endswith(".camou.vcf.gz")
+    )
+    assert len(outs) == 2, outs
+    for out in outs:
+        body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+        assert body, f"no records in {out}"
+
+
+def test_update_camou_phred_ploidy4():
+    """variant.cpp:167-230 update_camou_phred at ploidy 4: hand-computed PL
+    triangle for a biallelic site."""
+    from graphtyper_tpu.pipeline.genotype_camou import update_camou_phred_all
+    from graphtyper_tpu.typer.sample_call import SampleCall
+    from graphtyper_tpu.typer.variant import Variant
+
+    v = Variant(abs_pos=10, seqs=[b"A", b"G"])
+    # cov = (12 ref, 3 alt): norm_alt = 3*4//2 = 6; phred00 = 6*4 = 24,
+    # phred01 = cov0 = 12 -> m = 12; phred00 = (24-12)*3 = 36, phred01 = 0
+    v.calls.append(SampleCall(phred=np.zeros(3, dtype=np.int64), coverage=np.array([12, 3])))
+    # cov = (0, 0): all-zero PL
+    v.calls.append(SampleCall(phred=np.zeros(3, dtype=np.int64), coverage=np.array([0, 0])))
+    # cov = (2, 20): norm_alt = 40; phred00 = 160, phred01 = 2 -> m = 2;
+    # phred00 = min(99, 158*3) = 99, phred01 = 0
+    v.calls.append(SampleCall(phred=np.zeros(3, dtype=np.int64), coverage=np.array([2, 20])))
+    update_camou_phred_all([v], ploidy=4)
+    np.testing.assert_array_equal(v.calls[0].phred, [36, 0, 0])
+    np.testing.assert_array_equal(v.calls[1].phred, [0, 0, 0])
+    np.testing.assert_array_equal(v.calls[2].phred, [99, 0, 0])
+
+
 def _write_hla_panel(path, chrom, sites, alleles):
     """Panel VCF: sample columns are HLA alleles; AD[0]=0 marks the allele as
     carrying the site's alt (genotype_hla.cpp:130-180 semantics)."""
