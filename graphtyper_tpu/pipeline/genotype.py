@@ -261,7 +261,7 @@ def genotype(
 
 
 def _genotype_one(args_tuple):
-    ref_path, sams, sub_str, output_path, jax_platform, kw = args_tuple
+    ref_path, sams, sub_str, output_path, jax_platform, opts, kw = args_tuple
     if jax_platform:
         # spawn children must inherit the parent's platform choice (e.g.
         # tests force CPU after import; a child defaulting to the TPU would
@@ -269,7 +269,36 @@ def _genotype_one(args_tuple):
         import jax
 
         jax.config.update("jax_platforms", jax_platform)
+    # spawn children start from default Options — restore the parent's
+    from graphtyper_tpu.config import set_options
+
+    set_options(opts)
     return genotype(ref_path, sams, sub_str, output_path, **kw)
+
+
+def apply_cohort_size_tuning(n_samples: int) -> None:
+    """Cohort-size parameter adjustment (genotype.cpp:693-732): larger
+    cohorts demand more per-variant support before extraction since spurious
+    candidates multiply with sample count. Mutates the global Options like
+    the reference's singleton."""
+    from graphtyper_tpu.config import current_options, set_options
+    from dataclasses import replace as _replace
+
+    if n_samples < 4:
+        return
+    opts = current_options()
+    extract = opts.minimum_extract_score_over_homref + 6
+    if n_samples >= 1500:
+        extract += 3
+    set_options(
+        _replace(
+            opts,
+            genotype_aln_min_support=opts.genotype_aln_min_support + 1,
+            genotype_dis_min_support=opts.genotype_dis_min_support + 1,
+            genotype_aln_min_support_ratio=opts.genotype_aln_min_support_ratio + 0.02,
+            minimum_extract_score_over_homref=extract,
+        )
+    )
 
 
 def genotype_regions(
@@ -286,9 +315,11 @@ def genotype_regions(
     processes > 1 they fan out over a process pool — the within-host analog
     of the reference's threaded region loop (one Python process per region
     sidesteps the GIL on the host-bound caller)."""
+    from graphtyper_tpu.config import current_options
     from graphtyper_tpu.graph.coords import split_region
     from graphtyper_tpu.io.fasta import FastaFile
 
+    apply_cohort_size_tuning(len(sams))
     region = GenomicRegion.parse(region_str)
     fasta = FastaFile(ref_path)
     if fasta.has_contig(region.chr):
@@ -310,7 +341,10 @@ def genotype_regions(
                 jax_platform = sys.modules["jax"].config.jax_platforms
             except Exception:
                 pass
-        jobs = [(ref_path, sams, s.to_string(), output_path, jax_platform, kw) for s in subs]
+        jobs = [
+            (ref_path, sams, s.to_string(), output_path, jax_platform, current_options(), kw)
+            for s in subs
+        ]
         ctx = mp.get_context("spawn")  # fork is unsafe under a live JAX runtime
         try:
             with ProcessPoolExecutor(max_workers=min(processes, len(subs)), mp_context=ctx) as pool:

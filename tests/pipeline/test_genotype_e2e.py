@@ -265,3 +265,31 @@ def test_multi_contig_region_file(tmp_path):
     body = [l for l in gzip.open(concat, "rt").read().splitlines() if not l.startswith("#")]
     chroms = {l.split("\t")[0] for l in body}
     assert chroms == {"c1", "c2"}, body
+
+
+def test_cohort_size_tuning():
+    """genotype.cpp:693-732: cohorts >=4 samples raise the extraction support
+    thresholds; >=1500 samples raise the extract score further."""
+    from graphtyper_tpu.config import current_options, set_options
+    from graphtyper_tpu.pipeline.genotype import apply_cohort_size_tuning
+
+    old = current_options()
+    try:
+        apply_cohort_size_tuning(3)
+        o = current_options()
+        assert o.genotype_aln_min_support == 4
+        assert o.minimum_extract_score_over_homref == 27
+
+        apply_cohort_size_tuning(4)
+        o = current_options()
+        assert o.genotype_aln_min_support == 5
+        assert o.genotype_dis_min_support == 9
+        assert abs(o.genotype_aln_min_support_ratio - 0.23) < 1e-9
+        assert o.minimum_extract_score_over_homref == 33
+
+        set_options(old)
+        apply_cohort_size_tuning(1500)
+        o = current_options()
+        assert o.minimum_extract_score_over_homref == 36
+    finally:
+        set_options(old)
