@@ -522,6 +522,9 @@ def call_pools(
     def run_one(pool):
         return call_pool(graph, index, pool, **kw)
 
+    import time as _time
+
+    _t0 = _time.monotonic()
     if threads > 1 and len(pools) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -529,6 +532,18 @@ def call_pools(
             results = list(ex.map(run_one, pools))
     else:
         results = [run_one(pool) for pool in pools]
+
+    # DO NOT CHANGE THIS LOG LINE FORMAT (genotype.cpp:117 "we parse it
+    # externally" — the Thread work summary is the de-facto metrics feed)
+    from graphtyper_tpu.utils.log import get_logger
+
+    get_logger().info(
+        "Finished calling. Thread work: pools=%d threads=%d records=%d wall=%.2fs",
+        len(pools),
+        min(threads, len(pools)),
+        sum(r.num_records for r in results),
+        _time.monotonic() - _t0,
+    )
 
     pool_files: list[str] = []
     ph_maps: list[dict] = []
