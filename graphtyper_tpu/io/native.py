@@ -37,6 +37,11 @@ def get_lib():
     lib.gt_bgzf_decompress.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    if hasattr(lib, "gt_bgzf_decompress_mt"):
+        lib.gt_bgzf_decompress_mt.restype = ctypes.c_int64
+        lib.gt_bgzf_decompress_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
     lib.gt_bam_scan.restype = ctypes.c_int32
     lib.gt_bam_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64] + [ctypes.POINTER(ctypes.c_int64)] * 5
     lib.gt_bam_fill.restype = ctypes.c_int32
@@ -52,7 +57,10 @@ def available() -> bool:
 
 
 def bgzf_decompress(raw: bytes) -> bytes | None:
-    """Whole-file BGZF decompression through libdeflate; None -> fall back."""
+    """Whole-file BGZF decompression through libdeflate; None -> fall back.
+    Blocks inflate in parallel when the file is pure BGZF (the BC extra
+    field gives every block's offsets up front); plain-gzip members fall
+    back to the serial member walk."""
     lib = get_lib()
     if lib is None:
         return None
@@ -61,6 +69,12 @@ def bgzf_decompress(raw: bytes) -> bytes | None:
     if size < 0:
         return None
     out = np.empty(int(size), dtype=np.uint8)
+    if hasattr(lib, "gt_bgzf_decompress_mt"):
+        got = lib.gt_bgzf_decompress_mt(inp.ctypes.data, len(raw), out.ctypes.data, int(size), 0)
+        if got == size:
+            return out.tobytes()
+        if got != -2:
+            return None
     got = lib.gt_bgzf_decompress(inp.ctypes.data, len(raw), out.ctypes.data, int(size))
     if got != size:
         return None

@@ -19,6 +19,7 @@
 
 #include <libdeflate.h>
 
+#include <atomic>
 #include <thread>
 
 extern "C" {
@@ -177,6 +178,106 @@ int64_t gt_bgzf_decompress(uint8_t const * in, int64_t in_size, uint8_t * out, i
 
   libdeflate_free_decompressor(dec);
   return out_off;
+}
+
+// Threaded whole-file BGZF decompression: scan member headers for the BC
+// (compressed size) and trailing ISIZE fields to precompute every block's
+// input/output offset, then inflate blocks in parallel. Returns total
+// decompressed size, -2 when a member lacks the BGZF BC field (caller falls
+// back to the serial path), -1 on inflate error.
+int64_t gt_bgzf_decompress_mt(
+  uint8_t const * in, int64_t in_size, uint8_t * out, int64_t out_capacity, int32_t n_threads)
+{
+  struct Blk
+  {
+    int64_t in_off;
+    int64_t bsize;
+    int64_t out_off;
+    uint32_t isize;
+  };
+  std::vector<Blk> blocks;
+  int64_t in_off = 0;
+  int64_t out_off = 0;
+  while (in_off < in_size)
+  {
+    if (in_size - in_off < 18)
+      break;
+    if (!(in[in_off + 3] & 4))
+      return -2;
+    uint16_t xlen;
+    memcpy(&xlen, in + in_off + 10, 2);
+    int64_t extra_off = in_off + 12;
+    int64_t bsize = -1;
+    int64_t x = 0;
+    while (x + 4 <= xlen)
+    {
+      uint8_t si1 = in[extra_off + x], si2 = in[extra_off + x + 1];
+      uint16_t slen;
+      memcpy(&slen, in + extra_off + x + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2)
+      {
+        uint16_t bs;
+        memcpy(&bs, in + extra_off + x + 4, 2);
+        bsize = static_cast<int64_t>(bs) + 1;
+      }
+      x += 4 + slen;
+    }
+    if (bsize <= 0 || in_off + bsize > in_size)
+      return -2;
+    uint32_t isize;
+    memcpy(&isize, in + in_off + bsize - 4, 4);
+    if (out && out_off + static_cast<int64_t>(isize) > out_capacity)
+      return -1;
+    blocks.push_back({in_off, bsize, out_off, isize});
+    out_off += isize;
+    in_off += bsize;
+  }
+  if (out == nullptr)
+    return out_off;
+
+  std::atomic<int64_t> next{0};
+  std::atomic<bool> failed{false};
+  auto work = [&]() {
+    struct libdeflate_decompressor * dec = libdeflate_alloc_decompressor();
+    for (;;)
+    {
+      int64_t b = next.fetch_add(1);
+      if (b >= static_cast<int64_t>(blocks.size()) || failed.load(std::memory_order_relaxed))
+        break;
+      Blk const & blk = blocks[b];
+      if (blk.isize == 0)
+        continue;
+      size_t actual_out = 0;
+      libdeflate_result r = libdeflate_gzip_decompress_ex(dec,
+                                                          in + blk.in_off,
+                                                          static_cast<size_t>(blk.bsize),
+                                                          out + blk.out_off,
+                                                          static_cast<size_t>(blk.isize),
+                                                          nullptr,
+                                                          &actual_out);
+      if (r != LIBDEFLATE_SUCCESS || actual_out != blk.isize)
+      {
+        failed.store(true, std::memory_order_relaxed);
+        break;
+      }
+    }
+    libdeflate_free_decompressor(dec);
+  };
+  int nt = n_threads;
+  if (nt <= 0)
+    nt = static_cast<int>(std::thread::hardware_concurrency());
+  nt = std::max(1, std::min<int>(nt, static_cast<int>(blocks.size())));
+  if (nt <= 1)
+    work();
+  else
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t)
+      threads.emplace_back(work);
+    for (auto & th : threads)
+      th.join();
+  }
+  return failed.load() ? -1 : out_off;
 }
 
 // ---------------------------------------------------------------------------

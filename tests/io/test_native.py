@@ -76,3 +76,33 @@ def test_native_kmer_parity():
         k_py = (k_py << np.uint64(2)) | c[i : i + len(k_py)]
     assert np.array_equal(k_native, k_py)
     assert np.array_equal(v_native, v_py)
+
+
+def test_bgzf_decompress_mt_parity():
+    """Parallel block decompression produces the identical bytes as the
+    serial member walk on a multi-block file."""
+    import numpy as np
+
+    from graphtyper_tpu.io.bgzf import BgzfWriter
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gt_bgzf_decompress_mt"):
+        return
+    import tempfile, os
+
+    rng = np.random.default_rng(3)
+    data = np.tile(rng.integers(0, 4, size=500_000, dtype=np.uint8), 8).tobytes()
+    p = tempfile.mktemp(suffix=".gz")
+    w = BgzfWriter(p)
+    w.write(data)
+    w.close()
+    raw = np.frombuffer(open(p, "rb").read(), dtype=np.uint8)
+    os.unlink(p)
+    size = lib.gt_bgzf_decompress(raw.ctypes.data, len(raw), None, 0)
+    assert size == len(data)
+    o1 = np.empty(size, dtype=np.uint8)
+    o2 = np.empty(size, dtype=np.uint8)
+    assert lib.gt_bgzf_decompress(raw.ctypes.data, len(raw), o1.ctypes.data, size) == size
+    assert lib.gt_bgzf_decompress_mt(raw.ctypes.data, len(raw), o2.ctypes.data, size, 3) == size
+    assert o1.tobytes() == o2.tobytes() == data
