@@ -1923,7 +1923,6 @@ void * gt_call_pool(
 
   CallResult * R = new CallResult();
   R->eps_sum.assign(n_sites * n_samples, 0);
-  CallCtx C{&G, &S, n_samples, hq_reads != 0, R};
 
   // ---- stage 1: align representatives of each (pos, seq) run -------------
   std::vector<int64_t> reps;  // read indices
@@ -1995,12 +1994,17 @@ void * gt_call_pool(
     }
   }
 
-  // ---- stage 2: sequential pooled loop (pipeline/caller.py process) ------
+  // ---- stage 2: pooled loop, parallel over samples -----------------------
+  // Per-(site,sample) scoring state, pair-pending maps and phasing
+  // connections are all sample-local, so workers own disjoint sample ranges
+  // and each replays the pool stream in order for its own samples. Results
+  // merge deterministically (worker order; the conn maps are ordered and
+  // sample-disjoint), and per-sample read order is unchanged, so the
+  // saturation mask and all sums match the serial walk exactly.
   struct Pending {
     Geno g1, g2;
     GenoMeta m1, m2;
   };
-  std::vector<std::unordered_map<std::string, Pending>> maps(n_samples);
 
   auto make_metas = [&](int64_t r, GenoMeta & m1, GenoMeta & m2) {
     // typer/alignment.py update_paths
@@ -2038,13 +2042,25 @@ void * gt_call_pool(
     int64_t rep = rep_of[r];
     if (rep >= 0 && reps[rep] != r)
       R->num_duplicated += 1;
+  }
+
+  auto stage2_range = [&](int32_t slo, int32_t shi, CallResult & Rw) {
+    CallCtx Cw{&G, &S, n_samples, hq_reads != 0, &Rw};
+    std::vector<std::unordered_map<std::string, Pending>> maps(shi - slo);
+    for (int64_t r = 0; r < n_reads; ++r)
+    {
+    if (flags[r] & sam_flag_filter)
+      continue;
+    int32_t rg = rg_idx[r];
+    if (rg < slo || rg >= shi)
+      continue;
+    int64_t rep = rep_of[r];
     const Geno & a1 = aligned[rep].first;
     const Geno & a2 = aligned[rep].second;
-    int32_t rg = rg_idx[r];
     std::string name((const char *)(names + name_off[r]), (size_t)(name_off[r + 1] - name_off[r]));
 
-    auto it = maps[rg].find(name);
-    if (it == maps[rg].end())
+    auto it = maps[rg - slo].find(name);
+    if (it == maps[rg - slo].end())
     {
       if (flags[r] & IS_PAIRED)
       {
@@ -2052,7 +2068,7 @@ void * gt_call_pool(
         p.g1 = a1;
         p.g2 = a2;
         make_metas(r, p.m1, p.m2);
-        maps[rg].emplace(std::move(name), std::move(p));
+        maps[rg - slo].emplace(std::move(name), std::move(p));
       }
       else
       {
@@ -2077,7 +2093,7 @@ void * gt_call_pool(
             m.qual_len = qlen;
             m.qual_reversed = cmp != 1;
           }
-          update_haplotype_scores_single(C, g, m, rg);
+          update_haplotype_scores_single(Cw, g, m, rg);
         }
       }
     }
@@ -2090,7 +2106,7 @@ void * gt_call_pool(
       Pending & found = it->second;
       if ((mine.m1.flags & IS_FIRST_IN_PAIR) == (found.m1.flags & IS_FIRST_IN_PAIR))
       {
-        R->error = 1;  // both mates claim the same pair slot; Python raises
+        Rw.error = 1;  // both mates claim the same pair slot; Python raises
         break;
       }
       // typer/alignment.py get_better_paths: slot by (first, !reversed)
@@ -2117,10 +2133,65 @@ void * gt_call_pool(
           GenoMeta ms = (cmp == 1) ? *arr_m[0] : *arr_m[2];
           mf.flags |= IS_PROPER_PAIR;
           ms.flags |= IS_PROPER_PAIR;
-          update_haplotype_scores_pair(C, *gf, mf, *gs, ms, rg);
+          update_haplotype_scores_pair(Cw, *gf, mf, *gs, ms, rg);
         }
       }
-      maps[rg].erase(it);
+      maps[rg - slo].erase(it);
+    }
+    }
+  };
+
+  {
+    int nt = (n_threads <= 1) ? 1 : std::min<int32_t>(n_threads, n_samples);
+    if (nt <= 1)
+      stage2_range(0, n_samples, *R);
+    else
+    {
+      std::vector<CallResult> parts(nt);
+      std::vector<std::thread> threads;
+      int per = (n_samples + nt - 1) / nt;
+      std::vector<std::pair<int32_t, int32_t>> ranges;
+      for (int t = 0; t < nt; ++t)
+      {
+        int32_t slo = t * per, shi = std::min<int32_t>(n_samples, (t + 1) * per);
+        if (slo >= shi)
+          break;
+        parts[ranges.size()].eps_sum.assign(n_sites * n_samples, 0);
+        threads.emplace_back([&, slo, shi, ti = ranges.size()]() { stage2_range(slo, shi, parts[ti]); });
+        ranges.push_back({slo, shi});
+      }
+      for (auto & th : threads)
+        th.join();
+      for (size_t ti = 0; ti < ranges.size(); ++ti)
+      {
+        CallResult & W = parts[ti];
+        if (W.error)
+          R->error = W.error;
+        auto cat = [](auto & dst, auto const & src) { dst.insert(dst.end(), src.begin(), src.end()); };
+        cat(R->o_site, W.o_site);
+        cat(R->o_sample, W.o_sample);
+        cat(R->o_eps, W.o_eps);
+        cat(R->o_apply, W.o_apply);
+        cat(R->o_cov, W.o_cov);
+        cat(R->o_clip_scaled, W.o_clip_scaled);
+        cat(R->o_clip_flag, W.o_clip_flag);
+        cat(R->o_mapq_sq, W.o_mapq_sq);
+        cat(R->o_mm_scaled, W.o_mm_scaled);
+        cat(R->o_sdiff, W.o_sdiff);
+        cat(R->o_strand, W.o_strand);
+        cat(R->o_proper, W.o_proper);
+        cat(R->o_bits_lo, W.o_bits_lo);
+        cat(R->o_bits_hi, W.o_bits_hi);
+        cat(R->o_big, W.o_big);
+        cat(R->x_count, W.x_count);
+        cat(R->x_vals, W.x_vals);
+        // sample ranges are disjoint: eps columns and conn keys never clash
+        for (int64_t site = 0; site < n_sites; ++site)
+          for (int32_t pn = ranges[ti].first; pn < ranges[ti].second; ++pn)
+            R->eps_sum[site * n_samples + pn] = W.eps_sum[site * n_samples + pn];
+        R->conn.insert(W.conn.begin(), W.conn.end());
+        R->conn_touched.insert(W.conn_touched.begin(), W.conn_touched.end());
+      }
     }
   }
 
