@@ -29,11 +29,20 @@ BUCKET_SIZE = 50
 
 
 def lr_pileup(reads, region_begin: int, ref_size: int, opts: Options) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position base counts [L, 4] and qualsums [L, 4]."""
+    """Per-position base counts [L, 4] and qualsums [L, 4].
+
+    Extreme-coverage protection (caller.cpp:1381,1512-1516 + bucket.cpp
+    add_base_to_bucket): once any position's depth reaches
+    lr_coverage_filter, later reads starting before that position are
+    skipped entirely (reads arrive coordinate-sorted)."""
     counts = np.zeros((ref_size, 4), dtype=np.int64)
     qualsums = np.zeros((ref_size, 4), dtype=np.int64)
+    cov_filter = opts.lr_coverage_filter
+    min_pos = -1  # genomic 0-based threshold
     for r in reads:
         if not r.cigar or len(r.seq) < 150 or r.mapq < opts.lr_mapq_filter or (r.flag & opts.sam_flag_filter):
+            continue
+        if r.pos < min_pos:
             continue
         codes = encode(r.seq)
         ref_offset = r.pos - region_begin
@@ -57,6 +66,8 @@ def lr_pileup(reads, region_begin: int, ref_size: int, opts: Options) -> tuple[n
                     tr_qual = 15 + round(q * 12.0 / 60.0)
                     counts[rp, c] += 1
                     qualsums[rp, c] += tr_qual
+                    if cov_filter > 0 and int(counts[rp].sum()) >= cov_filter:
+                        min_pos = rp + region_begin
                 read_offset += cnt
                 ref_offset += cnt
             elif op == 1:

@@ -109,3 +109,33 @@ def test_cli_multi_host_region_sharding(tmp_path):
     all_out = outs[0] + outs[1]
     assert len(all_out) >= 1
     assert not (set(outs[0]) & set(outs[1]))
+
+
+def test_lr_coverage_filter(tmp_path):
+    """caller.cpp:1381,1512-1516: once a position's pileup depth reaches
+    lr_coverage_filter, later reads starting before that position are
+    skipped (min_pos tracks the last saturated position)."""
+    import numpy as np
+
+    from graphtyper_tpu.config import Options
+    from graphtyper_tpu.io.bam import AlignedRead
+    from graphtyper_tpu.typer.discovery_lr import lr_pileup
+
+    def read(pos, seq):
+        return AlignedRead(
+            name=f"r{pos}", flag=0, ref_id=0, pos=pos, mapq=60,
+            cigar=[(0, len(seq))], mate_ref_id=-1, mate_pos=-1, tlen=0,
+            seq=seq, qual=np.full(len(seq), 40, dtype=np.uint8),
+        )
+
+    # five reads at pos 0 saturate positions 0..199 (min_pos -> 199); a
+    # later read at pos 100 (< 199) is skipped, one at pos 199 still counts
+    reads = [read(0, b"A" * 200) for _ in range(5)] + [read(100, b"A" * 200), read(199, b"A" * 200)]
+    counts, _ = lr_pileup(reads, 0, 500, Options(lr_coverage_filter=5))
+    assert counts[150].sum() == 5  # pos-100 read was skipped
+    assert counts[250].sum() == 1  # pos-199 read landed
+
+    # with the filter off, everything counts
+    counts2, _ = lr_pileup(reads, 0, 500, Options(lr_coverage_filter=0))
+    assert counts2[150].sum() == 6
+    assert counts2[250].sum() == 2
