@@ -151,3 +151,35 @@ def test_nm_md_regeneration(tmp_path):
     # ACGT match, delete A, CGT match -> NM 1, MD 4^A3
     assert r2.tags["NM"] == 1
     assert r2.tags["MD"] == "4^A3"
+
+
+def test_cram_multi_container_roundtrip(tmp_path):
+    """>10000 records forces multiple data containers (cram_writer CHUNK);
+    the decoder must walk all containers and preserve record order and
+    content, including the record_counter continuity across slices."""
+    import numpy as np
+
+    from graphtyper_tpu.io.bam import AlignedRead, read_alignments
+    from graphtyper_tpu.io.cram_writer import write_cram
+
+    h, base_reads = read_alignments("tests/data/test.sam", parse_tags=False)
+    rng = np.random.default_rng(11)
+    reads = []
+    for i in range(23_456):
+        src = base_reads[i % len(base_reads)]
+        r = AlignedRead(
+            name=f"m{i}", flag=src.flag, ref_id=src.ref_id, pos=src.pos + (i % 97),
+            mapq=src.mapq, cigar=list(src.cigar), mate_ref_id=src.mate_ref_id,
+            mate_pos=src.mate_pos, tlen=src.tlen, seq=src.seq,
+            qual=src.qual.copy(),
+        )
+        reads.append(r)
+    reads.sort(key=lambda r: (r.ref_id, r.pos))
+    path = str(tmp_path / "multi.cram")
+    write_cram(path, h, reads)
+    h2, got = read_cram(path)
+    assert len(got) == len(reads)
+    for a, b in zip(reads, got):
+        assert a.name == b.name and a.pos == b.pos and a.seq == b.seq and a.flag == b.flag
+        assert list(a.cigar) == list(b.cigar)
+        assert (a.qual == b.qual).all()
