@@ -103,7 +103,13 @@ def add_var_record(
         return
 
     if any(c not in "ACGT" for c in alt):
-        return  # non-ACGT alt ignored (constructor.cpp:1500-1512)
+        # non-ACGT alt ignored with a warning (constructor.cpp:1500-1512)
+        from graphtyper_tpu.utils.log import get_logger
+
+        get_logger().warning(
+            "Ignoring alt. allele %s at pos=%d. Non-ACGT base.", alt, rec.pos
+        )
+        return
 
     var.ref = Allele(rec.ref.encode())
     var.alts = [Allele(alt.encode())]

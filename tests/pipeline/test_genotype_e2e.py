@@ -293,3 +293,41 @@ def test_cohort_size_tuning():
         assert o.minimum_extract_score_over_homref == 36
     finally:
         set_options(old)
+
+
+def test_malformed_inputs(tmp_path):
+    """Reference error semantics: truncated BAM raises cleanly; non-ACGT alt
+    records are skipped with a warning (constructor.cpp:1500-1512); an SV
+    alt in a non-SV graph is a hard error (constructor.cpp:1245-1255)."""
+    import pytest
+
+    from graphtyper_tpu.graph.build import construct_graph
+    from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=5000, coverage=10.0, seed=3, out_format="bam")
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+
+    raw = open(sim.sams[0], "rb").read()
+    trunc = str(tmp_path / "trunc.bam")
+    open(trunc, "wb").write(raw[: len(raw) // 2])
+    with pytest.raises(Exception):
+        genotype(sim.fasta, [trunc], f"{cfg.chrom}:1-5000", str(tmp_path / "o1"))
+
+    vcf = str(tmp_path / "bad.vcf")
+    open(vcf, "w").write(
+        "##fileformat=VCFv4.2\n##contig=<ID=%s>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "%s\t200\t.\tC\tN\t.\t.\t.\n%s\t300\t.\tG\tT\t.\t.\t.\n"
+        % (cfg.chrom, cfg.chrom, cfg.chrom)
+    )
+    g = construct_graph(sim.fasta, vcf, f"{cfg.chrom}:1-5000")
+    sites = list(g.genotypes())
+    assert len(sites) == 1  # the N alt was dropped, the SNP kept
+
+    sv_vcf = str(tmp_path / "sv_in_small.vcf")
+    open(sv_vcf, "w").write(
+        "##fileformat=VCFv4.2\n##contig=<ID=%s>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "%s\t100\t.\tA\t<DEL>\t.\t.\tSVTYPE=DEL;SVLEN=-100;END=200\n" % (cfg.chrom, cfg.chrom)
+    )
+    with pytest.raises(ValueError):
+        construct_graph(sim.fasta, sv_vcf, f"{cfg.chrom}:1-5000")
