@@ -161,3 +161,39 @@ def test_hom_duplication(tmp_path):
     assert dup_records, body
     gts = {l.split("\t")[9].split(":")[0] for l in dup_records}
     assert gts & {"0/1", "1/1"}, dup_records
+
+
+def test_het_inversion(tmp_path):
+    """A 300bp inversion carried heterozygously genotypes as INV with alt
+    support (breakpoint models; sv.cpp INV handling)."""
+    rng = np.random.default_rng(21)
+    L = 9000
+    chrom = "chrS"
+    seq = _random_seq(rng, L)
+    fasta = str(tmp_path / "ref.fa")
+    _write_fasta(fasta, chrom, seq)
+
+    inv_start0 = 4000
+    inv_len = 300
+    sv_vcf = str(tmp_path / "sv.vcf")
+    with open(sv_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n##contig=<ID=chrS>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        f.write(
+            f"{chrom}\t{inv_start0 + 1}\t.\t{chr(seq[inv_start0])}\t<INV>\t.\t.\t"
+            f"SVTYPE=INV;SVLEN={inv_len};SVSIZE={inv_len};END={inv_start0 + 1 + inv_len}\n"
+        )
+
+    # inversion: the segment reverse-complements
+    comp = np.frombuffer(bytes.maketrans(b"ACGT", b"TGCA"), dtype=np.uint8)
+    seg = seq[inv_start0 + 1 : inv_start0 + 1 + inv_len]
+    rc = np.frombuffer(seg.tobytes().translate(bytes.maketrans(b"ACGT", b"TGCA")), dtype=np.uint8)[::-1]
+    hap_inv = np.concatenate([seq[: inv_start0 + 1], rc, seq[inv_start0 + 1 + inv_len :]])
+    carrier = str(tmp_path / "carrier.sam")
+    _sim_reads(carrier, chrom, L, [seq, hap_inv], 1000, "carrier", 8)
+
+    out = genotype_sv(fasta, sv_vcf, [carrier], f"{chrom}:1-{L}", str(tmp_path / "out"))
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    inv_records = [l for l in body if "SVTYPE=INV" in l]
+    assert inv_records, body
+    gts = {l.split("\t")[9].split(":")[0] for l in inv_records}
+    assert gts & {"0/1", "1/1"}, inv_records
