@@ -197,3 +197,41 @@ def test_het_inversion(tmp_path):
     assert inv_records, body
     gts = {l.split("\t")[9].split(":")[0] for l in inv_records}
     assert gts & {"0/1", "1/1"}, inv_records
+
+
+def test_breakend(tmp_path):
+    """A BND adjacency (t[chr:pos[ form joining 2000 -> 6001, a deletion-like
+    junction) genotypes with alt support for the carrier
+    (constructor.cpp:312 add_sv_breakend)."""
+    rng = np.random.default_rng(33)
+    L = 9000
+    chrom = "chrS"
+    seq = _random_seq(rng, L)
+    fasta = str(tmp_path / "ref.fa")
+    _write_fasta(fasta, chrom, seq)
+
+    bnd_pos0 = 2000  # 0-based; junction after this base
+    mate_pos1 = 6001  # 1-based mate position
+    ref_base = chr(seq[bnd_pos0])
+    sv_vcf = str(tmp_path / "sv.vcf")
+    with open(sv_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n##contig=<ID=chrS>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        f.write(
+            f"{chrom}\t{bnd_pos0 + 1}\t.\t{ref_base}\t{ref_base}[{chrom}:{mate_pos1}[\t.\t.\t"
+            f"SVTYPE=BND\n"
+        )
+
+    # the reference's add_sv_breakend passes the parsed 1-based mate pos
+    # straight into a 0-based readRegion (constructor.cpp:396-402 via
+    # read_reference_seq :241-252), so the junction allele continues from
+    # 0-based `mate_pos1`, not mate_pos1-1; we mirror that convention
+    hap_bnd = np.concatenate([seq[: bnd_pos0 + 1], seq[mate_pos1:]])
+    carrier = str(tmp_path / "carrier.sam")
+    _sim_reads(carrier, chrom, L, [seq, hap_bnd], 1000, "carrier", 12)
+
+    out = genotype_sv(fasta, sv_vcf, [carrier], f"{chrom}:1-{L}", str(tmp_path / "out"))
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    bnd_records = [l for l in body if "SVTYPE=BND" in l]
+    assert bnd_records, body
+    gts = {l.split("\t")[9].split(":")[0] for l in bnd_records}
+    assert gts & {"0/1", "1/1"}, bnd_records
