@@ -9,6 +9,8 @@ SV record transformation lives in graph/build_sv.py.
 
 from __future__ import annotations
 
+import numpy as np
+
 from graphtyper_tpu.graph.coords import AbsolutePosition, GenomicRegion
 from graphtyper_tpu.graph.graph import Graph
 from graphtyper_tpu.graph.records import Allele, VarRecord
@@ -154,7 +156,8 @@ def construct_graph(
     reference_sequence = fasta.fetch(region.chr, region.begin, region.end)
     if not reference_sequence:
         raise ValueError(f"Failed reading region {region_str} from {reference_filename}")
-    if any(c < ord("A") or c > ord("Z") for c in reference_sequence):
+    _ref_arr = np.frombuffer(reference_sequence, dtype=np.uint8)
+    if ((_ref_arr < ord("A")) | (_ref_arr > ord("Z"))).any():
         raise ValueError("Non-uppercase character in input FASTA reference")
 
     var_records: list[VarRecord] = []

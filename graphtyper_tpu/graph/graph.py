@@ -359,8 +359,10 @@ class Graph:
     def check(self) -> bool:
         """ACGTN-only (tags allowed in var nodes), nonempty var dna,
         increasing order (graph.cpp:1809-1813)."""
+        _ok = np.zeros(256, dtype=bool)
+        _ok[list(b"ACGTN")] = True
         for rn in self.ref_nodes:
-            if any(c not in b"ACGTN" for c in rn.label.dna):
+            if not _ok[np.frombuffer(rn.label.dna, dtype=np.uint8)].all():
                 return False
         for vn in self.var_nodes:
             dna = vn.label.dna
