@@ -159,6 +159,7 @@ def test_genotype_with_bamshrink(tmp_path):
     import gzip
 
     from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.pipeline.genotype import genotype
     from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
 
     cfg = SimConfig(region_length=6000, coverage=20.0, seed=61)
@@ -183,6 +184,7 @@ def test_genotype_primer_masking_runs(tmp_path):
 
     from graphtyper_tpu.config import current_options, replace, set_options
     from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
+    from graphtyper_tpu.pipeline.genotype import genotype
     from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
 
     cfg = SimConfig(region_length=5000, coverage=16.0, seed=71)
@@ -303,6 +305,7 @@ def test_malformed_inputs(tmp_path):
 
     from graphtyper_tpu.graph.build import construct_graph
     from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.pipeline.genotype import genotype
     from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
 
     cfg = SimConfig(region_length=5000, coverage=10.0, seed=3, out_format="bam")
@@ -331,3 +334,42 @@ def test_malformed_inputs(tmp_path):
     )
     with pytest.raises(ValueError):
         construct_graph(sim.fasta, sv_vcf, f"{cfg.chrom}:1-5000")
+
+
+def test_differential_paths_identical(tmp_path):
+    """All implementation paths (device vs host scoring, native vs Python
+    caller/aligner) produce the byte-identical VCF on an indel-bearing
+    random cohort."""
+    import gzip
+
+    from graphtyper_tpu.config import current_options, replace, set_options
+
+    def body(p):
+        return [l for l in gzip.open(p, "rt").read().splitlines() if not l.startswith("#")]
+
+    from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(
+        region_length=20_000, coverage=18.0, n_samples=2, seed=101,
+        out_format="bam", indel_rate=0.002, error_rate=0.005,
+    )
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    old = current_options()
+    outs = {}
+    try:
+        for label, opts in (
+            ("default", old),
+            ("host_scoring", replace(old, device_scoring="off")),
+            ("python_caller", replace(old, native_caller="off")),
+            ("python_aligner", replace(old, native_caller="off", native_aligner="off")),
+        ):
+            set_options(opts)
+            o = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-20000", str(tmp_path / label))
+            outs[label] = body(o)
+    finally:
+        set_options(old)
+    base = outs["default"]
+    assert len(base) > 5
+    for k, v in outs.items():
+        assert v == base, k
