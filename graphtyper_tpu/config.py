@@ -6,7 +6,7 @@ dataclass passed through call chains — no mutable global singleton.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from graphtyper_tpu.constants import SPLIT_VAR_THRESHOLD
 

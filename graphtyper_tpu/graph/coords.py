@@ -10,7 +10,7 @@ from "chr:begin-end" strings with 1-based inclusive input converted to
 from __future__ import annotations
 
 import bisect
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from graphtyper_tpu.constants import AS_LONG_AS_POSSIBLE, SPECIAL_START
 

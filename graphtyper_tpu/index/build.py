@@ -16,7 +16,6 @@ reference's hash map. Long pure-reference stretches are emitted vectorized
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 
 import numpy as np
 

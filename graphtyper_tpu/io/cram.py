@@ -22,7 +22,6 @@ import bz2
 import gzip
 import lzma
 import struct
-import zlib
 from dataclasses import dataclass, field
 
 import numpy as np

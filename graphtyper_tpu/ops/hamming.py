@@ -11,11 +11,9 @@ term instead.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def one_hot_acgt(codes: jnp.ndarray) -> jnp.ndarray:

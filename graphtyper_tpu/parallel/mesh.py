@@ -9,7 +9,6 @@ file-based reduction (SURVEY §2.5): read batches are data-parallel over the
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ levels ('?' for >= 24 else ',', :85-89), and compact base-93 read renaming
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import numpy as np
 

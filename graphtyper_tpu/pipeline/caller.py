@@ -11,8 +11,7 @@ map derivation (:790-904, thresholds 0.22/0.78, support>=4 or >=28%).
 
 from __future__ import annotations
 
-import copy
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

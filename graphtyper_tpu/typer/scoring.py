@@ -7,7 +7,6 @@ connection weights (weight 6/weight), and VcfWriter construction (:66-86).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 
 import numpy as np
 

@@ -27,7 +27,6 @@ the explain-map scoring here implements the inferable contract):
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 import numpy as np

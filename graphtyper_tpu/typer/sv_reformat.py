@@ -10,7 +10,6 @@ src/typer/sample_call.cpp make_call_based_on_coverage (:230-389).
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
