@@ -108,3 +108,56 @@ def test_absolute_and_contig_positions():
     assert ap.get_contig_position(3) == ("chr1", 3)
     assert ap.get_contig_position(1 + 66) == ("chr2", 1)
     assert ap.get_contig_position(66) == ("chr1", 66)
+
+
+def test_mismatches_of_first_and_last_base_goldens():
+    """Upstream goldens (test/utilities/test_utilities.cpp "Mismatches of the
+    last base" / "... first base"): the Hamming-1 mutation set at the flank
+    positions contains exactly the three single-base substitutions."""
+    import numpy as np
+
+    from graphtyper_tpu.index.kmer_index import hamming1_keys
+    from graphtyper_tpu.utils.dna import encode, pack_kmers, unpack_kmer
+
+    def kmer_key(s):
+        keys, _ = pack_kmers(encode(s), 32)
+        return np.array([keys[0]], dtype=np.uint64)
+
+    def muts_at(kmer_str, pos):
+        """All Hamming-1 mutations of the kmer at string position pos."""
+        all96 = hamming1_keys(kmer_key(kmer_str)).reshape(-1)
+        out = set()
+        for key in all96.tolist():
+            s = unpack_kmer(int(key), 32)
+            diffs = [i for i in range(32) if s[i] != kmer_str[i]]
+            if diffs == [pos]:
+                out.add(s)
+        return out
+
+    # last base 'A' -> C, G, T at position 31
+    kmer = "ATTCCCCAGGTTTCCCCAGGTTTCCCCAGGTA"
+    assert muts_at(kmer, 31) == {
+        "ATTCCCCAGGTTTCCCCAGGTTTCCCCAGGTC",
+        "ATTCCCCAGGTTTCCCCAGGTTTCCCCAGGTG",
+        "ATTCCCCAGGTTTCCCCAGGTTTCCCCAGGTT",
+    }
+    # last base 'C'
+    kmer = "TTTCCCCAGGTTTCCCCAGGTTTCCCCAGGTC"
+    assert muts_at(kmer, 31) == {
+        "TTTCCCCAGGTTTCCCCAGGTTTCCCCAGGTA",
+        "TTTCCCCAGGTTTCCCCAGGTTTCCCCAGGTG",
+        "TTTCCCCAGGTTTCCCCAGGTTTCCCCAGGTT",
+    }
+    # first base 'A' -> C, G, T at position 0
+    kmer = "ATTCCCCAGGTTTCCCCAGGTTTCCCCAGGTA"
+    assert muts_at(kmer, 0) == {
+        "CTTCCCCAGGTTTCCCCAGGTTTCCCCAGGTA",
+        "GTTCCCCAGGTTTCCCCAGGTTTCCCCAGGTA",
+        "TTTCCCCAGGTTTCCCCAGGTTTCCCCAGGTA",
+    }
+    # every kmer yields exactly 96 mutations, all Hamming distance 1
+    all96 = hamming1_keys(kmer_key(kmer)).reshape(-1)
+    assert len(all96) == 96
+    strs = [unpack_kmer(int(k), 32) for k in all96.tolist()]
+    assert all(sum(a != b for a, b in zip(s, kmer)) == 1 for s in strs)
+    assert len(set(strs)) == 96
