@@ -148,3 +148,51 @@ def test_index_save_load(tmp_path, data_dir):
     idx2 = KmerIndex.load(p)
     assert np.array_equal(idx2.keys, idx.keys)
     assert np.array_equal(idx2.label_end, idx.label_end)
+
+
+def test_index_chr9_anti_event():
+    """test/index/test_index.cpp "Test index chr9 with anti event": the
+    anti-phased SNP+insertion pair must not share a kmer."""
+    import pathlib
+
+    data_dir = pathlib.Path(__file__).resolve().parents[1] / "data"
+    g, idx = _index(data_dir, "chr9", add_all_variants=True)
+
+    labels = idx.get(to_uint64("G" * 32))
+    assert len(labels) == 36
+
+    labels = idx.get(to_uint64("GGGGGAGTGGGGGGGGGGGGGGGGGGGGGGGG"))
+    assert len(labels) == 1
+    assert labels[0][2] == 3  # the insertion alt
+
+    labels = idx.get(to_uint64("GGGGGGGTGGGGGGGGGGGGGGGGGGGGGGGG"))
+    assert len(labels) == 2
+    ids = {l[2] for l in labels}
+    assert ids == {0, 2}  # the two reference alleles; never the anti pair
+
+
+def test_index_chr10_parity_event():
+    """test/index/test_index.cpp "Test index chr10 with parity event": the
+    co-phased (GT_HAPLOTYPE) SNP+insertion kmers include the joint paths."""
+    import pathlib
+
+    data_dir = pathlib.Path(__file__).resolve().parents[1] / "data"
+    g, idx = _index(data_dir, "chr10", add_all_variants=True)
+
+    labels = idx.get(to_uint64("G" * 32))
+    assert len(labels) == 36
+
+    labels = idx.get(to_uint64("GGGGGAGTGGGGGGGGGGGGGGGGGGGGGGGG"))
+    assert len(labels) == 1
+    assert labels[0][2] == 3
+
+    labels = idx.get(to_uint64("GGGGGGGTGGGGGGGGGGGGGGGGGGGGGGGG"))
+    assert len(labels) == 2
+    assert {l[2] for l in labels} == {0, 2}
+
+    labels = idx.get(to_uint64("AGGGGGGTGGGGGGGGGGGGGGGGGGGGGGGG"))
+    assert len(labels) == 2
+
+    labels = idx.get(to_uint64("AGGGGGAGTGGGGGGGGGGGGGGGGGGGGGGG"))
+    assert len(labels) == 2
+    assert {l[2] for l in labels} == {1, 3}  # SNP alt + insertion co-phased
