@@ -95,6 +95,9 @@ def _apply_tier_impl(obs_mat, A: int, n_sites: int, n_samples: int) -> dict:
     charges per round trip, not just per byte). Padding rows carry eps=0,
     bits=0, cov=COV_PAD, zero scalars and contribute nothing.
     """
+    from graphtyper_tpu.utils.jax_cache import ensure_compilation_cache
+
+    ensure_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -17,6 +17,9 @@ from __future__ import annotations
 
 import functools
 
+from graphtyper_tpu.utils.jax_cache import ensure_compilation_cache
+
+ensure_compilation_cache()
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
