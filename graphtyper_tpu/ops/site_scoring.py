@@ -90,7 +90,7 @@ def _jitted_apply_tier():
 def _apply_tier_impl(obs_mat, A: int, n_sites: int, n_samples: int) -> dict:
     """One chunk of observations -> segment-summed state deltas.
 
-    `obs_mat` is one [14, N] int64 matrix (OBS_FIELDS row order) so the whole
+    `obs_mat` is one [14, N] int32 matrix (OBS_FIELDS row order) so the whole
     chunk ships to the device in a single transfer (the tunnel to the chip
     charges per round trip, not just per byte). Padding rows carry eps=0,
     bits=0, cov=COV_PAD, zero scalars and contribute nothing.
@@ -419,9 +419,16 @@ class ObsBatcher:
                 rows = hi_i - lo_i
                 # pad rows to bucketed sizes to bound jit recompiles
                 n_pad = 1 << max(10, (rows - 1).bit_length())
-                mat = np.zeros((len(OBS_FIELDS), n_pad), dtype=np.int64)
+                # int32 halves the transfer bytes; every column fits (the
+                # uint32 explain bitmaps ride as their int32 bit patterns and
+                # are bitcast back on device)
+                mat = np.zeros((len(OBS_FIELDS), n_pad), dtype=np.int32)
                 for i, k in enumerate(OBS_FIELDS):
-                    mat[i, :rows] = np.asarray(buf.cols[k][lo_i:hi_i], dtype=np.int64)
+                    v = np.asarray(buf.cols[k][lo_i:hi_i], dtype=np.int64)
+                    if k in ("bits_lo", "bits_hi"):
+                        mat[i, :rows] = v.astype(np.uint32).view(np.int32)
+                    else:
+                        mat[i, :rows] = v.astype(np.int32)
                 if n_pad > rows:
                     mat[OBS_FIELDS.index("cov"), rows:] = COV_PAD
                 return mat
