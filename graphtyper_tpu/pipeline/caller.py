@@ -251,7 +251,12 @@ def call_pool(
                 )
 
     sample_names, pooled = read_pool_records(hts_paths, region, ref_path=ref_path)
-    scorer = SiteScorer(graph, sample_names, mesh_key=scorer_mesh_key)
+    scorer = SiteScorer(
+        graph,
+        sample_names,
+        hq_reads=getattr(_copts(), "hq_reads", False),
+        mesh_key=scorer_mesh_key,
+    )
     is_sv = graph.is_sv_graph
     reference_depth = ReferenceDepth(graph, len(sample_names)) if is_sv else None
 

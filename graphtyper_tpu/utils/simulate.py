@@ -166,6 +166,29 @@ def simulate_cohort(out_dir: str, cfg: SimConfig) -> SimResult:
     return result
 
 
+def _cigar_from_positions(pos: np.ndarray) -> str:
+    """Aligner-style CIGAR from the per-base reference positions of a read
+    (insertions repeat the anchor position; deletions jump it). Without this,
+    reads spanning a simulated indel would carry an all-M CIGAR whose
+    frame-shifted tail looks like a wall of mismatches — real aligners emit
+    I/D operations there, which is what reference-based discovery consumes."""
+    ops: list[tuple[int, str]] = [(1, "M")]
+    for k in range(1, len(pos)):
+        d = int(pos[k]) - int(pos[k - 1])
+        if d == 0:
+            op = "I"
+        elif d == 1:
+            op = "M"
+        else:
+            ops.append((d - 1, "D"))
+            op = "M"
+        if ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+    return "".join(f"{n}{o}" for n, o in ops)
+
+
 def _write_sample_sam(
     path: str, cfg: SimConfig, rng: np.random.Generator, haps, sample: str, n_pairs: int
 ) -> None:
@@ -185,14 +208,16 @@ def _write_sample_sam(
                 r[at] = BASES[(np.searchsorted(BASES, r[at]) + rng.integers(1, 4, size=n_err)) % 4]
         p1 = int(hap_pos[start])
         p2 = int(hap_pos[start + frag - L])
+        c1 = _cigar_from_positions(hap_pos[start : start + L])
+        c2 = _cigar_from_positions(hap_pos[start + frag - L : start + frag])
         tlen = p2 + L - p1
         qual = "I" * L
         name = f"{sample}_r{i}"
         records.append(
-            (p1, f"{name}\t99\t{cfg.chrom}\t{p1 + 1}\t60\t{L}M\t=\t{p2 + 1}\t{tlen}\t{r1.tobytes().decode()}\t{qual}\tRG:Z:rg_{sample}")
+            (p1, f"{name}\t99\t{cfg.chrom}\t{p1 + 1}\t60\t{c1}\t=\t{p2 + 1}\t{tlen}\t{r1.tobytes().decode()}\t{qual}\tRG:Z:rg_{sample}")
         )
         records.append(
-            (p2, f"{name}\t147\t{cfg.chrom}\t{p2 + 1}\t60\t{L}M\t=\t{p1 + 1}\t{-tlen}\t{r2.tobytes().decode()}\t{qual}\tRG:Z:rg_{sample}")
+            (p2, f"{name}\t147\t{cfg.chrom}\t{p2 + 1}\t60\t{c2}\t=\t{p1 + 1}\t{-tlen}\t{r2.tobytes().decode()}\t{qual}\tRG:Z:rg_{sample}")
         )
     records.sort(key=lambda t: t[0])
     with open(path, "w") as f:

@@ -373,3 +373,18 @@ def test_differential_paths_identical(tmp_path):
     assert len(base) > 5
     for k, v in outs.items():
         assert v == base, k
+
+    # hq_reads must gate identically in the native and Python paths (a
+    # regression: the Python scorer once ignored opts.hq_reads entirely)
+    hq_outs = {}
+    try:
+        for label, opts in (
+            ("hq", replace(old, hq_reads=True)),
+            ("hq_host", replace(old, hq_reads=True, device_scoring="off", native_caller="off")),
+        ):
+            set_options(opts)
+            o = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-20000", str(tmp_path / label))
+            hq_outs[label] = body(o)
+    finally:
+        set_options(old)
+    assert hq_outs["hq"] == hq_outs["hq_host"]
