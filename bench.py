@@ -125,7 +125,7 @@ def main() -> None:
     env = dict(os.environ)
     raw = None
     backend = "tpu"
-    for force_cpu, child_timeout in ((False, 900), (True, 1500)):
+    for force_cpu, child_timeout in ((False, 1500), (True, 1500)):
         e = dict(env)
         if force_cpu:
             e["GT_BENCH_FORCE_CPU"] = "1"
