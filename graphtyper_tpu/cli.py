@@ -275,6 +275,29 @@ def cmd_construct(args) -> int:
     return 0
 
 
+def cmd_call(args) -> int:
+    """Call variants of a pre-constructed graph (the reference advertises
+    this subcommand but never wired it, main.cpp:1374 vs :1394-1430; ours
+    works: load graph, index in memory, call the pool, write the VCF)."""
+    import os
+
+    from graphtyper_tpu.graph.graph import Graph
+    from graphtyper_tpu.index.build import index_graph
+    from graphtyper_tpu.pipeline.caller import call_pools
+    from graphtyper_tpu.pipeline.vcf_operations import vcf_merge_and_break
+
+    g = Graph.load(args.graph)
+    index = index_graph(g)
+    sams = _read_sams_arg(args)
+    region = g.genomic_region
+    result = call_pools(g, index, sams, region=region, is_writing_hap=False)
+    os.makedirs(args.output, exist_ok=True)
+    out_vcf = os.path.join(args.output, f"{region.chr or 'graph'}_calls.vcf.gz")
+    vcf_merge_and_break([result.vcf], out_vcf, region.to_string(), g, filter_zero_qual=True)
+    print(out_vcf)
+    return 0
+
+
 def cmd_check(args) -> int:
     from graphtyper_tpu.graph.graph import Graph
 
@@ -388,6 +411,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--region", default=".")
     p.add_argument("--sv_graph", action="store_true")
     p.set_defaults(fn=cmd_construct)
+
+    p = sub.add_parser("call", help="Call variants of a graph")
+    p.add_argument("graph")
+    p.add_argument("--sam", action="append", default=[])
+    p.add_argument("--sams", default="")
+    p.add_argument("--output", "-O", default="call_results")
+    p.set_defaults(fn=cmd_call)
 
     p = sub.add_parser("check", help="Check a constructed graph")
     p.add_argument("graph")

@@ -139,3 +139,38 @@ def test_lr_coverage_filter(tmp_path):
     counts2, _ = lr_pileup(reads, 0, 500, Options(lr_coverage_filter=0))
     assert counts2[150].sum() == 6
     assert counts2[250].sum() == 2
+
+
+def test_cli_call_subcommand(tmp_path):
+    """`call` works on a pre-constructed graph (the reference advertises the
+    subcommand but exits 1; main.cpp:1374 vs :1394-1430)."""
+    import subprocess
+    import sys
+
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=8000, coverage=16.0, seed=77, out_format="bam")
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    env = None
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from graphtyper_tpu import cli; import sys;"
+        f"sys.argv = ['g', 'construct', '{tmp_path}/g.npz', '{sim.fasta}',"
+        f" '--vcf={sim.vcf}', '--region={cfg.chrom}:1-8000'];"
+        "cli.main()"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    code2 = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from graphtyper_tpu import cli; import sys;"
+        f"sys.argv = ['g', 'call', '{tmp_path}/g.npz', '--sam={sim.sams[0]}',"
+        f" '--output={tmp_path}/out'];"
+        "cli.main()"
+    )
+    r2 = subprocess.run([sys.executable, "-c", code2], capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    out = r2.stdout.strip().splitlines()[-1]
+    body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
+    assert body, "call produced no records"
+    assert any(f.split("\t")[9].split(":")[0] in ("0/1", "1/1") for f in body)
