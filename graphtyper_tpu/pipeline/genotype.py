@@ -64,8 +64,9 @@ def genotype_only_with_a_vcf(
     import shutil
 
     shutil.copyfile(out_path, legacy)
-    if os.path.exists(out_path + ".tbi"):
-        shutil.copyfile(out_path + ".tbi", legacy + ".tbi")
+    for ext in (".tbi", ".csi"):
+        if os.path.exists(out_path + ext):
+            shutil.copyfile(out_path + ext, legacy + ext)
     return out_path
 
 
@@ -124,8 +125,9 @@ def genotype_sv(
     import shutil
 
     shutil.copyfile(out_region, out_path)
-    if os.path.exists(out_region + ".tbi"):
-        shutil.copyfile(out_region + ".tbi", out_path + ".tbi")
+    for ext in (".tbi", ".csi"):
+        if os.path.exists(out_region + ext):
+            shutil.copyfile(out_region + ext, out_path + ext)
     return out_region
 
 
@@ -253,8 +255,9 @@ def genotype(
     final_name = f"{region.begin + 1:09d}-{region.end:09d}.vcf.gz"
     dst = os.path.join(output_path, region.chr, final_name)
     shutil.copyfile(out_vcf_path, dst)
-    if os.path.exists(out_vcf_path + ".tbi"):
-        shutil.copyfile(out_vcf_path + ".tbi", dst + ".tbi")
+    for ext in (".tbi", ".csi"):
+        if os.path.exists(out_vcf_path + ext):
+            shutil.copyfile(out_vcf_path + ext, dst + ext)
     if not keep_tmp:
         shutil.rmtree(tmp, ignore_errors=True)
     return dst

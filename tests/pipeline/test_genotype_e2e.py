@@ -388,3 +388,25 @@ def test_differential_paths_identical(tmp_path):
     finally:
         set_options(old)
     assert hq_outs["hq"] == hq_outs["hq_host"]
+
+
+def test_csi_index_copied_to_output(tmp_path):
+    """--is_csi runs must place the .csi next to the final region VCF (a
+    regression: the final copy step only carried .tbi)."""
+    import os
+
+    from graphtyper_tpu.config import current_options, replace, set_options
+    from graphtyper_tpu.io.tabix import CsiIndex, load_index
+    from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    cfg = SimConfig(region_length=8000, coverage=14.0, seed=5, out_format="bam")
+    sim = simulate_cohort(str(tmp_path / "sim"), cfg)
+    old = current_options()
+    set_options(replace(old, is_csi=True))
+    try:
+        out = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-8000", str(tmp_path / "csi"))
+    finally:
+        set_options(old)
+    assert os.path.exists(out + ".csi")
+    assert isinstance(load_index(out + ".csi"), CsiIndex)
