@@ -455,13 +455,35 @@ def run_bamshrink_multi(
             fields = line.split()
             if len(fields) >= 3:
                 intervals.append((fields[0], int(fields[1]), int(fields[2])))
+    import time
+
+    from graphtyper_tpu.config import current_options
+    from graphtyper_tpu.utils.log import get_logger
+
     os.makedirs(os.path.join(tmp_dir, "bams"), exist_ok=True)
-    out = []
-    for i, sam in enumerate(sams):
+    t0 = time.monotonic()
+
+    def shrink_one(i_sam):
+        i, sam = i_sam
         cov = avg_cov_by_readlen[i] if avg_cov_by_readlen else -1.0
         dst = os.path.join(tmp_dir, "bams", f"{i:04d}.bam")
         bamshrink_multi(sam, intervals, dst, cov, opts)
-        out.append(dst)
+        return dst
+
+    threads = max(1, getattr(opts or current_options(), "threads", 1))
+    if threads > 1 and len(sams) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(threads, len(sams))) as ex:
+            out = list(ex.map(shrink_one, enumerate(sams)))
+    else:
+        out = [shrink_one(t) for t in enumerate(sams)]
+    get_logger().info(
+        "Finished copying data. Thread work: samples=%d threads=%d wall=%.2fs",
+        len(sams),
+        min(threads, len(sams)),
+        time.monotonic() - t0,
+    )
     return out
 
 
