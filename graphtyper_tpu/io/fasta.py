@@ -47,6 +47,13 @@ class FastaFile:
 
     def fetch(self, name: str, start: int = 0, end: int | None = None) -> bytes:
         """0-based half-open slice of a contig, uppercase ASCII."""
+        if name not in self.index:
+            raise ValueError(
+                f"Contig {name!r} not found in reference FASTA (have: "
+                + ", ".join(list(self.index)[:8])
+                + ("..." if len(self.index) > 8 else "")
+                + ")"
+            )
         length, offset, linebases, linewidth = self.index[name]
         start = max(0, start)
         end = length if end is None else min(end, length)
