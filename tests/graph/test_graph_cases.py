@@ -492,3 +492,49 @@ def test_parity_events_adjacent_snps():
     assert alt_node.label.dna == b"TGA"
     assert alt_node.events == {1, 2, 3}
     assert alt_node.anti_events == {-2, -3}
+
+
+def test_get_reference_sequence_of_graph():
+    # test_graph.cpp:29-97 — five overlapping/merged records; the original
+    # reference sequence must survive through the merged graph
+    g = _build(
+        b"SGTACGEEF",
+        [
+            _rec(1, b"GTACG", [b"G"]),
+            _rec(1, b"G", [b"a", b"b"]),
+            _rec(2, b"T", [b"c"]),
+            _rec(4, b"C", [b"d"]),
+            _rec(5, b"GEE", [b"Ge"]),
+        ],
+    )
+    assert g.get_all_ref() == b"SGTACGEEF"
+
+
+def test_graph_with_reference_only():
+    # test_graph.cpp:98-132
+    g = _build(b"ACCGGGAAAA", [])
+    assert len(g.ref_nodes) == 1
+    assert len(g.var_nodes) == 0
+    assert g.ref_nodes[0].out_degree == 0
+    assert g.ref_nodes[0].label.order == 1
+    assert g.ref_nodes[0].label.dna == b"ACCGGGAAAA"
+    assert g.get_all_ref() == b"ACCGGGAAAA"
+
+
+def test_graph_with_two_variant_records():
+    # test_graph.cpp:133-224
+    g = _build(b"ACCGGGAAAA", [_rec(3, b"G", [b"GT"]), _rec(6, b"A", [b"AT", b"G"])])
+    assert len(g.ref_nodes) == 3
+    assert len(g.var_nodes) == 5
+    assert g.ref_nodes[0].out_var_ids == [0, 1]
+    assert g.var_nodes[0].out_ref_id == 1
+    assert g.var_nodes[1].out_ref_id == 1
+    assert g.ref_nodes[1].out_var_ids == [2, 3, 4]
+    assert all(g.var_nodes[v].out_ref_id == 2 for v in (2, 3, 4))
+    assert g.ref_nodes[2].out_degree == 0
+    assert [r.label.order for r in g.ref_nodes] == [1, 5, 8]
+    assert [v.label.order for v in g.var_nodes] == [4, 4, 7, 7, 7]
+    assert g.ref_nodes[0].label.dna == b"ACC"
+    assert _var_dnas(g) == [b"G", b"GT", b"A", b"AT", b"G"]
+    assert g.ref_nodes[1].label.dna == b"GG"
+    assert g.ref_nodes[2].label.dna == b"AAA"
