@@ -90,6 +90,13 @@ class Options:
     # path (tests/typer/test_device_scoring.py asserts parity), so it is on
     # by default; "off" keeps the reference-shaped per-read loop.
     device_scoring: str = "on"
+    # device k-mer seeding (ops/seed_probe.py): the 97-probe exact+Hamming-1
+    # index probing per kmer runs as a batched TPU pass, with the host
+    # verifying only the surviving candidates — bit-identical to host probing
+    # (the membership bitset has no false negatives). "auto" (on whenever a
+    # TPU backend is active), "on" (also on CPU jax — used by parity tests),
+    # or "off".
+    device_seed: str = "auto"
     is_csi: bool = False
     force_align_both_orientations: bool = False
     sam_flag_filter: int = 3840

@@ -52,6 +52,29 @@ def _setup_lib(lib) -> None:
     )
     lib.gt_call_pool_free.restype = None
     lib.gt_call_pool_free.argtypes = [ctypes.c_void_p]
+    # prepare/finish split (parse once per pool, call per iteration)
+    lib.gt_call_prepare_bam.restype = ctypes.c_void_p
+    lib.gt_call_prepare_bam.argtypes = (
+        [ctypes.c_void_p] * 4 + [ctypes.c_int64]  # files
+        + [ctypes.c_int32] * 2  # sam_flag_filter force_both
+        + [_p64] * 2 + [ctypes.POINTER(ctypes.c_int32)]
+    )
+    lib.gt_prep_fetch_seqs.restype = None
+    lib.gt_prep_fetch_seqs.argtypes = [ctypes.c_void_p] * 3
+    lib.gt_call_finish.restype = ctypes.c_void_p
+    lib.gt_call_finish.argtypes = (
+        [ctypes.c_void_p]  # prep
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
+        + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]  # cand ids
+        + [ctypes.c_int32] * 3  # n_samples hq_reads n_threads
+        + [_p64] * 5
+    )
+    lib.gt_prep_free.restype = None
+    lib.gt_prep_free.argtypes = [ctypes.c_void_p]
     lib._call_ready = True
 
 
@@ -108,6 +131,130 @@ def _parse_bam_header_meta(data: bytes):
     return ref_names, samples, text
 
 
+class _PrepEntry:
+    """One cached prepared pool: the C++ PrepPool handle plus the device-
+    facing read-sequence matrix (fetched lazily, reused across iterations)."""
+
+    def __init__(self, handle, n_reads: int, n_rows: int, row_len: int, sample_names):
+        self.handle = handle
+        self.n_reads = n_reads
+        self.n_rows = n_rows
+        self.row_len = row_len
+        self.sample_names = sample_names
+        self.codes: np.ndarray | None = None
+        self.lens: np.ndarray | None = None
+
+    def fetch_seqs(self, lib):
+        if self.codes is None:
+            self.codes = np.zeros((self.n_rows, self.row_len), dtype=np.uint8)
+            self.lens = np.zeros(self.n_rows, dtype=np.int32)
+            lib.gt_prep_fetch_seqs(
+                self.handle,
+                self.codes.ctypes.data_as(ctypes.c_void_p),
+                self.lens.ctypes.data_as(ctypes.c_void_p),
+            )
+        return self.codes, self.lens
+
+
+# prepared pools are reused across the call iterations (the reads do not
+# change between iterations; only the graph does)
+_PREP_CACHE: dict = {}
+_PREP_CACHE_MAX = 4
+
+
+def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both):
+    """Prepared pool for (files, region, filters): parse + sort + dedup once."""
+    import os
+
+    ids = []
+    for p in hts_paths:
+        st = os.stat(p)
+        ids.append((os.path.abspath(p), st.st_mtime_ns, st.st_size))
+    key = (tuple(ids), region.chr, sam_flag_filter, force_both)
+    hit = _PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    datas = []
+    targets = []
+    sample_names: list[str] = []
+    for path in hts_paths:
+        data = _bam_bytes(path)
+        meta = _parse_bam_header_meta(data)
+        if meta is None:
+            return None
+        ref_names, samples, _text = meta
+        if not samples:
+            samples = [path.rsplit("/", 1)[-1].split(".")[0]]
+        if len(samples) > 1:
+            return None  # merged multi-sample files use the object path (RG)
+        sample_names.append(samples[0])
+        datas.append(data)
+        targets.append(ref_names.index(region.chr) if region.chr in ref_names else -2)
+
+    bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+    ptr_arr = (ctypes.c_void_p * len(bufs))(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
+    )
+    size_arr = np.array([len(d) for d in datas], dtype=np.int64)
+    target_arr = np.array(targets, dtype=np.int64)
+    sidx_arr = np.array(range(len(sample_names)), dtype=np.int32)
+    n_reads = ctypes.c_int64()
+    n_rows = ctypes.c_int64()
+    row_len = ctypes.c_int32()
+    handle = lib.gt_call_prepare_bam(
+        ptr_arr,
+        size_arr.ctypes.data_as(ctypes.c_void_p),
+        target_arr.ctypes.data_as(ctypes.c_void_p),
+        sidx_arr.ctypes.data_as(ctypes.c_void_p),
+        len(bufs),
+        sam_flag_filter,
+        1 if force_both else 0,
+        ctypes.byref(n_reads),
+        ctypes.byref(n_rows),
+        ctypes.byref(row_len),
+    )
+    entry = _PrepEntry(handle, n_reads.value, n_rows.value, row_len.value, sample_names)
+    if len(_PREP_CACHE) >= _PREP_CACHE_MAX:
+        old = _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+        lib.gt_prep_free(old.handle)
+    _PREP_CACHE[key] = entry
+    return entry
+
+
+def _device_seed_enabled(opts) -> bool:
+    ds = getattr(opts, "device_seed", "auto")
+    if ds == "off":
+        return False
+    if ds == "on":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _device_seed_ids(index, entry: _PrepEntry, lib):
+    """Sorted candidate probe ids from the device kernel, or None to fall
+    back to host probing (overflow / kernel failure — correctness-neutral)."""
+    from graphtyper_tpu.ops.seed_probe import DeviceSeeder
+
+    seeder = getattr(index, "_device_seeder", None)
+    if seeder is None:
+        seeder = DeviceSeeder(np.asarray(index.keys, dtype=np.uint64))
+        index._device_seeder = seeder
+    codes, lens = entry.fetch_seqs(lib)
+    try:
+        return seeder.probe(codes, lens)
+    except Exception:
+        from graphtyper_tpu.utils.log import get_logger
+
+        get_logger().warning("device seeding failed; falling back to host probing", exc_info=True)
+        return None
+
+
 def run_native_call_pool_bam(
     graph,
     index,
@@ -120,9 +267,12 @@ def run_native_call_pool_bam(
 ):
     """Fully array-native pool call: BAM bytes go straight into C++ (decode +
     pool sort + dedup + pairing + extraction); no AlignedRead objects are
-    built. Returns (sample_names, scorer, num_records, num_duplicated) or
-    None when the pool needs the object path (non-BAM input, multi-sample
-    files, no region)."""
+    built. The parsed pool is cached across call iterations, and with
+    device_seed active the 97-probe k-mer seeding runs as a batched TPU pass
+    (ops/seed_probe.py) with the host verifying only the candidates.
+    Returns (sample_names, scorer, num_records, num_duplicated) or None when
+    the pool needs the object path (non-BAM input, multi-sample files, no
+    region)."""
     if region is None or not all(p.endswith(".bam") for p in hts_paths):
         return None
     lib = get_lib()
@@ -130,32 +280,17 @@ def run_native_call_pool_bam(
         return None
     _setup_lib(lib)
 
-    datas = []
-    targets = []
-    sample_idx = []
-    sample_names: list[str] = []
-    for path in hts_paths:
-        data = _bam_bytes(path)
-        meta = _parse_bam_header_meta(data)
-        if meta is None:
-            return None
-        ref_names, samples, _text = meta
-        if not samples:
-            samples = [path.rsplit("/", 1)[-1].split(".")[0]]
-        if len(samples) > 1:
-            return None  # merged multi-sample files use the object path (RG)
-        sample_idx.append(len(sample_names))
-        sample_names.append(samples[0])
-        datas.append(data)
-        targets.append(ref_names.index(region.chr) if region.chr in ref_names else -2)
+    entry = _get_prep(lib, hts_paths, region, sam_flag_filter, force_both)
+    if entry is None:
+        return None
+    sample_names = entry.sample_names
 
+    from graphtyper_tpu.config import current_options
     from graphtyper_tpu.typer.scoring import SiteScorer
 
-    scorer = SiteScorer(graph, sample_names)
+    scorer = SiteScorer(graph, sample_names, hq_reads=hq_reads)
     if scorer.batcher is None:
         return None
-
-    import ctypes
 
     from graphtyper_tpu.typer.native_align import NativeAligner
 
@@ -165,13 +300,9 @@ def run_native_call_pool_bam(
     site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
     site_is_snp = np.array([1 if graph.is_snp(s.gt) else 0 for s in sites], dtype=np.uint8)
 
-    bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas]
-    ptr_arr = (ctypes.c_void_p * len(bufs))(
-        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
-    )
-    size_arr = np.array([len(d) for d in datas], dtype=np.int64)
-    target_arr = np.array(targets, dtype=np.int64)
-    sidx_arr = np.array(sample_idx, dtype=np.int32)
+    cand_ids = None
+    if entry.n_rows > 0 and _device_seed_enabled(current_options()):
+        cand_ids = _device_seed_ids(index, entry, lib)
 
     if n_threads <= 0:
         import os
@@ -187,7 +318,18 @@ def run_native_call_pool_bam(
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    handle = lib.gt_call_pool_bam(
+    if cand_ids is not None:
+        cand_ids = np.ascontiguousarray(cand_ids, dtype=np.int64)
+        nk_max = 1 + (entry.row_len - 32) // 31 if entry.row_len >= 32 else 0
+        cand_ptr = ptr(cand_ids)
+        n_cand = len(cand_ids)
+    else:
+        cand_ptr = None
+        n_cand = 0
+        nk_max = 0
+
+    handle = lib.gt_call_finish(
+        entry.handle,
         ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
         ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
         ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
@@ -196,9 +338,8 @@ def run_native_call_pool_bam(
         ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
         ptr(na.keys), len(na.keys), ptr(na.offsets),
         ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
-        ptr_arr, ptr(size_arr), ptr(target_arr), ptr(sidx_arr), len(bufs),
-        len(sample_names), sam_flag_filter, 1 if force_both else 0, 1 if hq_reads else 0,
-        n_threads,
+        cand_ptr, n_cand, nk_max,
+        len(sample_names), 1 if hq_reads else 0, n_threads,
         ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn),
         ctypes.byref(n_counts), ctypes.byref(n_touched),
     )

@@ -12,12 +12,33 @@
 // gt_align_fetch -> flat result arrays, gt_align_free.
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// --- optional stage profiling (GT_NATIVE_PROFILE=1): relaxed atomics, ns ---
+inline bool prof_enabled()
+{
+  static const bool on = []() {
+    const char * e = std::getenv("GT_NATIVE_PROFILE");
+    return e && *e && *e != '0';
+  }();
+  return on;
+}
+inline int64_t prof_now()
+{
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+           std::chrono::steady_clock::now().time_since_epoch())
+    .count();
+}
+std::atomic<int64_t> prof_seed_ns{0}, prof_lattice_ns{0}, prof_walk_ns{0};
 
 constexpr int K = 32;
 constexpr int64_t SPECIAL_START = 0xD0000000LL;
@@ -1134,12 +1155,27 @@ static void expand_span(const IndexView & I, int64_t a, int64_t b, std::vector<L
     out.push_back({I.lab_start[j], I.lab_end[j], I.lab_var[j]});
 }
 
+// Device-computed seed candidates for one read sequence: sorted probe ids
+// within [base, base + nk*97). Probe id layout: kpos_index*97 + j with j=0
+// the exact kmer and j=1+kpos*3+(d-1) the Hamming-1 probe flipping 2-bit
+// position kpos (shift ascending) by xor d. The candidate list comes from a
+// membership bitset with NO false negatives, so probing only the listed
+// candidates is bit-identical to probing all 97 keys per kmer.
+struct SeedCands {
+  const int64_t * b;
+  const int64_t * e;
+  int64_t base;
+};
+
 static void find_genotype_paths(const GraphView & G, const IndexView & I,
-                                const uint8_t * codes, int len, Geno & g)
+                                const uint8_t * codes, int len, Geno & g,
+                                const SeedCands * cands = nullptr)
 {
   int nk = (len < K) ? 0 : 1 + (len - K) / (K - 1);
   if (nk <= 0)
     return;
+  const bool prof = prof_enabled();
+  int64_t t0 = prof ? prof_now() : 0;
 
   // per-position keys (IUPAC fork)
   std::vector<std::vector<uint64_t>> keys_per_pos(nk);
@@ -1170,6 +1206,47 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
 
   // exact lookups (h0) and Hamming-1 probes (h1)
   std::vector<std::vector<Label>> h0(nk), h1(nk);
+  if (cands != nullptr)
+  {
+    // device-filtered probing: only candidate (kpos, j) probes hit the index;
+    // ambiguous kmers (masked out on device) fork + probe inline as below
+    const int64_t * p = cands->b;
+    for (int i = 0; i < nk; ++i)
+    {
+      int64_t lo_id = (int64_t)i * 97, hi_id = lo_id + 97;
+      if (ambiguous[i])
+      {
+        for (uint64_t key : keys_per_pos[i])
+        {
+          int64_t a, b;
+          I.get(key, a, b);
+          expand_span(I, a, b, h0[i]);
+        }
+        while (p < cands->e && (*p - cands->base) < hi_id)
+          ++p;
+        continue;
+      }
+      uint64_t base = keys_per_pos[i].empty() ? 0 : keys_per_pos[i][0];
+      for (; p < cands->e && (*p - cands->base) < hi_id; ++p)
+      {
+        int64_t rem = *p - cands->base;
+        if (rem < lo_id)
+          continue;
+        int j = (int)(rem - lo_id);
+        uint64_t key = base;
+        if (j > 0)
+        {
+          int kpos = (j - 1) / 3;
+          uint64_t d = (uint64_t)((j - 1) % 3 + 1);
+          key = base ^ (d << (kpos * 2));
+        }
+        int64_t a, b;
+        I.get(key, a, b);
+        expand_span(I, a, b, j == 0 ? h0[i] : h1[i]);
+      }
+    }
+  }
+  else
   for (int i = 0; i < nk; ++i)
   {
     for (uint64_t key : keys_per_pos[i])
@@ -1208,7 +1285,14 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
       break;
     }
   if (all_common)
+  {
+    if (prof)
+      prof_seed_ns.fetch_add(prof_now() - t0, std::memory_order_relaxed);
     return;
+  }
+  int64_t t1 = prof ? prof_now() : 0;
+  if (prof)
+    prof_seed_ns.fetch_add(t1 - t0, std::memory_order_relaxed);
 
   int read_start = 0;
   for (int i = 0; i < nk; ++i)
@@ -1219,6 +1303,9 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
   }
 
   g.remove_short_paths();
+  int64_t t2 = prof ? prof_now() : 0;
+  if (prof)
+    prof_lattice_ns.fetch_add(t2 - t1, std::memory_order_relaxed);
   walk_read_starts(G, g, codes, len);
   walk_read_ends(G, g, codes, len);
   g.update_longest();
@@ -1231,6 +1318,8 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
   g.remove_short_paths();
   if (G.is_sv)
     remove_support_from_read_ends(G, g);
+  if (prof)
+    prof_walk_ns.fetch_add(prof_now() - t2, std::memory_order_relaxed);
 }
 
 struct BatchResult {
@@ -1887,7 +1976,19 @@ void gt_align_free(void * handle)
 // Stage 2 entry: full pooled caller loop (non-SV).
 // ---------------------------------------------------------------------------
 
-void * gt_call_pool(
+// Seed candidates for a whole pool: per-row spans into a sorted global probe
+// id list (rows = the device read-sequence matrix: one row per aligned rep
+// orientation). Built by gt_call_finish from the device kernel's output.
+struct CandView {
+  const int64_t * ids;      // sorted global probe ids
+  const int64_t * row_off;  // [n_rows + 1] span per row
+  int64_t n_rows;
+  int32_t nk_max;
+  const int64_t * rep_row_fwd;  // [n_reps] row index or -1
+  const int64_t * rep_row_rc;
+};
+
+static void * run_call_core(
   // graph
   const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
   const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
@@ -1911,6 +2012,9 @@ void * gt_call_pool(
   // options
   int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
   int32_t n_threads,
+  // precomputed dedup (optional; both or neither) and seed candidates
+  const int64_t * reps_in, int64_t n_reps_in, const int64_t * rep_of_in,
+  const CandView * cand,
   // out sizes
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
@@ -1923,11 +2027,13 @@ void * gt_call_pool(
 
   CallResult * R = new CallResult();
   R->eps_sum.assign(n_sites * n_samples, 0);
+  int64_t prof_t0 = prof_enabled() ? prof_now() : 0;
 
   // ---- stage 1: align representatives of each (pos, seq) run -------------
-  std::vector<int64_t> reps;  // read indices
-  std::vector<int64_t> rep_of(n_reads, -1);
+  std::vector<int64_t> reps_own, rep_of_own;
+  if (reps_in == nullptr)
   {
+    rep_of_own.assign(n_reads, -1);
     int64_t prev = -1;
     for (int64_t r = 0; r < n_reads; ++r)
     {
@@ -1939,12 +2045,23 @@ void * gt_call_pool(
                          read_off[r + 1] - read_off[r]) == 0;
       if (!same)
       {
-        reps.push_back(r);
+        reps_own.push_back(r);
         prev = r;
       }
-      rep_of[r] = (int64_t)reps.size() - 1;
+      rep_of_own[r] = (int64_t)reps_own.size() - 1;
     }
+    reps_in = reps_own.data();
+    n_reps_in = (int64_t)reps_own.size();
+    rep_of_in = rep_of_own.data();
   }
+  struct RepsView {
+    const int64_t * d;
+    int64_t n;
+    int64_t operator[](size_t i) const { return d[i]; }
+    size_t size() const { return (size_t)n; }
+  };
+  RepsView reps{reps_in, n_reps_in};
+  const int64_t * rep_of = rep_of_in;
 
   std::vector<std::pair<Geno, Geno>> aligned(reps.size());
   {
@@ -1964,13 +2081,31 @@ void * gt_call_pool(
             (flags[r] & IS_PAIRED) == 0 ||
             (same_ref[r] && -1200 < tlen[r] && tlen[r] < 1200 &&
              ((flags[r] & 0x10) != 0) != ((flags[r] & 0x20) != 0));
-          find_genotype_paths(G, I, codes, len, g1);
+          SeedCands sc1, sc2;
+          const SeedCands * c1 = nullptr;
+          const SeedCands * c2 = nullptr;
+          if (cand != nullptr)
+          {
+            int64_t base_stride = (int64_t)cand->nk_max * 97;
+            int64_t row1 = cand->rep_row_fwd[q];
+            sc1 = {cand->ids + cand->row_off[row1], cand->ids + cand->row_off[row1 + 1],
+                   row1 * base_stride};
+            c1 = &sc1;
+            int64_t row2 = cand->rep_row_rc[q];
+            if (row2 >= 0)
+            {
+              sc2 = {cand->ids + cand->row_off[row2], cand->ids + cand->row_off[row2 + 1],
+                     row2 * base_stride};
+              c2 = &sc2;
+            }
+          }
+          find_genotype_paths(G, I, codes, len, g1, c1);
           if (!proper_geometry || force_both)
           {
             rcodes.resize(len);
             for (int i = 0; i < len; ++i)
               rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
-            find_genotype_paths(G, I, rcodes.data(), len, g2);
+            find_genotype_paths(G, I, rcodes.data(), len, g2, c2);
           }
         }
       }
@@ -1993,6 +2128,8 @@ void * gt_call_pool(
         th.join();
     }
   }
+
+  int64_t prof_t1 = prof_enabled() ? prof_now() : 0;
 
   // ---- stage 2: pooled loop, parallel over samples -----------------------
   // Per-(site,sample) scoring state, pair-pending maps and phasing
@@ -2195,6 +2332,20 @@ void * gt_call_pool(
     }
   }
 
+  if (prof_enabled())
+  {
+    int64_t prof_t2 = prof_now();
+    fprintf(stderr,
+            "[gt_native] reads=%lld reps=%lld stage1=%.3fs stage2=%.3fs "
+            "(thread-sum: seed=%.3fs lattice=%.3fs walk=%.3fs)\n",
+            (long long)n_reads, (long long)reps.size(), (prof_t1 - prof_t0) * 1e-9,
+            (prof_t2 - prof_t1) * 1e-9, prof_seed_ns.load() * 1e-9,
+            prof_lattice_ns.load() * 1e-9, prof_walk_ns.load() * 1e-9);
+    prof_seed_ns = 0;
+    prof_lattice_ns = 0;
+    prof_walk_ns = 0;
+  }
+
   R->finalize_conn();
   *out_n_obs = (int64_t)R->o_site.size();
   *out_n_xvals = (int64_t)R->x_vals.size();
@@ -2202,6 +2353,48 @@ void * gt_call_pool(
   *out_n_counts = (int64_t)R->c_counts.size();
   *out_n_touched = (int64_t)R->t_hap1.size();
   return R;
+}
+
+void * gt_call_pool(
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // pooled reads (already region-filtered + (ref_id,pos,seq)-sorted)
+  const uint8_t * read_codes, const int64_t * read_off, int64_t n_reads,
+  const uint8_t * names, const int64_t * name_off,
+  const int32_t * flags, const int32_t * mapq, const int32_t * tlen,
+  const uint8_t * same_ref, const int64_t * pos,
+  const int32_t * score_diff, const int32_t * clipped_count,
+  const uint8_t * quals, const int64_t * qual_off,
+  const int32_t * rg_idx,
+  // options
+  int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
+  int32_t n_threads,
+  // out sizes
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  return run_call_core(
+    ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+    var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+    sp_ref_reach, sp_actual, n_special,
+    site_order, site_cnum, site_is_snp, n_sites,
+    keys, n_keys, offsets, lab_start, lab_end, lab_var,
+    read_codes, read_off, n_reads, names, name_off,
+    flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
+    quals, qual_off, rg_idx,
+    n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
+    nullptr, 0, nullptr, nullptr,
+    out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
 int32_t gt_call_pool_fetch(void * handle,
@@ -2266,28 +2459,77 @@ void gt_call_pool_free(void * handle)
 // objects), pool-sort by (ref_id, pos, seq), and run the same caller loop.
 // ---------------------------------------------------------------------------
 
-void * gt_call_pool_bam(
-  // graph
-  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
-  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
-  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
-  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
-  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
-  // sites
-  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
-  int64_t n_sites,
-  // index
-  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
-  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
-  // pool files: decompressed BAM bytes per file
+// A parsed, pool-sorted, dedup-computed batch of BAM records: everything
+// the caller stages need that does NOT depend on the graph/index. Built
+// once per pool and reused across call iterations (the graph changes, the
+// reads do not) — and it owns the device-facing read-sequence matrix (one
+// row per rep orientation that stage 1 will align).
+struct PrepPool {
+  std::vector<uint8_t> read_codes, names, quals, same_ref;
+  std::vector<int64_t> read_off, name_off, qual_off, pos;
+  std::vector<int32_t> flags, mapq, tlen, sdiff, clip, rg;
+  int64_t n_reads = 0;
+  int32_t sam_flag_filter = 0, force_both = 0;
+  // dedup
+  std::vector<int64_t> reps, rep_of;
+  // device rows
+  std::vector<int64_t> rep_row_fwd, rep_row_rc;  // [n_reps] row or -1
+  std::vector<int64_t> row_rep;                  // row -> rep
+  std::vector<uint8_t> row_is_rc;
+  int32_t row_len = 0;  // max rep read length
+};
+
+static void compute_reps_rows(PrepPool & P)
+{
+  P.rep_of.assign(P.n_reads, -1);
+  int64_t prev = -1;
+  for (int64_t r = 0; r < P.n_reads; ++r)
+  {
+    if (P.flags[r] & P.sam_flag_filter)
+      continue;
+    bool same = prev >= 0 && P.pos[r] == P.pos[prev] &&
+                (P.read_off[r + 1] - P.read_off[r]) == (P.read_off[prev + 1] - P.read_off[prev]) &&
+                memcmp(P.read_codes.data() + P.read_off[r], P.read_codes.data() + P.read_off[prev],
+                       P.read_off[r + 1] - P.read_off[r]) == 0;
+    if (!same)
+    {
+      P.reps.push_back(r);
+      prev = r;
+    }
+    P.rep_of[r] = (int64_t)P.reps.size() - 1;
+  }
+  int64_t n_reps = (int64_t)P.reps.size();
+  P.rep_row_fwd.assign(n_reps, -1);
+  P.rep_row_rc.assign(n_reps, -1);
+  P.row_len = 0;
+  for (int64_t q = 0; q < n_reps; ++q)
+  {
+    int64_t r = P.reps[q];
+    int len = (int)(P.read_off[r + 1] - P.read_off[r]);
+    if (len < 2 * K - 1)
+      continue;
+    if (len > P.row_len)
+      P.row_len = len;
+    P.rep_row_fwd[q] = (int64_t)P.row_rep.size();
+    P.row_rep.push_back(q);
+    P.row_is_rc.push_back(0);
+    bool proper_geometry =
+      (P.flags[r] & IS_PAIRED) == 0 ||
+      (P.same_ref[r] && -1200 < P.tlen[r] && P.tlen[r] < 1200 &&
+       ((P.flags[r] & 0x10) != 0) != ((P.flags[r] & 0x20) != 0));
+    if (!proper_geometry || P.force_both)
+    {
+      P.rep_row_rc[q] = (int64_t)P.row_rep.size();
+      P.row_rep.push_back(q);
+      P.row_is_rc.push_back(1);
+    }
+  }
+}
+
+static void parse_bam_pool(
   const uint8_t ** file_data, const int64_t * file_size,
   const int64_t * file_target_ref, const int32_t * file_sample_idx, int64_t n_files,
-  // options
-  int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
-  int32_t n_threads,
-  // out sizes
-  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
-  int64_t * out_n_touched)
+  PrepPool & P)
 {
   // ASCII -> code, matching utils/dna.py _CODE (BAM nibble chars only need
   // "=ACMGRSVTWYHKDBN", but cover the full IUPAC set like the table)
@@ -2384,12 +2626,34 @@ void * gt_call_pool_bam(
     return a.seq_ascii < b.seq_ascii;
   });
 
-  // flatten into the array layout of gt_call_pool
+  // flatten into the array layout of run_call_core
   int64_t n = (int64_t)pooled.size();
-  std::vector<uint8_t> read_codes, names, quals;
-  std::vector<int64_t> read_off(n + 1, 0), name_off(n + 1, 0), qual_off(n + 1, 0), pos_v(n);
-  std::vector<int32_t> flags_v(n), mapq_v(n), tlen_v(n), sdiff_v(n), clip_v(n), rg_v(n);
-  std::vector<uint8_t> same_ref_v(n);
+  P.n_reads = n;
+  std::vector<uint8_t> & read_codes = P.read_codes;
+  std::vector<uint8_t> & names = P.names;
+  std::vector<uint8_t> & quals = P.quals;
+  P.read_off.assign(n + 1, 0);
+  P.name_off.assign(n + 1, 0);
+  P.qual_off.assign(n + 1, 0);
+  P.pos.assign(n, 0);
+  P.flags.assign(n, 0);
+  P.mapq.assign(n, 0);
+  P.tlen.assign(n, 0);
+  P.sdiff.assign(n, 0);
+  P.clip.assign(n, 0);
+  P.rg.assign(n, 0);
+  P.same_ref.assign(n, 0);
+  std::vector<int64_t> & read_off = P.read_off;
+  std::vector<int64_t> & name_off = P.name_off;
+  std::vector<int64_t> & qual_off = P.qual_off;
+  std::vector<int64_t> & pos_v = P.pos;
+  std::vector<int32_t> & flags_v = P.flags;
+  std::vector<int32_t> & mapq_v = P.mapq;
+  std::vector<int32_t> & tlen_v = P.tlen;
+  std::vector<int32_t> & sdiff_v = P.sdiff;
+  std::vector<int32_t> & clip_v = P.clip;
+  std::vector<int32_t> & rg_v = P.rg;
+  std::vector<uint8_t> & same_ref_v = P.same_ref;
 
   for (int64_t r = 0; r < n; ++r)
   {
@@ -2487,20 +2751,191 @@ void * gt_call_pool_bam(
     sdiff_v[r] = (int32_t)sd;
   }
 
-  return gt_call_pool(
+}
+
+// Shared tail: run the caller stages over a PrepPool with the given graph.
+static void * finish_from_prep(
+  const PrepPool & P,
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  int32_t n_samples, int32_t hq_reads, int32_t n_threads,
+  const CandView * cand,
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  return run_call_core(
     ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
     var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    read_codes.data(), read_off.data(), n,
-    names.data(), name_off.data(),
-    flags_v.data(), mapq_v.data(), tlen_v.data(), same_ref_v.data(), pos_v.data(),
-    sdiff_v.data(), clip_v.data(),
-    quals.data(), qual_off.data(),
-    rg_v.data(),
-    n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
+    P.read_codes.data(), P.read_off.data(), P.n_reads,
+    P.names.data(), P.name_off.data(),
+    P.flags.data(), P.mapq.data(), P.tlen.data(), P.same_ref.data(), P.pos.data(),
+    P.sdiff.data(), P.clip.data(),
+    P.quals.data(), P.qual_off.data(),
+    P.rg.data(),
+    n_samples, P.sam_flag_filter, P.force_both, hq_reads, n_threads,
+    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
+}
+
+void * gt_call_pool_bam(
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // pool files: decompressed BAM bytes per file
+  const uint8_t ** file_data, const int64_t * file_size,
+  const int64_t * file_target_ref, const int32_t * file_sample_idx, int64_t n_files,
+  // options
+  int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
+  int32_t n_threads,
+  // out sizes
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  PrepPool P;
+  P.sam_flag_filter = sam_flag_filter;
+  P.force_both = force_both;
+  parse_bam_pool(file_data, file_size, file_target_ref, file_sample_idx, n_files, P);
+  compute_reps_rows(P);
+  return finish_from_prep(
+    P,
+    ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+    var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+    sp_ref_reach, sp_actual, n_special,
+    site_order, site_cnum, site_is_snp, n_sites,
+    keys, n_keys, offsets, lab_start, lab_end, lab_var,
+    n_samples, hq_reads, n_threads, nullptr,
+    out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
+}
+
+// ---- prepare/finish split: parse once, call per iteration ----------------
+
+void * gt_call_prepare_bam(
+  const uint8_t ** file_data, const int64_t * file_size,
+  const int64_t * file_target_ref, const int32_t * file_sample_idx, int64_t n_files,
+  int32_t sam_flag_filter, int32_t force_both,
+  int64_t * out_n_reads, int64_t * out_n_rows, int32_t * out_row_len)
+{
+  PrepPool * P = new PrepPool();
+  P->sam_flag_filter = sam_flag_filter;
+  P->force_both = force_both;
+  parse_bam_pool(file_data, file_size, file_target_ref, file_sample_idx, n_files, *P);
+  compute_reps_rows(*P);
+  *out_n_reads = P->n_reads;
+  *out_n_rows = (int64_t)P->row_rep.size();
+  *out_row_len = P->row_len;
+  return P;
+}
+
+// Fill the device read-sequence matrix: codes_out is [n_rows, row_len]
+// (pad code 15, rejected by both kmers and walks), lens_out is [n_rows].
+void gt_prep_fetch_seqs(void * prep, uint8_t * codes_out, int32_t * lens_out)
+{
+  PrepPool * P = (PrepPool *)prep;
+  int64_t n_rows = (int64_t)P->row_rep.size();
+  int32_t L = P->row_len;
+  for (int64_t row = 0; row < n_rows; ++row)
+  {
+    int64_t r = P->reps[P->row_rep[row]];
+    const uint8_t * codes = P->read_codes.data() + P->read_off[r];
+    int len = (int)(P->read_off[r + 1] - P->read_off[r]);
+    uint8_t * dst = codes_out + row * L;
+    if (P->row_is_rc[row])
+      for (int i = 0; i < len; ++i)
+        dst[i] = CODE_COMP[codes[len - 1 - i] & 15];
+    else
+      memcpy(dst, codes, len);
+    memset(dst + len, 15, L - len);
+    lens_out[row] = len;
+  }
+}
+
+void * gt_call_finish(
+  void * prep,
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // device seed candidates (sorted global probe ids); null -> host probing
+  const int64_t * cand_ids, int64_t n_cand, int32_t nk_max,
+  // options
+  int32_t n_samples, int32_t hq_reads, int32_t n_threads,
+  // out sizes
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  PrepPool * P = (PrepPool *)prep;
+  CandView cv;
+  CandView * cvp = nullptr;
+  std::vector<int64_t> row_off;
+  if (cand_ids != nullptr)
+  {
+    int64_t n_rows = (int64_t)P->row_rep.size();
+    row_off.assign(n_rows + 1, 0);
+    int64_t stride = (int64_t)nk_max * 97;
+    for (int64_t row = 0; row <= n_rows; ++row)
+      row_off[row] =
+        std::lower_bound(cand_ids, cand_ids + n_cand, row * stride) - cand_ids;
+    cv = {cand_ids, row_off.data(), n_rows, nk_max,
+          P->rep_row_fwd.data(), P->rep_row_rc.data()};
+    cvp = &cv;
+  }
+  return finish_from_prep(
+    *P,
+    ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+    var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+    sp_ref_reach, sp_actual, n_special,
+    site_order, site_cnum, site_is_snp, n_sites,
+    keys, n_keys, offsets, lab_start, lab_end, lab_var,
+    n_samples, hq_reads, n_threads, cvp,
+    out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
+}
+
+void gt_prep_free(void * prep)
+{
+  delete (PrepPool *)prep;
+}
+
+// Membership bitset over the sorted index keys (2^bits bits): the device
+// kernel filters its 97 probes per kmer against this before the host
+// verifies candidates exactly. No false negatives by construction. The
+// hash must match ops/seed_probe.py (HASH_C1/HASH_C2).
+void gt_build_seed_bitset(const uint64_t * keys, int64_t n_keys, uint32_t * words,
+                          int32_t bits)
+{
+  memset(words, 0, ((size_t)1 << bits) / 8);
+  for (int64_t i = 0; i < n_keys; ++i)
+  {
+    uint32_t lo = (uint32_t)keys[i], hi = (uint32_t)(keys[i] >> 32);
+    uint32_t h = (lo * 0x9E3779B1u + hi * 0x85EBCA77u) >> (32 - bits);
+    words[h >> 5] |= 1u << (h & 31);
+  }
 }
 
 }  // extern "C"
