@@ -891,9 +891,28 @@ def streamlined_discovery(
     for file_i, indels in indel_to_realign.items():
         if not indels:
             continue
-        buckets2, max_read_size = read_reads_into_buckets(
-            _file_reads(file_i), indel_events, num_buckets, region_begin, reference
-        )
+        buckets2 = None
+        max_read_size = 100
+        if use_native_fp and hts_paths[file_i].endswith(".bam"):
+            # native second pass straight from BAM bytes (no AlignedRead
+            # objects; C++ scores CIGARs, Python replays event support)
+            from graphtyper_tpu.pipeline.native_caller import _bam_bytes, _parse_bam_header_meta
+            from graphtyper_tpu.typer import native_discovery
+
+            data = _bam_bytes(hts_paths[file_i])
+            meta = _parse_bam_header_meta(data)
+            if meta is not None:
+                ref_names, _samples, _text = meta
+                target = ref_names.index(region.chr) if region.chr in ref_names else -2
+                out = native_discovery.read_reads_into_buckets_native(
+                    data, target, indel_events, num_buckets, region_begin, reference
+                )
+                if out is not None:
+                    buckets2, max_read_size = out
+        if buckets2 is None:
+            buckets2, max_read_size = read_reads_into_buckets(
+                _file_reads(file_i), indel_events, num_buckets, region_begin, reference
+            )
         # include nearby good events (caller.cpp:2690-2730)
         NEARBY_BP = 60
         all_events = sorted(indel_events.keys(), key=lambda e: e.sort_key())

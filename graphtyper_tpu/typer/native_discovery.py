@@ -153,3 +153,166 @@ def run_first_pass_native(bam_bytes: bytes, target_ref: int, region_begin: int, 
             if 0 <= b < len(buckets):
                 buckets[b].events[events[i]] = infos[i]
     return buckets, sample_haps
+
+
+def _setup_sp(lib) -> None:
+    if getattr(lib, "_sp_ready", False):
+        return
+    lib.gt_second_pass.restype = ctypes.c_void_p
+    lib.gt_second_pass.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+         ctypes.c_void_p, ctypes.c_int64]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]
+        + [_p64] * 6
+    )
+    lib.gt_second_pass_fetch.restype = ctypes.c_int32
+    lib.gt_second_pass_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 16
+    lib.gt_second_pass_free.restype = None
+    lib.gt_second_pass_free.argtypes = [ctypes.c_void_p]
+    lib._sp_ready = True
+
+
+def read_reads_into_buckets_native(
+    bam_bytes: bytes, target_ref: int, events_map: dict, num_buckets: int,
+    region_begin: int, reference: bytes
+):
+    """Native twin of discovery.read_reads_into_buckets straight from BAM
+    bytes: C++ parses + scores every read's CIGAR against the reference and
+    emits flat arrays; Python replays the sparse event registrations into
+    the shared EventSupport state and builds the Bucket2/Read2 structures
+    that realign_to_indels consumes. Returns (buckets, max_read_size) or
+    None to fall back (reference semantics: caller.cpp:2232-2510)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup_sp(lib)
+    from graphtyper_tpu.typer.discovery import (
+        BUCKET_SIZE,
+        Alignment2,
+        Bucket2,
+        Read2,
+        ReadIndelEvent,
+        _add_indel_support,
+        _bucket_for_event,
+    )
+    from graphtyper_tpu.typer.events import Event, EventSupport, compute_indel_span
+
+    # existing event table (insertion order is irrelevant: lookups by key)
+    ev_list = [e for e in events_map.keys() if e.type in ("I", "D")]
+    ev_pos = np.array([e.pos for e in ev_list], dtype=np.int64)
+    ev_type = np.array([0 if e.type == "I" else 1 for e in ev_list], dtype=np.uint8)
+    seqs = [e.sequence for e in ev_list]
+    ev_seq_off = np.zeros(len(ev_list) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=ev_seq_off[1:])
+    ev_seq = np.frombuffer(b"".join(seqs), dtype=np.uint8) if ev_list else np.zeros(0, np.uint8)
+    ev_realign = np.array(
+        [1 if events_map[e].has_realignment_support else 0 for e in ev_list], dtype=np.uint8
+    )
+
+    data = np.frombuffer(bam_bytes, dtype=np.uint8)
+    ref_arr = np.frombuffer(reference, dtype=np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    n_reads = ctypes.c_int64()
+    seq_bytes = ctypes.c_int64()
+    n_regs = ctypes.c_int64()
+    n_new = ctypes.c_int64()
+    new_seq_bytes = ctypes.c_int64()
+    max_read_size = ctypes.c_int64()
+    handle = lib.gt_second_pass(
+        ptr(data), len(data), target_ref, region_begin, ptr(ref_arr), len(ref_arr),
+        ptr(ev_pos), ptr(ev_type), ptr(ev_seq), ptr(ev_seq_off), len(ev_list), ptr(ev_realign),
+        ctypes.byref(n_reads), ctypes.byref(seq_bytes), ctypes.byref(n_regs),
+        ctypes.byref(n_new), ctypes.byref(new_seq_bytes), ctypes.byref(max_read_size),
+    )
+    try:
+        N = n_reads.value
+        r_pos = np.zeros(N, np.int64)
+        r_pos_end = np.zeros(N, np.int64)
+        r_score = np.zeros(N, np.int32)
+        r_clip_b = np.zeros(N, np.int32)
+        r_clip_e = np.zeros(N, np.int32)
+        r_flags = np.zeros(N, np.int32)
+        r_mapq = np.zeros(N, np.int32)
+        r_seq = np.zeros(seq_bytes.value, np.uint8)
+        r_seq_off = np.zeros(N + 1, np.int64)
+        reg_read = np.zeros(n_regs.value, np.int64)
+        reg_ev = np.zeros(n_regs.value, np.int64)
+        reg_off = np.zeros(n_regs.value, np.int64)
+        nev_pos = np.zeros(n_new.value, np.int64)
+        nev_type = np.zeros(n_new.value, np.uint8)
+        nev_seq = np.zeros(new_seq_bytes.value, np.uint8)
+        nev_seq_off = np.zeros(n_new.value + 1, np.int64)
+        rc = lib.gt_second_pass_fetch(
+            handle,
+            ptr(r_pos), ptr(r_pos_end), ptr(r_score), ptr(r_clip_b), ptr(r_clip_e),
+            ptr(r_flags), ptr(r_mapq), ptr(r_seq), ptr(r_seq_off),
+            ptr(reg_read), ptr(reg_ev), ptr(reg_off),
+            ptr(nev_pos), ptr(nev_type), ptr(nev_seq), ptr(nev_seq_off),
+        )
+        if rc != 0:
+            return None
+    finally:
+        lib.gt_second_pass_free(handle)
+
+    # event id -> Event object (existing + new)
+    all_events = list(ev_list)
+    for i in range(n_new.value):
+        seq = nev_seq[nev_seq_off[i] : nev_seq_off[i + 1]].tobytes()
+        all_events.append(Event(int(nev_pos[i]), "I" if nev_type[i] == 0 else "D", seq))
+
+    # bulk Read2 construction (objects only; scoring already done in C++)
+    seq_all = r_seq.tobytes()
+    seq_off_l = r_seq_off.tolist()
+    reads: list[Read2] = []
+    ap = reads.append
+    pos_l = r_pos.tolist()
+    pos_end_l = r_pos_end.tolist()
+    score_l = r_score.tolist()
+    cb_l = r_clip_b.tolist()
+    ce_l = r_clip_e.tolist()
+    fl_l = r_flags.tolist()
+    mq_l = r_mapq.tolist()
+    for i in range(N):
+        a = Alignment2(
+            pos=pos_l[i], pos_end=pos_end_l[i], score=score_l[i],
+            num_clipped_begin=cb_l[i], num_clipped_end=ce_l[i],
+        )
+        r = Read2(
+            flags=fl_l[i], mapq=mq_l[i],
+            sequence=seq_all[seq_off_l[i] : seq_off_l[i + 1]], alignment=a,
+        )
+        ap(r)
+
+    # replay registrations: event creation/support + per-read indel lists
+    buckets = [Bucket2() for _ in range(num_buckets)]
+    for i in range(n_regs.value):
+        ev = all_events[int(reg_ev[i])]
+        info = events_map.get(ev)
+        if info is None:
+            info = EventSupport()
+            info.span = compute_indel_span(ev, reference, ev.pos - region_begin)
+            events_map[ev] = info
+        _bucket_for_event(buckets, ev, region_begin).events[ev] = info
+        read = reads[int(reg_read[i])]
+        _add_indel_support(info, int(reg_off[i]), read.flags, read.mapq)
+        read.alignment.indel_events.append(ReadIndelEvent(int(reg_off[i]), ev))
+
+    # bucket assignment + max_pos_end bookkeeping (order-faithful)
+    global_max_pos_end = 0
+    for i in range(N):
+        bucket_index = (pos_l[i] - region_begin) // BUCKET_SIZE
+        while bucket_index >= len(buckets):
+            buckets.append(Bucket2())
+        bucket = buckets[bucket_index]
+        end_with_clip = pos_end_l[i] + ce_l[i]
+        if end_with_clip > bucket.max_pos_end:
+            bucket.max_pos_end = end_with_clip
+            if end_with_clip > global_max_pos_end:
+                global_max_pos_end = end_with_clip
+        bucket.global_max_pos_end = global_max_pos_end
+        bucket.reads.append(reads[i])
+
+    return buckets, int(max_read_size.value)

@@ -661,3 +661,272 @@ void gt_first_pass_free(void * handle)
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Discovery second pass: re-read the sample against the reference
+// (graphtyper_tpu/typer/discovery.py read_reads_into_buckets; reference
+// src/typer/caller.cpp:2232-2510 read_hts_and_return_realignment_indels).
+// Parses BAM bytes, scores every read's CIGAR against the reference, and
+// registers indel events — returning flat per-read arrays plus an event
+// registration list the Python side replays into EventSupport state. The
+// Python loop remains the oracle (tests/typer/test_native_second_pass.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SpResult {
+  std::vector<int64_t> r_pos, r_pos_end, r_seq_off;
+  std::vector<int32_t> r_score, r_clip_begin, r_clip_end, r_flags, r_mapq;
+  std::vector<uint8_t> r_seq;
+  std::vector<int64_t> reg_read, reg_ev, reg_offset;
+  std::vector<int64_t> nev_pos, nev_seq_off;
+  std::vector<uint8_t> nev_type, nev_seq;
+  int64_t max_read_size = 100;
+};
+
+}  // namespace
+
+extern "C" {
+
+void * gt_second_pass(const uint8_t * data, int64_t size, int64_t target_ref,
+                      int64_t region_begin, const uint8_t * reference, int64_t ref_size,
+                      // existing events (type 0=I 1=D) + realignment-support flags
+                      const int64_t * ev_pos, const uint8_t * ev_type,
+                      const uint8_t * ev_seq, const int64_t * ev_seq_off, int64_t n_ev,
+                      const uint8_t * ev_has_realign,
+                      // out sizes
+                      int64_t * out_n_reads, int64_t * out_seq_bytes, int64_t * out_n_regs,
+                      int64_t * out_n_new_ev, int64_t * out_new_seq_bytes,
+                      int64_t * out_max_read_size)
+{
+  constexpr int32_t SCORE_MATCH = 1, SCORE_MISMATCH = 4, SCORE_GAP_OPEN = 7,
+                    SCORE_GAP_EXTEND = 1, SCORE_CLIP = 5;
+  constexpr int32_t IS_CLIPPED = 1 << 13;
+
+  SpResult * R = new SpResult();
+  R->r_seq_off.push_back(0);
+  R->nev_seq_off.push_back(0);
+
+  // event id map: provided events first, new events appended
+  std::map<EvKey, int64_t> id_of;
+  std::vector<char> realign;
+  realign.reserve(n_ev);
+  for (int64_t i = 0; i < n_ev; ++i)
+  {
+    EvKey k{ev_pos[i], ev_type[i],
+            std::string((const char *)ev_seq + ev_seq_off[i],
+                        (size_t)(ev_seq_off[i + 1] - ev_seq_off[i]))};
+    id_of.emplace(std::move(k), i);
+    realign.push_back(ev_has_realign[i] ? 1 : 0);
+  }
+  auto event_id = [&](EvKey && k) -> int64_t {
+    auto it = id_of.find(k);
+    if (it != id_of.end())
+      return it->second;
+    int64_t id = (int64_t)n_ev + (int64_t)R->nev_pos.size();
+    R->nev_pos.push_back(k.pos);
+    R->nev_type.push_back(k.type);
+    R->nev_seq.insert(R->nev_seq.end(), k.seq.begin(), k.seq.end());
+    R->nev_seq_off.push_back((int64_t)R->nev_seq.size());
+    realign.push_back(0);  // fresh EventSupport: has_realignment_support=False
+    id_of.emplace(std::move(k), id);
+    return id;
+  };
+
+  // ---- parse + position-sort reads on the target contig ------------------
+  std::vector<FpRead> reads;
+  if (size >= 12 && memcmp(data, "BAM\1", 4) == 0)
+  {
+    int32_t l_text;
+    memcpy(&l_text, data + 4, 4);
+    int64_t off = 8 + l_text;
+    int32_t nref;
+    memcpy(&nref, data + off, 4);
+    off += 4;
+    for (int32_t i = 0; i < nref; ++i)
+    {
+      int32_t l_name;
+      memcpy(&l_name, data + off, 4);
+      off += 4 + l_name + 4;
+    }
+    static const char NIB[17] = "=ACMGRSVTWYHKDBN";
+    while (off + 4 <= size)
+    {
+      int32_t block_size;
+      memcpy(&block_size, data + off, 4);
+      if (block_size <= 0 || off + 4 + block_size > size)
+        break;
+      const uint8_t * p = data + off + 4;
+      off += 4 + block_size;
+      int32_t ref_id, pos;
+      memcpy(&ref_id, p, 4);
+      memcpy(&pos, p + 4, 4);
+      if (ref_id < 0 || ref_id != target_ref)
+        continue;
+      FpRead r;
+      r.pos = pos;
+      uint8_t l_read_name = p[8];
+      r.mapq = p[9];
+      uint16_t n_cigar;
+      memcpy(&n_cigar, p + 12, 2);
+      memcpy(&r.flag, p + 14, 2);
+      int32_t l_seq;
+      memcpy(&l_seq, p + 16, 4);
+      const uint8_t * q = p + 32 + l_read_name;
+      for (int i = 0; i < n_cigar; ++i)
+      {
+        uint32_t c;
+        memcpy(&c, q + 4 * i, 4);
+        r.cigar.push_back({(uint8_t)(c & 0xF), (int32_t)(c >> 4)});
+      }
+      q += 4 * n_cigar;
+      r.seq.resize(l_seq);
+      for (int i = 0; i < l_seq; ++i)
+        r.seq[i] = NIB[(i % 2 == 0) ? (q[i / 2] >> 4) : (q[i / 2] & 0xF)];
+      reads.push_back(std::move(r));
+    }
+  }
+  std::stable_sort(reads.begin(), reads.end(),
+                   [](const FpRead & a, const FpRead & b) { return a.pos < b.pos; });
+
+  // ---- score + register (discovery.py read_reads_into_buckets) -----------
+  for (auto const & read : reads)
+  {
+    if (read.cigar.empty() || read.pos < region_begin)
+      continue;
+    int64_t ref_offset = read.pos - region_begin;
+    if (ref_offset < 0 || ref_offset >= ref_size)
+      continue;
+    if ((int64_t)read.seq.size() > R->max_read_size)
+      R->max_read_size = (int64_t)read.seq.size();
+
+    int64_t ridx = (int64_t)R->r_pos.size();
+    int32_t score = 0, clip_b = 0, clip_e = 0;
+    int32_t flags = read.flag;
+    int64_t read_offset = 0;
+    int64_t lseq = (int64_t)read.seq.size();
+
+    for (size_t ci = 0; ci < read.cigar.size(); ++ci)
+    {
+      uint8_t op = read.cigar[ci].first;
+      int64_t cnt = read.cigar[ci].second;
+      if (ref_offset >= ref_size)
+        break;
+      if (op == 0 || op == 7 || op == 8)
+      {
+        int64_t n = std::min(std::min(cnt, ref_size - ref_offset), lseq - read_offset);
+        for (int64_t k = 0; k < n; ++k)
+        {
+          uint8_t a = read.seq[read_offset + k], b = reference[ref_offset + k];
+          if (a != b && a != 'N' && b != 'N')
+            score -= SCORE_MISMATCH;
+          else
+            score += SCORE_MATCH;
+        }
+        read_offset += cnt;
+        ref_offset += cnt;
+      }
+      else if (op == 1)
+      {
+        int64_t pl = std::max<int64_t>(0, std::min(cnt, lseq - read_offset));
+        if (pl > 0)
+        {
+          EvKey k{region_begin + ref_offset, 0,
+                  std::string(read.seq.begin() + read_offset, read.seq.begin() + read_offset + pl)};
+          int64_t id = event_id(std::move(k));
+          if (!realign[id])
+            score -= SCORE_GAP_OPEN + (int32_t)(cnt - 1) * SCORE_GAP_EXTEND;
+          else
+            score += SCORE_MATCH * (int32_t)cnt;
+          R->reg_read.push_back(ridx);
+          R->reg_ev.push_back(id);
+          R->reg_offset.push_back(read_offset);
+        }
+        read_offset += cnt;
+      }
+      else if (op == 2)
+      {
+        if (ref_offset + cnt >= ref_size)
+          continue;  // matches the Python guard: no ref advance either
+        EvKey k{region_begin + ref_offset, 1,
+                std::string((const char *)reference + ref_offset, (size_t)cnt)};
+        int64_t id = event_id(std::move(k));
+        if (!realign[id])
+          score -= SCORE_GAP_OPEN + (int32_t)(cnt - 1) * SCORE_GAP_EXTEND;
+        R->reg_read.push_back(ridx);
+        R->reg_ev.push_back(id);
+        R->reg_offset.push_back(read_offset);
+        ref_offset += cnt;
+      }
+      else if (op == 4)
+      {
+        read_offset += cnt;
+        flags |= IS_CLIPPED;
+        score -= SCORE_CLIP;
+        if (ci == 0)
+          clip_b = (int32_t)cnt;
+        else
+          clip_e = (int32_t)cnt;
+      }
+      // N/H/P: the Python loop ignores them entirely (no advance)
+    }
+
+    R->r_pos.push_back(read.pos);
+    R->r_pos_end.push_back(region_begin + ref_offset);
+    R->r_score.push_back(score);
+    R->r_clip_begin.push_back(clip_b);
+    R->r_clip_end.push_back(clip_e);
+    R->r_flags.push_back(flags);
+    R->r_mapq.push_back(read.mapq);
+    R->r_seq.insert(R->r_seq.end(), read.seq.begin(), read.seq.end());
+    R->r_seq_off.push_back((int64_t)R->r_seq.size());
+  }
+
+  *out_n_reads = (int64_t)R->r_pos.size();
+  *out_seq_bytes = (int64_t)R->r_seq.size();
+  *out_n_regs = (int64_t)R->reg_read.size();
+  *out_n_new_ev = (int64_t)R->nev_pos.size();
+  *out_new_seq_bytes = (int64_t)R->nev_seq.size();
+  *out_max_read_size = R->max_read_size;
+  return R;
+}
+
+int32_t gt_second_pass_fetch(void * handle,
+                             int64_t * r_pos, int64_t * r_pos_end, int32_t * r_score,
+                             int32_t * r_clip_begin, int32_t * r_clip_end,
+                             int32_t * r_flags, int32_t * r_mapq,
+                             uint8_t * r_seq, int64_t * r_seq_off,
+                             int64_t * reg_read, int64_t * reg_ev, int64_t * reg_offset,
+                             int64_t * nev_pos, uint8_t * nev_type,
+                             uint8_t * nev_seq, int64_t * nev_seq_off)
+{
+  SpResult * R = static_cast<SpResult *>(handle);
+  auto cp = [](auto * dst, auto const & src) {
+    if (!src.empty())
+      memcpy(dst, src.data(), src.size() * sizeof(src[0]));
+  };
+  cp(r_pos, R->r_pos);
+  cp(r_pos_end, R->r_pos_end);
+  cp(r_score, R->r_score);
+  cp(r_clip_begin, R->r_clip_begin);
+  cp(r_clip_end, R->r_clip_end);
+  cp(r_flags, R->r_flags);
+  cp(r_mapq, R->r_mapq);
+  cp(r_seq, R->r_seq);
+  cp(r_seq_off, R->r_seq_off);
+  cp(reg_read, R->reg_read);
+  cp(reg_ev, R->reg_ev);
+  cp(reg_offset, R->reg_offset);
+  cp(nev_pos, R->nev_pos);
+  cp(nev_type, R->nev_type);
+  cp(nev_seq, R->nev_seq);
+  cp(nev_seq_off, R->nev_seq_off);
+  return 0;
+}
+
+void gt_second_pass_free(void * handle)
+{
+  delete static_cast<SpResult *>(handle);
+}
+
+}  // extern "C"
