@@ -6,20 +6,26 @@ exact key plus 96 Hamming-1 variants — ~400 index probes per read
 (reference: src/typer/alignment.cpp:30-31 exact+Hamming-1 seeding;
 src/utilities/kmer_help_functions.cpp:93-119 the 96-key expansion). On the
 host that is a pointer-chasing hash/binary-search loop; here the whole
-pool's probe set is generated and filtered on the TPU in one fused pass:
+pool's probe set is filtered on the TPU in one fused pass:
 
-  1. build the 2-bit packed keys as (hi, lo) uint32 halves with shift/adds,
-  2. expand the 97 probe variants per kmer via a static XOR-mask table
-     (Hamming-1 in 2-bit space is `key ^ (d << 2*kpos)`),
-  3. hash each probe and test it against a 2^bits membership bitset of the
-     index keys (one gather per probe),
-  4. compact the surviving candidate probe ids (jnp.nonzero).
+  1. the host prep ships each row's exact kmer keys as (hi, lo) uint32
+     halves (native gt_prep_fetch_kmers; tiny — 9 bytes per kmer, cached on
+     device across call iterations),
+  2. the kernel expands the 97 probe variants per kmer via a static
+     XOR-mask table (Hamming-1 in 2-bit space is `key ^ (d << 2*kpos)`),
+  3. hashes each probe and tests it against a 2^bits membership bitset of
+     the index keys (one gather per probe — the only irregular op),
+  4. packs the pass/fail bits into uint32 words — a FIXED-shape output, so
+     the whole call is one dispatch + one D2H with no data-dependent
+     compaction (sort/scatter/count sync all avoided; they dominate over a
+     high-latency interconnect).
 
-The host then verifies only the ~1-3% candidates exactly against the sorted
-key table (native/gt_align.cpp SeedCands). The result is bit-identical to
-probing all 97 keys per kmer: the bitset is built over every index key with
-the same hash (gt_build_seed_bitset), so it has NO false negatives, and
-false positives are eliminated by the host's exact lookup.
+The host then scans the ~1-3% set bits per row and verifies those probes
+exactly against the sorted key table (native/gt_align.cpp CandView /
+SeedCands). The result is bit-identical to probing all 97 keys per kmer:
+the bitset is built over every index key with the same hash
+(gt_build_seed_bitset), so it has NO false negatives, and false positives
+are eliminated by the host's exact lookup.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ import numpy as np
 
 K = 32
 PROBES_PER_KMER = 97  # 1 exact + 32 positions x 3 deltas
-HASH_C1 = 0x9E3779B1  # must match native/gt_align.cpp seed_hash
+HASH_C1 = 0x9E3779B1  # must match native/gt_align.cpp gt_build_seed_bitset
 HASH_C2 = 0x85EBCA77
 
 
@@ -69,52 +75,50 @@ def build_bitset(keys_u64: np.ndarray, bits: int) -> np.ndarray:
     return words
 
 
+def prow_for(nk: int) -> int:
+    return (nk * PROBES_PER_KMER + 31) // 32
+
+
 @lru_cache(maxsize=1)
-def _jitted_probe():
+def _jitted_probe_bits():
+    from graphtyper_tpu.utils.jax_cache import ensure_compilation_cache
+
+    ensure_compilation_cache()
     import jax
 
-    return partial(jax.jit, static_argnames=("nk", "bits", "cap"))(_probe_impl)
+    return partial(jax.jit, static_argnames=("nk", "bits"))(_probe_bits_impl)
 
 
-def _probe_impl(codes, lens, bitset, nk: int, bits: int, cap: int):
-    """codes [S, L] uint8 (pad 15), lens [S] int32, bitset uint32 words.
+def _probe_bits_impl(hi, lo, valid, bitset, nk: int, bits: int):
+    """hi/lo [S, nk] uint32 exact-key halves, valid [S, nk] uint8 (0 for
+    ambiguous/out-of-range kmers), bitset uint32 words.
 
-    Returns (ids [cap] int32 ascending, -1 padded; count int32). Probe id
-    = row*(nk*97) + kpos*97 + j, matching native/gt_align.cpp SeedCands.
+    Returns packed candidate words [S, PROW] uint32: bit (kpos*97 + j) of
+    row r is set iff probe j of kmer kpos passed the membership test —
+    matching native/gt_align.cpp CandView's layout.
     """
-    import jax
     import jax.numpy as jnp
 
-    S, L = codes.shape
+    S = hi.shape[0]
     mask_hi, mask_lo = _ham_masks()
-    mask_hi = jnp.asarray(mask_hi)
-    mask_lo = jnp.asarray(mask_lo)
-
-    pos = np.arange(nk, dtype=np.int32) * (K - 1)
-    win_idx = pos[:, None] + np.arange(K, dtype=np.int32)[None, :]  # [nk, K]
-    win = codes[:, win_idx].astype(jnp.uint32)  # [S, nk, K]
-
-    kmer_valid = (jnp.asarray(pos)[None, :] + K <= lens[:, None]) & jnp.all(
-        win < 4, axis=-1
-    )  # [S, nk]
-
-    w_hi = (np.uint32(4) ** np.arange(15, -1, -1, dtype=np.int64)).astype(np.uint32)
-    w_lo = w_hi
-    hi = jnp.sum(win[:, :, :16] * jnp.asarray(w_hi)[None, None, :], axis=-1)
-    lo = jnp.sum(win[:, :, 16:] * jnp.asarray(w_lo)[None, None, :], axis=-1)
-
-    p_hi = hi[:, :, None] ^ mask_hi[None, None, :]  # [S, nk, 97]
-    p_lo = lo[:, :, None] ^ mask_lo[None, None, :]
+    p_hi = hi[:, :, None] ^ jnp.asarray(mask_hi)[None, None, :]  # [S, nk, 97]
+    p_lo = lo[:, :, None] ^ jnp.asarray(mask_lo)[None, None, :]
     h = p_lo * jnp.uint32(HASH_C1) + p_hi * jnp.uint32(HASH_C2)
     idx = h >> jnp.uint32(32 - bits)
     word = bitset[(idx >> jnp.uint32(5)).astype(jnp.int32)]
     bit = (word >> (idx & jnp.uint32(31))) & jnp.uint32(1)
+    bit = bit * valid[:, :, None].astype(jnp.uint32)
 
-    cand = (bit == 1) & kmer_valid[:, :, None]
-    flat = cand.reshape(-1)
-    count = jnp.sum(flat.astype(jnp.int32))
-    (ids,) = jnp.nonzero(flat, size=cap, fill_value=-1)
-    return ids.astype(jnp.int32), count
+    flat = bit.reshape(S, nk * PROBES_PER_KMER)
+    prow = prow_for(nk)
+    pad = prow * 32 - nk * PROBES_PER_KMER
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.uint32)
+    packed = jnp.sum(
+        flat.reshape(S, prow, 32) * jnp.asarray(weights)[None, None, :], axis=-1
+    )
+    return packed
 
 
 class DeviceSeeder:
@@ -151,30 +155,30 @@ class DeviceSeeder:
         else:
             words = build_bitset(keys_u64.astype(np.uint64), self.bits)
         self.bitset = jax.device_put(words)
-        self.overflows = 0
 
-    def probe(self, codes: np.ndarray, lens: np.ndarray) -> np.ndarray | None:
-        """codes [n_rows, L] uint8, lens [n_rows]; returns sorted int64
-        global probe ids, or None if the candidate cap overflowed (caller
-        falls back to host probing — correctness is unaffected)."""
-        import jax.numpy as jnp
+    def probe_bits(self, kmers_dev, n_rows: int, nk: int) -> np.ndarray:
+        """kmers_dev = (hi, lo, valid) device arrays [S, nk] (S row-padded);
+        returns candidate words [n_rows, PROW] uint32 on host."""
+        hi, lo, valid = kmers_dev
+        packed = _jitted_probe_bits()(hi, lo, valid, self.bitset, nk=nk, bits=self.bits)
+        return np.asarray(packed[:n_rows])
 
-        n_rows, L = codes.shape
-        if n_rows == 0 or L < K:
-            return np.zeros(0, np.int64)
-        nk = 1 + (L - K) // (K - 1)
-        S = 1 << max(10, (n_rows - 1).bit_length())
-        if S > n_rows:
-            codes = np.pad(codes, ((0, S - n_rows), (0, 0)), constant_values=15)
-            lens = np.pad(lens, (0, S - n_rows))
-        cap = max(4096, S * nk * PROBES_PER_KMER // 16)
-        ids, count = _jitted_probe()(
-            jnp.asarray(codes), jnp.asarray(lens.astype(np.int32)), self.bitset,
-            nk=nk, bits=self.bits, cap=cap,
-        )
-        count = int(count)
-        if count > cap:
-            self.overflows += 1
-            return None
-        out = np.asarray(ids[:count]).astype(np.int64)
-        return out
+
+def stage_kmers(hi: np.ndarray, lo: np.ndarray, valid: np.ndarray):
+    """Upload the per-row kmer tensors once (row-padded to pow2 buckets so
+    the jitted kernel shape is reused); the returned device arrays are
+    cached by the caller across call iterations."""
+    import jax
+
+    n_rows = hi.shape[0]
+    S = 1 << max(10, (n_rows - 1).bit_length()) if n_rows else 1024
+    if S > n_rows:
+        padw = ((0, S - n_rows), (0, 0))
+        hi = np.pad(hi, padw)
+        lo = np.pad(lo, padw)
+        valid = np.pad(valid, padw)
+    return (
+        jax.device_put(hi.astype(np.uint32)),
+        jax.device_put(lo.astype(np.uint32)),
+        jax.device_put(valid.astype(np.uint8)),
+    )

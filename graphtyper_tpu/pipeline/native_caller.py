@@ -61,6 +61,8 @@ def _setup_lib(lib) -> None:
     )
     lib.gt_prep_fetch_seqs.restype = None
     lib.gt_prep_fetch_seqs.argtypes = [ctypes.c_void_p] * 3
+    lib.gt_prep_fetch_kmers.restype = None
+    lib.gt_prep_fetch_kmers.argtypes = [ctypes.c_void_p] * 4
     lib.gt_call_finish.restype = ctypes.c_void_p
     lib.gt_call_finish.argtypes = (
         [ctypes.c_void_p]  # prep
@@ -69,7 +71,7 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
         + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
-        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]  # cand ids
+        + [ctypes.c_void_p, ctypes.c_int32]  # cand bit words + nk_max
         + [ctypes.c_int32] * 3  # n_samples hq_reads n_threads
         + [_p64] * 5
     )
@@ -141,19 +143,31 @@ class _PrepEntry:
         self.n_rows = n_rows
         self.row_len = row_len
         self.sample_names = sample_names
-        self.codes: np.ndarray | None = None
-        self.lens: np.ndarray | None = None
+        self.kmers_dev = None  # staged (hi, lo, valid) device arrays
 
-    def fetch_seqs(self, lib):
-        if self.codes is None:
-            self.codes = np.zeros((self.n_rows, self.row_len), dtype=np.uint8)
-            self.lens = np.zeros(self.n_rows, dtype=np.int32)
-            lib.gt_prep_fetch_seqs(
+    @property
+    def nk_max(self) -> int:
+        return 1 + (self.row_len - 32) // 31 if self.row_len >= 32 else 0
+
+    def stage_kmers_dev(self, lib):
+        """Fetch the per-row exact kmer keys from the prep and stage them on
+        the device once; reused across call iterations (the reads — and so
+        the keys — do not change between iterations)."""
+        if self.kmers_dev is None:
+            from graphtyper_tpu.ops.seed_probe import stage_kmers
+
+            nk = self.nk_max
+            hi = np.zeros((self.n_rows, nk), dtype=np.uint32)
+            lo = np.zeros((self.n_rows, nk), dtype=np.uint32)
+            valid = np.zeros((self.n_rows, nk), dtype=np.uint8)
+            lib.gt_prep_fetch_kmers(
                 self.handle,
-                self.codes.ctypes.data_as(ctypes.c_void_p),
-                self.lens.ctypes.data_as(ctypes.c_void_p),
+                hi.ctypes.data_as(ctypes.c_void_p),
+                lo.ctypes.data_as(ctypes.c_void_p),
+                valid.ctypes.data_as(ctypes.c_void_p),
             )
-        return self.codes, self.lens
+            self.kmers_dev = stage_kmers(hi, lo, valid)
+        return self.kmers_dev
 
 
 # prepared pools are reused across the call iterations (the reads do not
@@ -236,18 +250,18 @@ def _device_seed_enabled(opts) -> bool:
         return False
 
 
-def _device_seed_ids(index, entry: _PrepEntry, lib):
-    """Sorted candidate probe ids from the device kernel, or None to fall
-    back to host probing (overflow / kernel failure — correctness-neutral)."""
+def _device_seed_words(index, entry: _PrepEntry, lib):
+    """Packed candidate bit words from the device kernel, or None to fall
+    back to host probing (kernel failure — correctness-neutral)."""
     from graphtyper_tpu.ops.seed_probe import DeviceSeeder
 
     seeder = getattr(index, "_device_seeder", None)
     if seeder is None:
         seeder = DeviceSeeder(np.asarray(index.keys, dtype=np.uint64))
         index._device_seeder = seeder
-    codes, lens = entry.fetch_seqs(lib)
     try:
-        return seeder.probe(codes, lens)
+        kmers_dev = entry.stage_kmers_dev(lib)
+        return seeder.probe_bits(kmers_dev, entry.n_rows, entry.nk_max)
     except Exception:
         from graphtyper_tpu.utils.log import get_logger
 
@@ -300,9 +314,9 @@ def run_native_call_pool_bam(
     site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
     site_is_snp = np.array([1 if graph.is_snp(s.gt) else 0 for s in sites], dtype=np.uint8)
 
-    cand_ids = None
-    if entry.n_rows > 0 and _device_seed_enabled(current_options()):
-        cand_ids = _device_seed_ids(index, entry, lib)
+    cand_words = None
+    if entry.n_rows > 0 and entry.nk_max > 0 and _device_seed_enabled(current_options()):
+        cand_words = _device_seed_words(index, entry, lib)
 
     if n_threads <= 0:
         import os
@@ -318,14 +332,12 @@ def run_native_call_pool_bam(
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    if cand_ids is not None:
-        cand_ids = np.ascontiguousarray(cand_ids, dtype=np.int64)
-        nk_max = 1 + (entry.row_len - 32) // 31 if entry.row_len >= 32 else 0
-        cand_ptr = ptr(cand_ids)
-        n_cand = len(cand_ids)
+    if cand_words is not None:
+        cand_words = np.ascontiguousarray(cand_words, dtype=np.uint32)
+        cand_ptr = ptr(cand_words)
+        nk_max = entry.nk_max
     else:
         cand_ptr = None
-        n_cand = 0
         nk_max = 0
 
     handle = lib.gt_call_finish(
@@ -338,7 +350,7 @@ def run_native_call_pool_bam(
         ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
         ptr(na.keys), len(na.keys), ptr(na.offsets),
         ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
-        cand_ptr, n_cand, nk_max,
+        cand_ptr, nk_max,
         len(sample_names), 1 if hq_reads else 0, n_threads,
         ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn),
         ctypes.byref(n_counts), ctypes.byref(n_touched),

@@ -1976,16 +1976,32 @@ void gt_align_free(void * handle)
 // Stage 2 entry: full pooled caller loop (non-SV).
 // ---------------------------------------------------------------------------
 
-// Seed candidates for a whole pool: per-row spans into a sorted global probe
-// id list (rows = the device read-sequence matrix: one row per aligned rep
-// orientation). Built by gt_call_finish from the device kernel's output.
+// Seed candidates for a whole pool, as the device kernel's packed bitmask:
+// bit (row, kpos*97 + j) set means probe j of kmer kpos of device row `row`
+// passed the membership filter and must be verified against the index.
+// prow = words per row = ceil(nk_max*97 / 32).
 struct CandView {
-  const int64_t * ids;      // sorted global probe ids
-  const int64_t * row_off;  // [n_rows + 1] span per row
-  int64_t n_rows;
+  const uint32_t * words;
+  int64_t prow;
   int32_t nk_max;
   const int64_t * rep_row_fwd;  // [n_reps] row index or -1
   const int64_t * rep_row_rc;
+
+  void collect(int64_t row, std::vector<int64_t> & out) const
+  {
+    out.clear();
+    const uint32_t * w = words + row * prow;
+    for (int64_t wi = 0; wi < prow; ++wi)
+    {
+      uint32_t v = w[wi];
+      while (v)
+      {
+        int b = __builtin_ctz(v);
+        out.push_back(wi * 32 + b);
+        v &= v - 1;
+      }
+    }
+  }
 };
 
 static void * run_call_core(
@@ -2067,6 +2083,7 @@ static void * run_call_core(
   {
     auto align_range = [&](size_t lo, size_t hi) {
       std::vector<uint8_t> rcodes;
+      std::vector<int64_t> ids1, ids2;
       for (size_t q = lo; q < hi; ++q)
       {
         int64_t r = reps[q];
@@ -2086,16 +2103,14 @@ static void * run_call_core(
           const SeedCands * c2 = nullptr;
           if (cand != nullptr)
           {
-            int64_t base_stride = (int64_t)cand->nk_max * 97;
-            int64_t row1 = cand->rep_row_fwd[q];
-            sc1 = {cand->ids + cand->row_off[row1], cand->ids + cand->row_off[row1 + 1],
-                   row1 * base_stride};
+            cand->collect(cand->rep_row_fwd[q], ids1);
+            sc1 = {ids1.data(), ids1.data() + ids1.size(), 0};
             c1 = &sc1;
             int64_t row2 = cand->rep_row_rc[q];
             if (row2 >= 0)
             {
-              sc2 = {cand->ids + cand->row_off[row2], cand->ids + cand->row_off[row2 + 1],
-                     row2 * base_stride};
+              cand->collect(row2, ids2);
+              sc2 = {ids2.data(), ids2.data() + ids2.size(), 0};
               c2 = &sc2;
             }
           }
@@ -2868,6 +2883,60 @@ void gt_prep_fetch_seqs(void * prep, uint8_t * codes_out, int32_t * lens_out)
   }
 }
 
+// Fill the device k-mer matrix: the exact seed key of every (row, kpos) as
+// (hi, lo) uint32 halves + a validity flag (in-range and unambiguous). The
+// device expands each valid key into its 97 probes and tests them against
+// the membership bitset; ambiguous kmers stay host-probed. Arrays are
+// [n_rows, nk_max] with nk_max = 1 + (row_len - K) / (K - 1).
+void gt_prep_fetch_kmers(void * prep, uint32_t * hi_out, uint32_t * lo_out,
+                         uint8_t * valid_out)
+{
+  PrepPool * P = (PrepPool *)prep;
+  int64_t n_rows = (int64_t)P->row_rep.size();
+  if (P->row_len < K)
+    return;
+  int64_t nk_max = 1 + (P->row_len - K) / (K - 1);
+  std::vector<uint8_t> rcodes;
+  for (int64_t row = 0; row < n_rows; ++row)
+  {
+    int64_t r = P->reps[P->row_rep[row]];
+    const uint8_t * codes = P->read_codes.data() + P->read_off[r];
+    int len = (int)(P->read_off[r + 1] - P->read_off[r]);
+    if (P->row_is_rc[row])
+    {
+      rcodes.resize(len);
+      for (int i = 0; i < len; ++i)
+        rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
+      codes = rcodes.data();
+    }
+    for (int64_t i = 0; i < nk_max; ++i)
+    {
+      int64_t p = (K - 1) * i;
+      int64_t o = row * nk_max + i;
+      if (p + K > len)
+      {
+        hi_out[o] = lo_out[o] = 0;
+        valid_out[o] = 0;
+        continue;
+      }
+      uint64_t key = 0;
+      bool amb = false;
+      for (int64_t j = p; j < p + K; ++j)
+      {
+        if (codes[j] >= 4)
+        {
+          amb = true;
+          break;
+        }
+        key = (key << 2) | codes[j];
+      }
+      hi_out[o] = amb ? 0 : (uint32_t)(key >> 32);
+      lo_out[o] = amb ? 0 : (uint32_t)key;
+      valid_out[o] = amb ? 0 : 1;
+    }
+  }
+}
+
 void * gt_call_finish(
   void * prep,
   // graph
@@ -2882,8 +2951,9 @@ void * gt_call_finish(
   // index
   const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
   const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
-  // device seed candidates (sorted global probe ids); null -> host probing
-  const int64_t * cand_ids, int64_t n_cand, int32_t nk_max,
+  // device seed candidate bitmask ([n_rows, prow] uint32 words, prow =
+  // ceil(nk_max*97/32)); null -> host probing of all 97 keys per kmer
+  const uint32_t * cand_words, int32_t nk_max,
   // options
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
   // out sizes
@@ -2893,17 +2963,10 @@ void * gt_call_finish(
   PrepPool * P = (PrepPool *)prep;
   CandView cv;
   CandView * cvp = nullptr;
-  std::vector<int64_t> row_off;
-  if (cand_ids != nullptr)
+  if (cand_words != nullptr)
   {
-    int64_t n_rows = (int64_t)P->row_rep.size();
-    row_off.assign(n_rows + 1, 0);
-    int64_t stride = (int64_t)nk_max * 97;
-    for (int64_t row = 0; row <= n_rows; ++row)
-      row_off[row] =
-        std::lower_bound(cand_ids, cand_ids + n_cand, row * stride) - cand_ids;
-    cv = {cand_ids, row_off.data(), n_rows, nk_max,
-          P->rep_row_fwd.data(), P->rep_row_rc.data()};
+    int64_t prow = ((int64_t)nk_max * 97 + 31) / 32;
+    cv = {cand_words, prow, nk_max, P->rep_row_fwd.data(), P->rep_row_rc.data()};
     cvp = &cv;
   }
   return finish_from_prep(

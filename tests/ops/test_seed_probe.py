@@ -9,23 +9,46 @@ import numpy as np
 import pytest
 
 from graphtyper_tpu.ops.seed_probe import (
-    DeviceSeeder,
     PROBES_PER_KMER,
+    DeviceSeeder,
     _ham_masks,
     bitset_bits_for,
     build_bitset,
+    prow_for,
+    stage_kmers,
 )
 
 K = 32
 
 
-def _host_probe_ids(codes_mat, lens, keys_sorted):
-    """Oracle: the candidate set the kernel must produce is exactly the
-    probes whose hash bit is set — no false negatives vs true membership."""
+def _kmer_tensors(codes_mat, lens):
+    n_rows, L = codes_mat.shape
+    nk = 1 + (L - K) // (K - 1)
+    hi = np.zeros((n_rows, nk), np.uint32)
+    lo = np.zeros((n_rows, nk), np.uint32)
+    valid = np.zeros((n_rows, nk), np.uint8)
+    for row in range(n_rows):
+        for i in range(nk):
+            p = (K - 1) * i
+            if p + K > lens[row]:
+                continue
+            win = codes_mat[row, p : p + K]
+            if (win >= 4).any():
+                continue
+            key = 0
+            for c in win.tolist():
+                key = (key << 2) | c
+            hi[row, i] = (key >> 32) & 0xFFFFFFFF
+            lo[row, i] = key & 0xFFFFFFFF
+            valid[row, i] = 1
+    return hi, lo, valid, nk
+
+
+def _true_probe_hits(codes_mat, lens, keys_sorted):
     keyset = set(keys_sorted.tolist())
     n_rows, L = codes_mat.shape
     nk = 1 + (L - K) // (K - 1)
-    true_hits = []
+    true_hits = set()
     for row in range(n_rows):
         for i in range(nk):
             p = (K - 1) * i
@@ -38,14 +61,9 @@ def _host_probe_ids(codes_mat, lens, keys_sorted):
             for c in win.tolist():
                 key = (key << 2) | c
             for j in range(PROBES_PER_KMER):
-                if j == 0:
-                    k2 = key
-                else:
-                    kpos = (j - 1) // 3
-                    d = (j - 1) % 3 + 1
-                    k2 = key ^ (d << (2 * kpos))
+                k2 = key if j == 0 else key ^ (((j - 1) % 3 + 1) << (2 * ((j - 1) // 3)))
                 if k2 in keyset:
-                    true_hits.append(row * nk * PROBES_PER_KMER + i * PROBES_PER_KMER + j)
+                    true_hits.add((row, i * PROBES_PER_KMER + j))
     return true_hits
 
 
@@ -58,10 +76,8 @@ def test_ham_mask_order_matches_host():
     assert hi[0] == 0 and lo[0] == 0
 
 
-def test_device_candidates_superset_and_exactness():
+def test_device_candidate_words_have_no_false_negatives():
     rng = np.random.default_rng(3)
-    # synthetic index keys + reads that contain some of them (with Ham-1
-    # mutations so the 96-key expansion has true hits)
     n_rows, L = 64, 151
     codes = rng.integers(0, 4, size=(n_rows, L)).astype(np.uint8)
     lens = np.full(n_rows, L, np.int32)
@@ -80,20 +96,22 @@ def test_device_candidates_superset_and_exactness():
     keys = np.unique(np.array(keys, dtype=np.uint64))
 
     seeder = DeviceSeeder(keys)
-    ids = seeder.probe(codes, lens)
-    assert ids is not None
-    got = set(ids.tolist())
-    want = _host_probe_ids(codes, lens, keys)
-    # every true membership hit must be a candidate (no false negatives)
-    missing = [w for w in want if w not in got]
-    assert not missing, f"kernel lost true probes: {missing[:5]}"
-    assert len(want) > 0
-    # candidates are sorted and within range
-    assert np.all(np.diff(ids) > 0)
-    nk = 1 + (L - K) // (K - 1)
-    # the padded row bucket may extend the row space; real rows bound checked
-    real = ids[ids < n_rows * nk * PROBES_PER_KMER]
-    assert len(real) >= len(want)
+    hi, lo, valid, nk = _kmer_tensors(codes, lens)
+    words = seeder.probe_bits(stage_kmers(hi, lo, valid), n_rows, nk)
+    assert words.shape == (n_rows, prow_for(nk))
+
+    def bit(row, rem):
+        return (words[row, rem // 32] >> (rem % 32)) & 1
+
+    want = _true_probe_hits(codes, lens, keys)
+    assert want, "test setup produced no true hits"
+    for row, rem in want:
+        assert bit(row, rem) == 1, f"kernel lost true probe {(row, rem)}"
+    # invalid kmers must produce no candidates at all
+    for i in range(nk):
+        if not valid[7, i] and i == 0:
+            for j in range(PROBES_PER_KMER):
+                assert bit(7, i * PROBES_PER_KMER + j) == 0
 
 
 def test_bitset_builders_agree():
@@ -101,16 +119,12 @@ def test_bitset_builders_agree():
     keys = rng.integers(0, 2**63, size=1000, dtype=np.uint64)
     bits = bitset_bits_for(len(keys))
     np_words = build_bitset(keys, bits)
-    # the C++ builder (used in production) must produce the identical bitset
     from graphtyper_tpu.io.native import get_lib
 
-    lib = get_lib()
-    if lib is None:
+    if get_lib() is None:
         pytest.skip("native library unavailable")
     seeder = DeviceSeeder(np.sort(keys), bits=bits)
-    import numpy as _np
-
-    got = _np.asarray(seeder.bitset)
+    got = np.asarray(seeder.bitset)
     assert got.shape == np_words.shape
     assert (got == np_words).all()
 
@@ -118,7 +132,6 @@ def test_bitset_builders_agree():
 def test_genotype_device_seed_parity(tmp_path):
     """End-to-end: device_seed on vs off produce byte-identical VCFs."""
     import gzip
-    import os
     from dataclasses import replace
 
     from graphtyper_tpu.config import current_options, set_options
