@@ -326,6 +326,9 @@ class _TierBuffer:
     site_ids: list[int] = field(default_factory=list)  # global site index per slot
     slot_of: dict[int, int] = field(default_factory=dict)
     cols: dict[str, list] = field(default_factory=lambda: {k: [] for k in OBS_FIELDS})
+    # bulk numpy blocks (native caller feed) — concatenated with `cols` at
+    # finalize; avoids per-element Python list churn for large pools
+    blocks: list[dict] = field(default_factory=list)
 
     def slot(self, global_site: int) -> int:
         s = self.slot_of.get(global_site)
@@ -334,6 +337,18 @@ class _TierBuffer:
             self.slot_of[global_site] = s
             self.site_ids.append(global_site)
         return s
+
+    def materialize_cols(self) -> tuple[dict, int]:
+        """Concatenate list-cols and numpy blocks into one array per field."""
+        out = {}
+        n = 0
+        for k in OBS_FIELDS:
+            parts = [np.asarray(b[k], dtype=np.int64) for b in self.blocks]
+            if self.cols[k]:
+                parts.append(np.asarray(self.cols[k], dtype=np.int64))
+            out[k] = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+            n = len(out[k])
+        return out, n
 
 
 class ObsBatcher:
@@ -402,7 +417,7 @@ class ObsBatcher:
     def finalize(self) -> None:
         """Run the device passes and materialize all accumulated site state."""
         for tier, buf in self.tiers.items():
-            n = len(buf.cols["site"])
+            cols_np, n = buf.materialize_cols()
             if n == 0:
                 continue
             A = buf.A
@@ -424,7 +439,7 @@ class ObsBatcher:
                 # are bitcast back on device)
                 mat = np.zeros((len(OBS_FIELDS), n_pad), dtype=np.int32)
                 for i, k in enumerate(OBS_FIELDS):
-                    v = np.asarray(buf.cols[k][lo_i:hi_i], dtype=np.int64)
+                    v = cols_np[k][lo_i:hi_i]
                     if k in ("bits_lo", "bits_hi"):
                         mat[i, :rows] = v.astype(np.uint32).view(np.int32)
                     else:

@@ -541,30 +541,33 @@ def _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn,
             buf = batcher.tiers[t] = _TierBuffer(A=t)
         gsites = o_site[mask].astype(np.int64)
         uniq = np.unique(gsites)
-        slot_map = {}
-        for g in uniq.tolist():
+        slot_lut = np.empty(len(uniq), dtype=np.int64)
+        for ui, g in enumerate(uniq.tolist()):
             s = buf.slot_of.get(g)
             if s is None:
                 s = len(buf.site_ids)
                 buf.slot_of[g] = s
                 buf.site_ids.append(g)
-            slot_map[g] = s
-        slots = np.array([slot_map[g] for g in gsites.tolist()], dtype=np.int32)
-        c = buf.cols
-        c["site"].extend(slots.tolist())
-        c["sample"].extend(o_sample[mask].tolist())
-        c["eps"].extend(o_eps[mask].tolist())
-        c["apply_score"].extend(o_apply[mask].tolist())
-        c["bits_lo"].extend(o_bits_lo[mask].tolist())
-        c["bits_hi"].extend(o_bits_hi[mask].tolist())
-        c["cov"].extend(o_cov[mask].tolist())
-        c["clipped_scaled"].extend(o_clip_scaled[mask].tolist())
-        c["clipped_flag"].extend(o_clip_flag[mask].tolist())
-        c["mapq_sq"].extend(o_mapq_sq[mask].tolist())
-        c["mm_scaled"].extend(o_mm_scaled[mask].tolist())
-        c["sdiff"].extend(o_sdiff[mask].tolist())
-        c["strand"].extend(o_strand[mask].tolist())
-        c["proper"].extend(o_proper[mask].tolist())
+            slot_lut[ui] = s
+        slots = slot_lut[np.searchsorted(uniq, gsites)]
+        buf.blocks.append(
+            {
+                "site": slots,
+                "sample": o_sample[mask],
+                "eps": o_eps[mask],
+                "apply_score": o_apply[mask],
+                "bits_lo": o_bits_lo[mask],
+                "bits_hi": o_bits_hi[mask],
+                "cov": o_cov[mask],
+                "clipped_scaled": o_clip_scaled[mask],
+                "clipped_flag": o_clip_flag[mask],
+                "mapq_sq": o_mapq_sq[mask],
+                "mm_scaled": o_mm_scaled[mask],
+                "sdiff": o_sdiff[mask],
+                "strand": o_strand[mask],
+                "proper": o_proper[mask],
+            }
+        )
 
     # big (>64-allele) sites: direct host application
     if (~small).any():
