@@ -97,6 +97,12 @@ class Options:
     # TPU backend is active), "on" (also on CPU jax — used by parity tests),
     # or "off".
     device_seed: str = "auto"
+    # bounded-memory streaming pooled caller (native/gt_align.cpp
+    # gt_stream_*): BAM files merge through a BGZF stream + heap and flow in
+    # fixed-size batches, so RSS stays O(batch) at cohort scale (the
+    # reference's hts_parallel_reader design). "auto" (on for big pools),
+    # "on", or "off". Byte-identical to the in-memory caller.
+    streaming_caller: str = "auto"
     is_csi: bool = False
     force_align_both_orientations: bool = False
     sam_flag_filter: int = 3840

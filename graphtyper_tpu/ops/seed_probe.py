@@ -161,7 +161,10 @@ class DeviceSeeder:
         returns candidate words [n_rows, PROW] uint32 on host."""
         hi, lo, valid = kmers_dev
         packed = _jitted_probe_bits()(hi, lo, valid, self.bitset, nk=nk, bits=self.bits)
-        return np.asarray(packed[:n_rows])
+        # fetch the full padded array in ONE transfer and slice on host — a
+        # device-side packed[:n_rows] would add a dispatch + a second
+        # round-trip, which dominates over the tunnel
+        return np.asarray(packed)[:n_rows]
 
 
 def stage_kmers(hi: np.ndarray, lo: np.ndarray, valid: np.ndarray):

@@ -360,6 +360,7 @@ class ObsBatcher:
         self.n_samples = n_samples
         self.tiers: dict[int, _TierBuffer] = {}
         self.mesh_key = mesh_key  # set -> multi-chip sharded application
+        self._totals: dict = {}  # tier -> running flush totals (site-major)
         # exact saturation tracking (haplotype.cpp:528-533): max_log_score is
         # the running sum of applied eps; a read is skipped for scoring once
         # the sum reaches 0xFFFF - eps
@@ -414,12 +415,44 @@ class ObsBatcher:
 
     # ------------------------------------------------------------------
 
+    def maybe_flush(self, max_rows: int = 2_000_000) -> None:
+        """Apply buffered observations to the device-side running totals if
+        the buffer grew past `max_rows` — keeps host memory flat when the
+        streaming caller feeds millions of rows per pool."""
+        for tier, buf in self.tiers.items():
+            n = sum(len(np.atleast_1d(b["site"])) for b in buf.blocks) + len(buf.cols["site"])
+            if n >= max_rows:
+                self._flush_tier(tier, buf)
+
     def finalize(self) -> None:
         """Run the device passes and materialize all accumulated site state."""
         for tier, buf in self.tiers.items():
+            self._flush_tier(tier, buf)
+            totals = self._totals.pop(tier, None)
+            if totals is not None:
+                self._materialize(buf, totals, buf.A)
+
+    def _accumulate(self, tier: int, out: dict) -> None:
+        """Add one flush's outputs into the running totals, growing the
+        site-major arrays when the padded site bucket grew between flushes."""
+        prev = self._totals.get(tier)
+        if prev is None:
+            self._totals[tier] = out
+            return
+        for k, v in out.items():
+            p = prev[k]
+            if p.shape[0] < v.shape[0]:
+                widths = [(0, v.shape[0] - p.shape[0])] + [(0, 0)] * (p.ndim - 1)
+                p = np.pad(p, widths)
+            p[: v.shape[0]] += v
+            prev[k] = p
+
+    def _flush_tier(self, tier: int, buf: "_TierBuffer") -> None:
             cols_np, n = buf.materialize_cols()
+            buf.blocks = []
+            buf.cols = {k: [] for k in OBS_FIELDS}
             if n == 0:
-                continue
+                return
             A = buf.A
             # pad the site count to coarse power-of-two buckets (floor 256) so
             # the jitted kernel shape is reused across regions and iterations
@@ -489,7 +522,8 @@ class ObsBatcher:
                 else:
                     for k in totals:
                         totals[k] += out[k]
-            self._materialize(buf, totals, A)
+            if totals is not None:
+                self._accumulate(tier, totals)
 
     def _materialize(self, buf: _TierBuffer, out: dict, A: int) -> None:
         P = self.n_samples

@@ -226,15 +226,36 @@ def call_pool(
         from graphtyper_tpu.pipeline import native_caller as nc
 
         if nc.available():
-            fast = nc.run_native_call_pool_bam(
-                graph,
-                index,
-                hts_paths,
-                region,
-                sam_flag_filter=SAM_FLAG_FILTER,
-                force_both=force_align_both_orientations,
-                hq_reads=getattr(_copts(), "hq_reads", False),
-            )
+            fast = None
+            stream_mode = getattr(_copts(), "streaming_caller", "auto")
+            use_stream = stream_mode == "on"
+            if stream_mode == "auto" and all(p.endswith(".bam") for p in hts_paths):
+                # big pools stream (bounded RSS); small pools stay in-memory
+                # (lower latency + device seeding)
+                import os as _os
+
+                total = sum(_os.path.getsize(p) for p in hts_paths)
+                use_stream = len(hts_paths) >= 12 or total > 256 * 1024 * 1024
+            if use_stream:
+                fast = nc.run_native_call_pool_stream(
+                    graph,
+                    index,
+                    hts_paths,
+                    region,
+                    sam_flag_filter=SAM_FLAG_FILTER,
+                    force_both=force_align_both_orientations,
+                    hq_reads=getattr(_copts(), "hq_reads", False),
+                )
+            if fast is None:
+                fast = nc.run_native_call_pool_bam(
+                    graph,
+                    index,
+                    hts_paths,
+                    region,
+                    sam_flag_filter=SAM_FLAG_FILTER,
+                    force_both=force_align_both_orientations,
+                    hq_reads=getattr(_copts(), "hq_reads", False),
+                )
             if fast is not None:
                 sample_names, scorer, num_records, num_duplicated = fast
                 scorer.finalize()

@@ -463,69 +463,20 @@ def run_native_call_pool(
     return _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn, n_counts, n_touched)
 
 
-def _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn, n_counts, n_touched):
-    """Fetch a CallResult and feed the scorer's device batcher + connection
-    maps; shared by the object-array and BAM-bytes entries. Returns
-    (num_records, num_duplicated) or None on error."""
+def _feed_obs(
+    scorer, site_cnum,
+    o_site, o_sample, o_eps, o_apply, o_bits_lo, o_bits_hi, o_cov,
+    o_clip_scaled, o_clip_flag, o_mapq_sq, o_mm_scaled, o_sdiff,
+    o_strand, o_proper, o_big, x_count, x_vals,
+) -> None:
+    """Feed one batch of native observation rows into the scorer: tiered
+    numpy blocks for the device batcher, direct host application for the
+    rare >64-allele sites."""
     from graphtyper_tpu.ops.site_scoring import ALLELE_TIERS, _TierBuffer, apply_obs_host
 
-    sites = scorer.sites
-    site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
-
-    def ptr(a):
-        return a.ctypes.data_as(ctypes.c_void_p)
-
-    try:
-        N = n_obs.value
-        o_site = np.zeros(N, dtype=np.int32)
-        o_sample = np.zeros(N, dtype=np.int32)
-        o_eps = np.zeros(N, dtype=np.int32)
-        o_apply = np.zeros(N, dtype=np.uint8)
-        o_bits_lo = np.zeros(N, dtype=np.uint32)
-        o_bits_hi = np.zeros(N, dtype=np.uint32)
-        o_cov = np.zeros(N, dtype=np.int32)
-        o_clip_scaled = np.zeros(N, dtype=np.int32)
-        o_clip_flag = np.zeros(N, dtype=np.uint8)
-        o_mapq_sq = np.zeros(N, dtype=np.int32)
-        o_mm_scaled = np.zeros(N, dtype=np.int32)
-        o_sdiff = np.zeros(N, dtype=np.int32)
-        o_strand = np.zeros(N, dtype=np.uint8)
-        o_proper = np.zeros(N, dtype=np.uint8)
-        o_big = np.zeros(N, dtype=np.uint8)
-        x_count = np.zeros(N, dtype=np.int32)
-        x_vals = np.zeros(n_xvals.value, dtype=np.uint16)
-        c_hap1 = np.zeros(n_conn.value, dtype=np.int64)
-        c_pn = np.zeros(n_conn.value, dtype=np.int32)
-        c_b1 = np.zeros(n_conn.value, dtype=np.int32)
-        c_hap2 = np.zeros(n_conn.value, dtype=np.int64)
-        c_ncounts = np.zeros(n_conn.value, dtype=np.int32)
-        c_counts = np.zeros(n_counts.value, dtype=np.int64)
-        t_hap1 = np.zeros(n_touched.value, dtype=np.int64)
-        t_pn = np.zeros(n_touched.value, dtype=np.int32)
-        t_b1 = np.zeros(n_touched.value, dtype=np.int32)
-        eps_sum = np.zeros(len(sites) * n_samples, dtype=np.int64)
-        stats_out = np.zeros(2, dtype=np.int64)
-        rc = lib.gt_call_pool_fetch(
-            handle,
-            ptr(o_site), ptr(o_sample), ptr(o_eps), ptr(o_apply),
-            ptr(o_bits_lo), ptr(o_bits_hi), ptr(o_cov),
-            ptr(o_clip_scaled), ptr(o_clip_flag), ptr(o_mapq_sq), ptr(o_mm_scaled),
-            ptr(o_sdiff), ptr(o_strand), ptr(o_proper), ptr(o_big),
-            ptr(x_count), ptr(x_vals),
-            ptr(c_hap1), ptr(c_pn), ptr(c_b1), ptr(c_hap2), ptr(c_ncounts), ptr(c_counts),
-            ptr(t_hap1), ptr(t_pn), ptr(t_b1),
-            ptr(eps_sum), ptr(stats_out),
-        )
-        if rc != 0:
-            return None  # unsupported condition -> Python fallback
-    finally:
-        lib.gt_call_pool_free(handle)
-
-    # ---- feed the device scorer's tier buffers (vectorized split) ---------
     batcher = scorer.batcher
-    assert batcher is not None
-    batcher._eps_sum = eps_sum.reshape(len(sites), n_samples)
-
+    sites = scorer.sites
+    N = len(o_site)
     small = o_big == 0
     cnum_of_obs = site_cnum[o_site]
     tier_of_obs = np.zeros(N, dtype=np.int64)
@@ -590,6 +541,77 @@ def _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn,
                 int(o_proper[i]),
             )
 
+
+def _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn, n_counts, n_touched):
+    """Fetch a CallResult and feed the scorer's device batcher + connection
+    maps; shared by the object-array and BAM-bytes entries. Returns
+    (num_records, num_duplicated) or None on error."""
+    from graphtyper_tpu.ops.site_scoring import ALLELE_TIERS, _TierBuffer, apply_obs_host
+
+    sites = scorer.sites
+    site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    try:
+        N = n_obs.value
+        o_site = np.zeros(N, dtype=np.int32)
+        o_sample = np.zeros(N, dtype=np.int32)
+        o_eps = np.zeros(N, dtype=np.int32)
+        o_apply = np.zeros(N, dtype=np.uint8)
+        o_bits_lo = np.zeros(N, dtype=np.uint32)
+        o_bits_hi = np.zeros(N, dtype=np.uint32)
+        o_cov = np.zeros(N, dtype=np.int32)
+        o_clip_scaled = np.zeros(N, dtype=np.int32)
+        o_clip_flag = np.zeros(N, dtype=np.uint8)
+        o_mapq_sq = np.zeros(N, dtype=np.int32)
+        o_mm_scaled = np.zeros(N, dtype=np.int32)
+        o_sdiff = np.zeros(N, dtype=np.int32)
+        o_strand = np.zeros(N, dtype=np.uint8)
+        o_proper = np.zeros(N, dtype=np.uint8)
+        o_big = np.zeros(N, dtype=np.uint8)
+        x_count = np.zeros(N, dtype=np.int32)
+        x_vals = np.zeros(n_xvals.value, dtype=np.uint16)
+        c_hap1 = np.zeros(n_conn.value, dtype=np.int64)
+        c_pn = np.zeros(n_conn.value, dtype=np.int32)
+        c_b1 = np.zeros(n_conn.value, dtype=np.int32)
+        c_hap2 = np.zeros(n_conn.value, dtype=np.int64)
+        c_ncounts = np.zeros(n_conn.value, dtype=np.int32)
+        c_counts = np.zeros(n_counts.value, dtype=np.int64)
+        t_hap1 = np.zeros(n_touched.value, dtype=np.int64)
+        t_pn = np.zeros(n_touched.value, dtype=np.int32)
+        t_b1 = np.zeros(n_touched.value, dtype=np.int32)
+        eps_sum = np.zeros(len(sites) * n_samples, dtype=np.int64)
+        stats_out = np.zeros(2, dtype=np.int64)
+        rc = lib.gt_call_pool_fetch(
+            handle,
+            ptr(o_site), ptr(o_sample), ptr(o_eps), ptr(o_apply),
+            ptr(o_bits_lo), ptr(o_bits_hi), ptr(o_cov),
+            ptr(o_clip_scaled), ptr(o_clip_flag), ptr(o_mapq_sq), ptr(o_mm_scaled),
+            ptr(o_sdiff), ptr(o_strand), ptr(o_proper), ptr(o_big),
+            ptr(x_count), ptr(x_vals),
+            ptr(c_hap1), ptr(c_pn), ptr(c_b1), ptr(c_hap2), ptr(c_ncounts), ptr(c_counts),
+            ptr(t_hap1), ptr(t_pn), ptr(t_b1),
+            ptr(eps_sum), ptr(stats_out),
+        )
+        if rc != 0:
+            return None  # unsupported condition -> Python fallback
+    finally:
+        lib.gt_call_pool_free(handle)
+
+    # ---- feed the device scorer's tier buffers (vectorized split) ---------
+    batcher = scorer.batcher
+    assert batcher is not None
+    batcher._eps_sum = eps_sum.reshape(len(sites), n_samples)
+
+    _feed_obs(
+        scorer, site_cnum,
+        o_site, o_sample, o_eps, o_apply, o_bits_lo, o_bits_hi, o_cov,
+        o_clip_scaled, o_clip_flag, o_mapq_sq, o_mm_scaled, o_sdiff,
+        o_strand, o_proper, o_big, x_count, x_vals,
+    )
+
     # ---- rebuild the phasing connection maps ------------------------------
     connections = scorer.connections
     for i in range(n_touched.value):
@@ -610,3 +632,203 @@ def _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn,
             prev += arr
 
     return int(stats_out[0]), int(stats_out[1])
+
+
+# ---------------------------------------------------------------------------
+# Streaming pooled caller (bounded memory)
+# ---------------------------------------------------------------------------
+
+
+def _setup_stream(lib) -> None:
+    if getattr(lib, "_stream_ready", False):
+        return
+    lib.gt_stream_open.restype = ctypes.c_void_p
+    lib.gt_stream_open.argtypes = (
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p]
+        + [ctypes.c_int32] * 5 + [ctypes.c_int64] * 2
+    )
+    lib.gt_stream_step.restype = ctypes.c_int32
+    lib.gt_stream_step.argtypes = (
+        [ctypes.c_void_p]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
+        + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [_p64] * 2
+    )
+    lib.gt_stream_fetch_obs.restype = ctypes.c_int32
+    lib.gt_stream_fetch_obs.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 17
+    lib.gt_stream_finish.restype = ctypes.c_void_p
+    lib.gt_stream_finish.argtypes = [ctypes.c_void_p] + [_p64] * 5
+    lib.gt_stream_free.restype = None
+    lib.gt_stream_free.argtypes = [ctypes.c_void_p]
+    lib._stream_ready = True
+
+
+def _bam_header_streaming(path: str):
+    """(ref_names, samples) from just the header blocks of a BAM file —
+    reads only as much as the header needs, never the whole file."""
+    import struct
+
+    from graphtyper_tpu.io.bgzf import BgzfReader
+
+    with BgzfReader(path) as f:
+        magic = f.read(4)
+        if magic != b"BAM\x01":
+            return None
+        (l_text,) = struct.unpack("<i", f.read(4))
+        text = f.read(l_text).rstrip(b"\x00").decode()
+        (n_ref,) = struct.unpack("<i", f.read(4))
+        ref_names = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", f.read(4))
+            ref_names.append(f.read(l_name)[:-1].decode())
+            f.read(4)
+        samples = []
+        for line in text.split("\n"):
+            if line.startswith("@RG"):
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("SM:") and fld[3:] not in samples:
+                        samples.append(fld[3:])
+        return ref_names, samples
+
+
+def run_native_call_pool_stream(
+    graph,
+    index,
+    hts_paths: list[str],
+    region,
+    sam_flag_filter: int = 3840,
+    force_both: bool = False,
+    hq_reads: bool = False,
+    n_threads: int = 0,
+    batch_records: int = 1 << 18,
+):
+    """Bounded-memory pooled call: N BAM files merge through a C++ BGZF
+    stream + heap (the reference's hts_parallel_reader design), fixed-size
+    batches run stage 1/2, and observation rows drain to the device batcher
+    per batch. RSS is O(batch + open files + site state) — independent of
+    cohort size. Byte-identical to the in-memory caller (asserted by
+    tests/pipeline/test_stream_caller.py). Returns (sample_names, scorer,
+    num_records, num_duplicated) or None to fall back."""
+    if region is None or not all(p.endswith(".bam") for p in hts_paths):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup_lib(lib)
+    _setup_stream(lib)
+
+    sample_names: list[str] = []
+    for path in hts_paths:
+        meta = _bam_header_streaming(path)
+        if meta is None:
+            return None
+        _ref_names, samples = meta
+        if not samples:
+            samples = [path.rsplit("/", 1)[-1].split(".")[0]]
+        if len(samples) > 1:
+            return None
+        sample_names.append(samples[0])
+
+    from graphtyper_tpu.typer.native_align import NativeAligner
+    from graphtyper_tpu.typer.scoring import SiteScorer
+
+    scorer = SiteScorer(graph, sample_names, hq_reads=hq_reads)
+    if scorer.batcher is None:
+        return None
+    na = NativeAligner(graph, index)
+    sites = scorer.sites
+    site_order = np.array([s.gt.id for s in sites], dtype=np.int64)
+    site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
+    site_is_snp = np.array([1 if graph.is_snp(s.gt) else 0 for s in sites], dtype=np.uint8)
+
+    if n_threads <= 0:
+        import os
+
+        n_threads = min(8, os.cpu_count() or 1)
+
+    path_bytes = [p.encode() for p in hts_paths]
+    path_arr = (ctypes.c_char_p * len(path_bytes))(*path_bytes)
+    sample_idx = np.arange(len(hts_paths), dtype=np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    handle = lib.gt_stream_open(
+        ctypes.cast(path_arr, ctypes.c_void_p), ptr(sample_idx), len(hts_paths),
+        region.chr.encode(),
+        len(sample_names), sam_flag_filter, 1 if force_both else 0, 1 if hq_reads else 0,
+        n_threads, batch_records, len(sites),
+    )
+    if not handle:
+        return None
+
+    n_obs = ctypes.c_int64()
+    n_xvals = ctypes.c_int64()
+    try:
+        while True:
+            rc = lib.gt_stream_step(
+                handle,
+                ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
+                ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
+                ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
+                ptr(na.var_out_ref), len(na.var_order), ptr(na.var_arena),
+                ptr(na.sp_ref_reach), ptr(na.sp_actual), len(na.sp_ref_reach),
+                ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
+                ptr(na.keys), len(na.keys), ptr(na.offsets),
+                ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
+                ctypes.byref(n_obs), ctypes.byref(n_xvals),
+            )
+            if rc == 0:
+                break
+            N = n_obs.value
+            o_site = np.zeros(N, dtype=np.int32)
+            o_sample = np.zeros(N, dtype=np.int32)
+            o_eps = np.zeros(N, dtype=np.int32)
+            o_apply = np.zeros(N, dtype=np.uint8)
+            o_bits_lo = np.zeros(N, dtype=np.uint32)
+            o_bits_hi = np.zeros(N, dtype=np.uint32)
+            o_cov = np.zeros(N, dtype=np.int32)
+            o_clip_scaled = np.zeros(N, dtype=np.int32)
+            o_clip_flag = np.zeros(N, dtype=np.uint8)
+            o_mapq_sq = np.zeros(N, dtype=np.int32)
+            o_mm_scaled = np.zeros(N, dtype=np.int32)
+            o_sdiff = np.zeros(N, dtype=np.int32)
+            o_strand = np.zeros(N, dtype=np.uint8)
+            o_proper = np.zeros(N, dtype=np.uint8)
+            o_big = np.zeros(N, dtype=np.uint8)
+            x_count = np.zeros(N, dtype=np.int32)
+            x_vals = np.zeros(n_xvals.value, dtype=np.uint16)
+            lib.gt_stream_fetch_obs(
+                handle,
+                ptr(o_site), ptr(o_sample), ptr(o_eps), ptr(o_apply),
+                ptr(o_bits_lo), ptr(o_bits_hi), ptr(o_cov),
+                ptr(o_clip_scaled), ptr(o_clip_flag), ptr(o_mapq_sq), ptr(o_mm_scaled),
+                ptr(o_sdiff), ptr(o_strand), ptr(o_proper), ptr(o_big),
+                ptr(x_count), ptr(x_vals),
+            )
+            _feed_obs(
+                scorer, site_cnum,
+                o_site, o_sample, o_eps, o_apply, o_bits_lo, o_bits_hi, o_cov,
+                o_clip_scaled, o_clip_flag, o_mapq_sq, o_mm_scaled, o_sdiff,
+                o_strand, o_proper, o_big, x_count, x_vals,
+            )
+            scorer.batcher.maybe_flush()
+        n_conn = ctypes.c_int64()
+        n_counts = ctypes.c_int64()
+        n_touched = ctypes.c_int64()
+        res = lib.gt_stream_finish(
+            handle,
+            ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn),
+            ctypes.byref(n_counts), ctypes.byref(n_touched),
+        )
+    finally:
+        lib.gt_stream_free(handle)
+    stats = _consume_call_result(
+        lib, res, scorer, len(sample_names), n_obs, n_xvals, n_conn, n_counts, n_touched
+    )
+    if stats is None:
+        return None
+    return sample_names, scorer, stats[0], stats[1]

@@ -1976,6 +1976,170 @@ void gt_align_free(void * handle)
 // Stage 2 entry: full pooled caller loop (non-SV).
 // ---------------------------------------------------------------------------
 
+// Concatenate per-worker stage-2 results into R (worker order; sample
+// ranges are disjoint so eps columns and conn keys never clash).
+static void merge_worker_parts(CallResult * R, std::vector<CallResult> & parts,
+                               const std::vector<std::pair<int32_t, int32_t>> & ranges,
+                               int64_t n_sites, int32_t n_samples)
+{
+  for (size_t ti = 0; ti < ranges.size(); ++ti)
+  {
+    CallResult & W = parts[ti];
+    if (W.error)
+      R->error = W.error;
+    auto cat = [](auto & dst, auto & src) {
+      dst.insert(dst.end(), src.begin(), src.end());
+      src.clear();
+    };
+    cat(R->o_site, W.o_site);
+    cat(R->o_sample, W.o_sample);
+    cat(R->o_eps, W.o_eps);
+    cat(R->o_apply, W.o_apply);
+    cat(R->o_cov, W.o_cov);
+    cat(R->o_clip_scaled, W.o_clip_scaled);
+    cat(R->o_clip_flag, W.o_clip_flag);
+    cat(R->o_mapq_sq, W.o_mapq_sq);
+    cat(R->o_mm_scaled, W.o_mm_scaled);
+    cat(R->o_sdiff, W.o_sdiff);
+    cat(R->o_strand, W.o_strand);
+    cat(R->o_proper, W.o_proper);
+    cat(R->o_bits_lo, W.o_bits_lo);
+    cat(R->o_bits_hi, W.o_bits_hi);
+    cat(R->o_big, W.o_big);
+    cat(R->x_count, W.x_count);
+    cat(R->x_vals, W.x_vals);
+    for (int64_t site = 0; site < n_sites; ++site)
+      for (int32_t pn = ranges[ti].first; pn < ranges[ti].second; ++pn)
+        R->eps_sum[site * n_samples + pn] = W.eps_sum[site * n_samples + pn];
+    R->conn.insert(W.conn.begin(), W.conn.end());
+    R->conn_touched.insert(W.conn_touched.begin(), W.conn_touched.end());
+  }
+}
+
+// One pair-pending record in the stage-2 pooled loop. Owns its qual bytes
+// so entries can outlive the batch buffers they were parsed from (the
+// streaming caller frees each batch after replay; mates may arrive in a
+// later batch).
+struct Pending {
+  Geno g1, g2;
+  GenoMeta m1, m2;
+  std::vector<uint8_t> qual_store;
+};
+
+// typer/alignment.py update_paths: derive the fwd/rc metadata of one record
+static void make_metas_arrays(uint32_t flagv, int32_t mapqv, int32_t clipv, int32_t sdiffv,
+                              const uint8_t * qual, int32_t qlen, GenoMeta & m1, GenoMeta & m2)
+{
+  m1.flags = flagv & ~IS_PROPER_PAIR;
+  m1.mapq = mapqv;
+  if (mapqv < 25)
+    m1.flags |= IS_MAPQ_BAD;
+  m2.flags = (flagv ^ IS_REVERSED) & ~IS_PROPER_PAIR;
+  if (mapqv < 25)
+    m2.flags |= IS_MAPQ_BAD;
+  if (clipv > 3)
+  {
+    m1.flags |= IS_CLIPPED;
+    m2.flags |= IS_CLIPPED;
+  }
+  m1.score_diff = m2.score_diff = sdiffv;
+  m2.mapq = m1.mapq;
+  if (qlen > 0)
+  {
+    m1.qual = qual;
+    m1.qual_len = qlen;
+    m1.qual_reversed = false;
+    m2.qual = qual;
+    m2.qual_len = qlen;
+    m2.qual_reversed = true;
+  }
+}
+
+// Process one pooled record through dedup-aware pairing + scoring — the body
+// of the stage-2 loop, shared by the in-memory and streaming callers.
+// Returns false on the both-mates-same-slot error (Python raises there).
+static bool stage2_one_record(const CallCtx & Cw, int32_t rg, uint32_t flagv, int32_t mapqv,
+                              int32_t clipv, int32_t sdiffv, const uint8_t * qual, int32_t qlen,
+                              std::string && name, const Geno & a1, const Geno & a2,
+                              std::unordered_map<std::string, Pending> & map)
+{
+  auto it = map.find(name);
+  if (it == map.end())
+  {
+    if (flagv & IS_PAIRED)
+    {
+      Pending p;
+      p.g1 = a1;
+      p.g2 = a2;
+      p.qual_store.assign(qual, qual + qlen);
+      make_metas_arrays(flagv, mapqv, clipv, sdiffv, p.qual_store.data(), qlen, p.m1, p.m2);
+      map.emplace(std::move(name), std::move(p));
+    }
+    else
+    {
+      // typer/alignment.py update_unpaired_read_paths
+      int cmp = compare_single(a1, a2);
+      if (cmp != 0)
+      {
+        const Geno & g = (cmp == 1) ? a1 : a2;
+        GenoMeta m;
+        m.flags = (cmp == 1) ? (flagv & ~IS_PROPER_PAIR) : ((flagv ^ IS_REVERSED) & ~IS_PROPER_PAIR);
+        m.mapq = mapqv;
+        if (mapqv < 25)
+          m.flags |= IS_MAPQ_BAD;
+        if (clipv > 3)
+          m.flags |= IS_CLIPPED;
+        m.score_diff = sdiffv;
+        if (qlen > 0)
+        {
+          m.qual = qual;
+          m.qual_len = qlen;
+          m.qual_reversed = cmp != 1;
+        }
+        update_haplotype_scores_single(Cw, g, m, rg);
+      }
+    }
+    return true;
+  }
+
+  Pending mine;
+  mine.g1 = a1;
+  mine.g2 = a2;
+  make_metas_arrays(flagv, mapqv, clipv, sdiffv, qual, qlen, mine.m1, mine.m2);
+  Pending & found = it->second;
+  if ((mine.m1.flags & IS_FIRST_IN_PAIR) == (found.m1.flags & IS_FIRST_IN_PAIR))
+    return false;
+  // typer/alignment.py get_better_paths: slot by (first, !reversed)
+  const Geno * arr_g[4] = {nullptr, nullptr, nullptr, nullptr};
+  const GenoMeta * arr_m[4] = {nullptr, nullptr, nullptr, nullptr};
+  auto put = [&](const Geno & g, const GenoMeta & m) {
+    int idx = (int)((m.flags & IS_FIRST_IN_PAIR) != 0) + 2 * (int)((m.flags & IS_REVERSED) == 0);
+    arr_g[idx] = &g;
+    arr_m[idx] = &m;
+  };
+  put(found.g1, found.m1);
+  put(found.g2, found.m2);
+  put(mine.g1, mine.m1);
+  put(mine.g2, mine.m2);
+  bool all_present = arr_g[0] && arr_g[1] && arr_g[2] && arr_g[3];
+  if (all_present)
+  {
+    int cmp = compare_pairs(*arr_g[3], *arr_g[0], *arr_g[1], *arr_g[2]);
+    if (cmp == 1 || cmp == 2)
+    {
+      const Geno * gf = (cmp == 1) ? arr_g[3] : arr_g[1];
+      const Geno * gs = (cmp == 1) ? arr_g[0] : arr_g[2];
+      GenoMeta mf = (cmp == 1) ? *arr_m[3] : *arr_m[1];
+      GenoMeta ms = (cmp == 1) ? *arr_m[0] : *arr_m[2];
+      mf.flags |= IS_PROPER_PAIR;
+      ms.flags |= IS_PROPER_PAIR;
+      update_haplotype_scores_pair(Cw, *gf, mf, *gs, ms, rg);
+    }
+  }
+  map.erase(it);
+  return true;
+}
+
 // Seed candidates for a whole pool, as the device kernel's packed bitmask:
 // bit (row, kpos*97 + j) set means probe j of kmer kpos of device row `row`
 // passed the membership filter and must be verified against the index.
@@ -2153,39 +2317,6 @@ static void * run_call_core(
   // merge deterministically (worker order; the conn maps are ordered and
   // sample-disjoint), and per-sample read order is unchanged, so the
   // saturation mask and all sums match the serial walk exactly.
-  struct Pending {
-    Geno g1, g2;
-    GenoMeta m1, m2;
-  };
-
-  auto make_metas = [&](int64_t r, GenoMeta & m1, GenoMeta & m2) {
-    // typer/alignment.py update_paths
-    m1.flags = (uint32_t)flags[r] & ~IS_PROPER_PAIR;
-    m1.mapq = mapq[r];
-    if (mapq[r] < 25)
-      m1.flags |= IS_MAPQ_BAD;
-    m2.flags = ((uint32_t)flags[r] ^ IS_REVERSED) & ~IS_PROPER_PAIR;
-    if (mapq[r] < 25)
-      m2.flags |= IS_MAPQ_BAD;
-    if (clipped_count[r] > 3)
-    {
-      m1.flags |= IS_CLIPPED;
-      m2.flags |= IS_CLIPPED;
-    }
-    m1.score_diff = m2.score_diff = score_diff[r];
-    m2.mapq = m1.mapq;
-    int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
-    if (qlen > 0)
-    {
-      m1.qual = quals + qual_off[r];
-      m1.qual_len = qlen;
-      m1.qual_reversed = false;
-      m2.qual = m1.qual;
-      m2.qual_len = qlen;
-      m2.qual_reversed = true;
-    }
-  };
-
   for (int64_t r = 0; r < n_reads; ++r)
   {
     if (flags[r] & sam_flag_filter)
@@ -2201,95 +2332,22 @@ static void * run_call_core(
     std::vector<std::unordered_map<std::string, Pending>> maps(shi - slo);
     for (int64_t r = 0; r < n_reads; ++r)
     {
-    if (flags[r] & sam_flag_filter)
-      continue;
-    int32_t rg = rg_idx[r];
-    if (rg < slo || rg >= shi)
-      continue;
-    int64_t rep = rep_of[r];
-    const Geno & a1 = aligned[rep].first;
-    const Geno & a2 = aligned[rep].second;
-    std::string name((const char *)(names + name_off[r]), (size_t)(name_off[r + 1] - name_off[r]));
-
-    auto it = maps[rg - slo].find(name);
-    if (it == maps[rg - slo].end())
-    {
-      if (flags[r] & IS_PAIRED)
-      {
-        Pending p;
-        p.g1 = a1;
-        p.g2 = a2;
-        make_metas(r, p.m1, p.m2);
-        maps[rg - slo].emplace(std::move(name), std::move(p));
-      }
-      else
-      {
-        // typer/alignment.py update_unpaired_read_paths
-        int cmp = compare_single(a1, a2);
-        if (cmp != 0)
-        {
-          const Geno & g = (cmp == 1) ? a1 : a2;
-          GenoMeta m;
-          m.flags = (cmp == 1) ? ((uint32_t)flags[r] & ~IS_PROPER_PAIR)
-                               : (((uint32_t)flags[r] ^ IS_REVERSED) & ~IS_PROPER_PAIR);
-          m.mapq = mapq[r];
-          if (mapq[r] < 25)
-            m.flags |= IS_MAPQ_BAD;
-          if (clipped_count[r] > 3)
-            m.flags |= IS_CLIPPED;
-          m.score_diff = score_diff[r];
-          int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
-          if (qlen > 0)
-          {
-            m.qual = quals + qual_off[r];
-            m.qual_len = qlen;
-            m.qual_reversed = cmp != 1;
-          }
-          update_haplotype_scores_single(Cw, g, m, rg);
-        }
-      }
-    }
-    else
-    {
-      Pending mine;
-      mine.g1 = a1;
-      mine.g2 = a2;
-      make_metas(r, mine.m1, mine.m2);
-      Pending & found = it->second;
-      if ((mine.m1.flags & IS_FIRST_IN_PAIR) == (found.m1.flags & IS_FIRST_IN_PAIR))
+      if (flags[r] & sam_flag_filter)
+        continue;
+      int32_t rg = rg_idx[r];
+      if (rg < slo || rg >= shi)
+        continue;
+      int64_t rep = rep_of[r];
+      std::string name((const char *)(names + name_off[r]),
+                       (size_t)(name_off[r + 1] - name_off[r]));
+      int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
+      if (!stage2_one_record(Cw, rg, (uint32_t)flags[r], mapq[r], clipped_count[r],
+                             score_diff[r], quals + qual_off[r], qlen, std::move(name),
+                             aligned[rep].first, aligned[rep].second, maps[rg - slo]))
       {
         Rw.error = 1;  // both mates claim the same pair slot; Python raises
         break;
       }
-      // typer/alignment.py get_better_paths: slot by (first, !reversed)
-      const Geno * arr_g[4] = {nullptr, nullptr, nullptr, nullptr};
-      const GenoMeta * arr_m[4] = {nullptr, nullptr, nullptr, nullptr};
-      auto put = [&](const Geno & g, const GenoMeta & m) {
-        int idx = (int)((m.flags & IS_FIRST_IN_PAIR) != 0) + 2 * (int)((m.flags & IS_REVERSED) == 0);
-        arr_g[idx] = &g;
-        arr_m[idx] = &m;
-      };
-      put(found.g1, found.m1);
-      put(found.g2, found.m2);
-      put(mine.g1, mine.m1);
-      put(mine.g2, mine.m2);
-      bool all_present = arr_g[0] && arr_g[1] && arr_g[2] && arr_g[3];
-      if (all_present)
-      {
-        int cmp = compare_pairs(*arr_g[3], *arr_g[0], *arr_g[1], *arr_g[2]);
-        if (cmp == 1 || cmp == 2)
-        {
-          const Geno * gf = (cmp == 1) ? arr_g[3] : arr_g[1];
-          const Geno * gs = (cmp == 1) ? arr_g[0] : arr_g[2];
-          GenoMeta mf = (cmp == 1) ? *arr_m[3] : *arr_m[1];
-          GenoMeta ms = (cmp == 1) ? *arr_m[0] : *arr_m[2];
-          mf.flags |= IS_PROPER_PAIR;
-          ms.flags |= IS_PROPER_PAIR;
-          update_haplotype_scores_pair(Cw, *gf, mf, *gs, ms, rg);
-        }
-      }
-      maps[rg - slo].erase(it);
-    }
     }
   };
 
@@ -2314,36 +2372,7 @@ static void * run_call_core(
       }
       for (auto & th : threads)
         th.join();
-      for (size_t ti = 0; ti < ranges.size(); ++ti)
-      {
-        CallResult & W = parts[ti];
-        if (W.error)
-          R->error = W.error;
-        auto cat = [](auto & dst, auto const & src) { dst.insert(dst.end(), src.begin(), src.end()); };
-        cat(R->o_site, W.o_site);
-        cat(R->o_sample, W.o_sample);
-        cat(R->o_eps, W.o_eps);
-        cat(R->o_apply, W.o_apply);
-        cat(R->o_cov, W.o_cov);
-        cat(R->o_clip_scaled, W.o_clip_scaled);
-        cat(R->o_clip_flag, W.o_clip_flag);
-        cat(R->o_mapq_sq, W.o_mapq_sq);
-        cat(R->o_mm_scaled, W.o_mm_scaled);
-        cat(R->o_sdiff, W.o_sdiff);
-        cat(R->o_strand, W.o_strand);
-        cat(R->o_proper, W.o_proper);
-        cat(R->o_bits_lo, W.o_bits_lo);
-        cat(R->o_bits_hi, W.o_bits_hi);
-        cat(R->o_big, W.o_big);
-        cat(R->x_count, W.x_count);
-        cat(R->x_vals, W.x_vals);
-        // sample ranges are disjoint: eps columns and conn keys never clash
-        for (int64_t site = 0; site < n_sites; ++site)
-          for (int32_t pn = ranges[ti].first; pn < ranges[ti].second; ++pn)
-            R->eps_sum[site * n_samples + pn] = W.eps_sum[site * n_samples + pn];
-        R->conn.insert(W.conn.begin(), W.conn.end());
-        R->conn_touched.insert(W.conn_touched.begin(), W.conn_touched.end());
-      }
+      merge_worker_parts(R, parts, ranges, n_sites, n_samples);
     }
   }
 
@@ -3344,6 +3373,760 @@ int32_t gt_index_fetch(void * handle, uint64_t * kmers, int64_t * starts, int64_
 void gt_index_free(void * handle)
 {
   delete static_cast<IdxResult *>(handle);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming pooled caller: bounded-memory merge of N BAM files.
+//
+// The in-memory path decompresses every pool file and materializes the whole
+// (pos, seq)-sorted record array before calling; at population scale that is
+// O(total reads) RSS. This path reproduces the reference's design
+// (src/utilities/hts_parallel_reader.cpp:85-136 heap merge over per-file
+// position-sorted buffers, hts_reader.cpp:166-235 same-position seq sort):
+// each file streams through a BGZF block reader, records merge through a
+// heap in (pos, seq, file) order, and fixed-size batches flow through the
+// same stage-1 alignment + stage-2 scoring code as the in-memory caller
+// (stage2_one_record), with pair-pending maps, eps saturation state and
+// phasing connections persisting across batches. Observation rows drain to
+// the caller per batch (gt_stream_step/gt_stream_fetch_obs), so resident
+// memory is O(batch + open files + site state), independent of cohort
+// size. Byte-identical output: per-sample record order is unchanged and
+// every scoring update is replayed in the same order as the in-memory
+// caller.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <queue>
+
+namespace {
+
+struct BgzfIn {
+  FILE * f = nullptr;
+  std::vector<uint8_t> cbuf;
+  size_t cpos = 0;
+  std::vector<uint8_t> dbuf;
+  size_t dpos = 0;
+  void * dec = nullptr;  // libdeflate_decompressor (via gt_native helpers)
+  bool file_eof = false;
+
+  bool open_file(const char * path);
+  void close_file();
+  bool fill_compressed(size_t need)
+  {
+    while (cbuf.size() - cpos < need && !file_eof)
+    {
+      if (cpos > 0)
+      {
+        cbuf.erase(cbuf.begin(), cbuf.begin() + cpos);
+        cpos = 0;
+      }
+      size_t old = cbuf.size();
+      cbuf.resize(old + (1 << 20));
+      size_t got = fread(cbuf.data() + old, 1, 1 << 20, f);
+      cbuf.resize(old + got);
+      if (got == 0)
+        file_eof = true;
+    }
+    return cbuf.size() - cpos >= need;
+  }
+  bool inflate_block();
+  bool ensure(size_t n)
+  {
+    while (dbuf.size() - dpos < n)
+      if (!inflate_block())
+        return false;
+    return true;
+  }
+};
+
+struct SRec {
+  int64_t pos = 0;
+  std::string seq;  // ASCII (BAM nibble decode: uppercase canonical)
+  std::vector<uint8_t> body;  // record bytes after block_size
+};
+
+struct StreamFile {
+  BgzfIn z;
+  int32_t target = -2;
+  int32_t sample = 0;
+  std::deque<SRec> run;  // same-pos run, seq-sorted
+  bool have_peek = false;
+  SRec peek;
+  bool exhausted = false;
+
+  bool parse_next(SRec & out)
+  {
+    static const char NIB[17] = "=ACMGRSVTWYHKDBN";
+    for (;;)
+    {
+      if (!z.ensure(4))
+        return false;
+      int32_t bs;
+      memcpy(&bs, z.dbuf.data() + z.dpos, 4);
+      if (bs <= 0 || !z.ensure(4 + (size_t)bs))
+        return false;
+      const uint8_t * p = z.dbuf.data() + z.dpos + 4;
+      int32_t ref_id, pos;
+      memcpy(&ref_id, p, 4);
+      memcpy(&pos, p + 4, 4);
+      if (ref_id == target)
+      {
+        out.pos = pos;
+        out.body.assign(p, p + bs);
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar;
+        memcpy(&n_cigar, p + 12, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, p + 16, 4);
+        const uint8_t * s = p + 32 + l_read_name + 4 * n_cigar;
+        out.seq.resize(l_seq);
+        for (int i = 0; i < l_seq; ++i)
+          out.seq[i] = NIB[(i % 2 == 0) ? (s[i / 2] >> 4) : (s[i / 2] & 0xF)];
+        z.dpos += 4 + bs;
+        return true;
+      }
+      z.dpos += 4 + bs;
+    }
+  }
+
+  bool next(SRec & out)
+  {
+    if (run.empty())
+    {
+      SRec first;
+      if (have_peek)
+      {
+        first = std::move(peek);
+        have_peek = false;
+      }
+      else if (!parse_next(first))
+      {
+        exhausted = true;
+        return false;
+      }
+      int64_t p0 = first.pos;
+      std::vector<SRec> tmp;
+      tmp.push_back(std::move(first));
+      SRec nx;
+      while (parse_next(nx))
+      {
+        if (nx.pos != p0)
+        {
+          peek = std::move(nx);
+          have_peek = true;
+          break;
+        }
+        tmp.push_back(std::move(nx));
+      }
+      std::stable_sort(tmp.begin(), tmp.end(),
+                       [](const SRec & a, const SRec & b) { return a.seq < b.seq; });
+      for (auto & t : tmp)
+        run.push_back(std::move(t));
+    }
+    out = std::move(run.front());
+    run.pop_front();
+    return true;
+  }
+};
+
+// heap of (pos, seq, file) over each file's current record
+struct HeapEnt {
+  int64_t pos;
+  const std::string * seq;
+  int32_t fi;
+};
+struct HeapCmp {
+  bool operator()(const HeapEnt & a, const HeapEnt & b) const
+  {
+    if (a.pos != b.pos)
+      return a.pos > b.pos;
+    int c = a.seq->compare(*b.seq);
+    if (c != 0)
+      return c > 0;
+    return a.fi > b.fi;
+  }
+};
+
+// Stream handle: open files + persistent caller state across batches.
+struct StreamCall {
+  std::vector<StreamFile> files;
+  std::priority_queue<HeapEnt, std::vector<HeapEnt>, HeapCmp> heap;
+  std::vector<SRec> current;  // per file: record backing the heap entry
+
+  // graph/index/site views (owned copies of the flat arrays' pointers are
+  // NOT safe across Python calls — the caller passes them per step)
+  int32_t n_samples = 0, sam_flag_filter = 0, force_both = 0, hq_reads = 0;
+  int32_t n_threads = 1;
+  int64_t batch_records = 1 << 18;
+  int64_t n_sites = 0;
+
+  // persistent stage-2 state
+  std::vector<CallResult> parts;
+  std::vector<std::pair<int32_t, int32_t>> ranges;
+  std::vector<std::vector<std::unordered_map<std::string, Pending>>> maps;  // per worker
+  CallResult * R = nullptr;  // final accumulation (counts, eps, conn)
+
+  // dedup carry across batches
+  bool have_prev = false;
+  int64_t prev_pos = -1;
+  std::vector<uint8_t> prev_codes;
+  std::pair<Geno, Geno> carried_aligned;
+
+  // per-batch drained observation rows
+  CallResult batch_obs;
+
+  bool eof = false;
+};
+
+bool BgzfIn::open_file(const char * path)
+{
+  f = fopen(path, "rb");
+  return f != nullptr;
+}
+
+void BgzfIn::close_file()
+{
+  if (f)
+    fclose(f);
+  f = nullptr;
+}
+
+}  // namespace
+
+// gzip member inflate, provided by gt_native.cpp
+extern "C" int64_t gt_bgzf_decompress(uint8_t const * in, int64_t in_size, uint8_t * out,
+                                      int64_t out_capacity);
+
+namespace {
+
+bool BgzfIn::inflate_block()
+{
+  if (!fill_compressed(18))
+    return false;
+  const uint8_t * h = cbuf.data() + cpos;
+  if (h[0] != 0x1f || h[1] != 0x8b)
+    return false;
+  uint16_t xlen;
+  memcpy(&xlen, h + 10, 2);
+  if (!fill_compressed(12 + (size_t)xlen))
+    return false;
+  h = cbuf.data() + cpos;
+  int64_t bsize = -1;
+  const uint8_t * x = h + 12;
+  int rem = xlen;
+  while (rem >= 4)
+  {
+    uint16_t slen;
+    memcpy(&slen, x + 2, 2);
+    if (x[0] == 'B' && x[1] == 'C' && slen == 2)
+    {
+      uint16_t bs;
+      memcpy(&bs, x + 4, 2);
+      bsize = (int64_t)bs + 1;
+      break;
+    }
+    x += 4 + slen;
+    rem -= 4 + slen;
+  }
+  if (bsize < 12 || !fill_compressed((size_t)bsize))
+    return false;
+  h = cbuf.data() + cpos;
+  uint32_t isize;
+  memcpy(&isize, h + bsize - 4, 4);
+  if (dpos > 0)
+  {
+    dbuf.erase(dbuf.begin(), dbuf.begin() + dpos);
+    dpos = 0;
+  }
+  size_t old = dbuf.size();
+  dbuf.resize(old + isize);
+  if (isize > 0)
+  {
+    int64_t got = gt_bgzf_decompress(h, bsize, dbuf.data() + old, isize);
+    if (got != (int64_t)isize)
+      return false;
+  }
+  cpos += (size_t)bsize;
+  return isize > 0 || bsize > 28;  // empty EOF block ends the stream
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open the stream: parse headers, resolve the target contig per file, prime
+// the heap. Returns a handle or null (caller falls back to the in-memory
+// path on any unsupported condition).
+void * gt_stream_open(const char * const * paths, const int32_t * sample_of, int64_t n_files,
+                      const char * target_chr,
+                      int32_t n_samples, int32_t sam_flag_filter, int32_t force_both,
+                      int32_t hq_reads, int32_t n_threads, int64_t batch_records,
+                      int64_t n_sites)
+{
+  StreamCall * S = new StreamCall();
+  S->files.resize(n_files);
+  S->current.resize(n_files);
+  S->n_samples = n_samples;
+  S->sam_flag_filter = sam_flag_filter;
+  S->force_both = force_both;
+  S->hq_reads = hq_reads;
+  S->n_threads = n_threads;
+  S->batch_records = batch_records > 0 ? batch_records : (1 << 18);
+  S->n_sites = n_sites;
+
+  for (int64_t fi = 0; fi < n_files; ++fi)
+  {
+    StreamFile & F = S->files[fi];
+    F.sample = sample_of[fi];
+    if (!F.z.open_file(paths[fi]))
+    {
+      delete S;
+      return nullptr;
+    }
+    // header: magic, l_text, text, n_ref, names
+    if (!F.z.ensure(12) || memcmp(F.z.dbuf.data(), "BAM\1", 4) != 0)
+    {
+      delete S;
+      return nullptr;
+    }
+    int32_t l_text;
+    memcpy(&l_text, F.z.dbuf.data() + 4, 4);
+    if (!F.z.ensure(12 + (size_t)l_text))
+    {
+      delete S;
+      return nullptr;
+    }
+    size_t off = 8 + (size_t)l_text;
+    int32_t nref;
+    memcpy(&nref, F.z.dbuf.data() + off, 4);
+    off += 4;
+    F.target = -2;
+    for (int32_t i = 0; i < nref; ++i)
+    {
+      if (!F.z.ensure(off + 8 - F.z.dpos))
+      {
+        delete S;
+        return nullptr;
+      }
+      int32_t l_name;
+      memcpy(&l_name, F.z.dbuf.data() + off, 4);
+      if (!F.z.ensure(off + 8 + (size_t)l_name - F.z.dpos))
+      {
+        delete S;
+        return nullptr;
+      }
+      const char * nm = (const char *)F.z.dbuf.data() + off + 4;
+      if ((int32_t)strlen(target_chr) == l_name - 1 && memcmp(nm, target_chr, l_name - 1) == 0)
+        F.target = i;
+      off += 8 + (size_t)l_name;
+    }
+    F.z.dpos = off;
+    if (F.next(S->current[fi]))
+      S->heap.push({S->current[fi].pos, &S->current[fi].seq, (int32_t)fi});
+  }
+
+  // persistent workers
+  int nt = (n_threads <= 1) ? 1 : std::min<int32_t>(n_threads, n_samples);
+  int per = (n_samples + nt - 1) / nt;
+  S->parts.resize(nt);
+  for (int t = 0; t < nt; ++t)
+  {
+    int32_t slo = t * per, shi = std::min<int32_t>(n_samples, (t + 1) * per);
+    if (slo >= shi)
+      break;
+    S->parts[S->ranges.size()].eps_sum.assign(n_sites * n_samples, 0);
+    S->ranges.push_back({slo, shi});
+    S->maps.emplace_back(shi - slo);
+  }
+  S->R = new CallResult();
+  S->R->eps_sum.assign(n_sites * n_samples, 0);
+  return S;
+}
+
+// Process ONE batch through stage 1 + stage 2 with the given graph/index.
+// Returns 1 with the batch's observation-row counts (drain them with
+// gt_stream_fetch_obs before the next step), or 0 at end of stream.
+int32_t gt_stream_step(
+  void * handle,
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  int64_t * out_n_obs, int64_t * out_n_xvals)
+{
+  StreamCall * S = (StreamCall *)handle;
+  if (S->heap.empty())
+    return 0;
+  GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+              var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+              sp_ref_reach, sp_actual, n_special, false};
+  IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
+  SiteView SV{site_order, site_cnum, site_is_snp, n_sites};
+
+  // ASCII -> code table (utils/dna.py _CODE), as in parse_bam_pool
+  static uint8_t CODE[256];
+  static bool init = false;
+  if (!init)
+  {
+    for (int i = 0; i < 256; ++i)
+      CODE[i] = 4;
+    const char * bases = "ACGT";
+    for (int i = 0; i < 4; ++i)
+    {
+      CODE[(uint8_t)bases[i]] = i;
+      CODE[(uint8_t)(bases[i] + 32)] = i;
+    }
+    CODE[(uint8_t)'U'] = CODE[(uint8_t)'u'] = 3;
+    const char * iupac = "NRYSWKMBDHV";
+    for (int i = 0; iupac[i]; ++i)
+    {
+      CODE[(uint8_t)iupac[i]] = 4 + i;
+      CODE[(uint8_t)(iupac[i] + 32)] = 4 + i;
+    }
+    init = true;
+  }
+
+  // ---- fill one batch from the heap --------------------------------------
+  int64_t cap = S->batch_records;
+  std::vector<uint8_t> read_codes, names, quals, same_ref;
+  std::vector<int64_t> read_off{0}, name_off{0}, qual_off{0}, pos_v;
+  std::vector<int32_t> flags_v, mapq_v, tlen_v, sdiff_v, clip_v, rg_v;
+
+  while ((int64_t)pos_v.size() < cap && !S->heap.empty())
+  {
+    HeapEnt e = S->heap.top();
+    S->heap.pop();
+    SRec rec = std::move(S->current[e.fi]);
+    // advance that file
+    if (S->files[e.fi].next(S->current[e.fi]))
+      S->heap.push({S->current[e.fi].pos, &S->current[e.fi].seq, e.fi});
+
+    const uint8_t * p = rec.body.data();
+    int32_t bs = (int32_t)rec.body.size();
+    uint8_t l_read_name = p[8];
+    uint8_t mapq8 = p[9];
+    uint16_t n_cigar, flag16;
+    memcpy(&n_cigar, p + 12, 2);
+    memcpy(&flag16, p + 14, 2);
+    int32_t l_seq, next_ref, next_pos, tl;
+    memcpy(&l_seq, p + 16, 4);
+    memcpy(&next_ref, p + 20, 4);
+    memcpy(&next_pos, p + 24, 4);
+    memcpy(&tl, p + 28, 4);
+    (void)next_pos;
+    int32_t ref_id;
+    memcpy(&ref_id, p, 4);
+
+    pos_v.push_back(rec.pos);
+    flags_v.push_back(flag16);
+    mapq_v.push_back(mapq8);
+    tlen_v.push_back(tl);
+    same_ref.push_back(ref_id == next_ref ? 1 : 0);
+    rg_v.push_back(S->files[e.fi].sample);
+
+    const uint8_t * q = p + 32;
+    names.insert(names.end(), q, q + l_read_name - 1);
+    name_off.push_back((int64_t)names.size());
+    q += l_read_name;
+    int32_t clip = 0;
+    if (n_cigar > 0)
+    {
+      uint32_t c0, cl;
+      memcpy(&c0, q, 4);
+      memcpy(&cl, q + 4 * (n_cigar - 1), 4);
+      if ((c0 & 0xF) == 4)
+        clip = (int32_t)(c0 >> 4);
+      else if ((cl & 0xF) == 4)
+        clip = (int32_t)(cl >> 4);
+    }
+    clip_v.push_back(clip);
+    q += 4 * n_cigar;
+    for (char ch : rec.seq)
+      read_codes.push_back(CODE[(uint8_t)ch]);
+    read_off.push_back((int64_t)read_codes.size());
+    q += (l_seq + 1) / 2;
+    quals.insert(quals.end(), q, q + l_seq);
+    qual_off.push_back((int64_t)quals.size());
+    q += l_seq;
+
+    // AS/XS -> score_diff (same walk as parse_bam_pool)
+    const uint8_t * end = p + bs;
+    int64_t as_ = -1, xs = -1;
+    while (q + 3 <= end)
+    {
+      char t0 = q[0], t1 = q[1], typ = q[2];
+      q += 3;
+      int64_t val = 0;
+      int adv = 0;
+      switch (typ)
+      {
+      case 'A': val = q[0]; adv = 1; break;
+      case 'c': val = (int8_t)q[0]; adv = 1; break;
+      case 'C': val = q[0]; adv = 1; break;
+      case 's': { int16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
+      case 'S': { uint16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
+      case 'i': { int32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
+      case 'I': { uint32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
+      case 'f': adv = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t * z = q;
+        while (z < end && *z)
+          ++z;
+        adv = (int)(z - q) + 1;
+        break;
+      }
+      case 'B': {
+        char sub = (char)q[0];
+        uint32_t cnt;
+        memcpy(&cnt, q + 1, 4);
+        int es = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        adv = 5 + es * (int)cnt;
+        break;
+      }
+      default: adv = (int)(end - q); break;
+      }
+      if (t0 == 'A' && t1 == 'S')
+        as_ = val;
+      if (t0 == 'X' && t1 == 'S')
+        xs = val;
+      q += adv;
+    }
+    int64_t sd = 0;
+    if (!(as_ == -1 || as_ < xs))
+    {
+      if (xs == -1)
+        xs = 0;
+      sd = std::min<int64_t>(as_ - xs, 255);
+    }
+    sdiff_v.push_back((int32_t)sd);
+  }
+
+  int64_t n = (int64_t)pos_v.size();
+
+  // ---- dedup within batch, with cross-batch carry ------------------------
+  // rep_of[i] >= 0 indexes this batch's reps; -1 = carried rep from the
+  // previous batch; -2 = filtered record
+  std::vector<int64_t> reps;
+  std::vector<int64_t> rep_of(n, -2);
+  for (int64_t r = 0; r < n; ++r)
+  {
+    if (flags_v[r] & S->sam_flag_filter)
+      continue;
+    int64_t len = read_off[r + 1] - read_off[r];
+    bool same = S->have_prev && pos_v[r] == S->prev_pos &&
+                len == (int64_t)S->prev_codes.size() &&
+                memcmp(read_codes.data() + read_off[r], S->prev_codes.data(), len) == 0;
+    if (!same)
+    {
+      reps.push_back(r);
+      S->prev_pos = pos_v[r];
+      S->prev_codes.assign(read_codes.begin() + read_off[r], read_codes.begin() + read_off[r + 1]);
+      S->have_prev = true;
+      rep_of[r] = (int64_t)reps.size() - 1;
+    }
+    else
+    {
+      rep_of[r] = reps.empty() ? -1 : (int64_t)reps.size() - 1;
+      S->R->num_duplicated += 1;
+    }
+    S->R->num_records += 1;
+  }
+
+  // ---- stage 1: align batch reps (parallel) ------------------------------
+  std::vector<std::pair<Geno, Geno>> aligned(reps.size());
+  {
+    auto align_range = [&](size_t lo, size_t hi) {
+      std::vector<uint8_t> rcodes;
+      for (size_t qq = lo; qq < hi; ++qq)
+      {
+        int64_t r = reps[qq];
+        const uint8_t * codes = read_codes.data() + read_off[r];
+        int len = (int)(read_off[r + 1] - read_off[r]);
+        Geno & g1 = aligned[qq].first;
+        Geno & g2 = aligned[qq].second;
+        g1.read_length = g2.read_length = len;
+        if (len >= 2 * K - 1)
+        {
+          bool proper_geometry =
+            (flags_v[r] & IS_PAIRED) == 0 ||
+            (same_ref[r] && -1200 < tlen_v[r] && tlen_v[r] < 1200 &&
+             ((flags_v[r] & 0x10) != 0) != ((flags_v[r] & 0x20) != 0));
+          find_genotype_paths(G, I, codes, len, g1);
+          if (!proper_geometry || S->force_both)
+          {
+            rcodes.resize(len);
+            for (int i = 0; i < len; ++i)
+              rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
+            find_genotype_paths(G, I, rcodes.data(), len, g2);
+          }
+        }
+      }
+    };
+    int nt = (S->n_threads <= 1) ? 1 : std::min<int64_t>(S->n_threads, ((int64_t)reps.size() + 63) / 64);
+    if (nt <= 1)
+      align_range(0, reps.size());
+    else
+    {
+      std::vector<std::thread> threads;
+      size_t per = (reps.size() + nt - 1) / nt;
+      for (int t = 0; t < nt; ++t)
+      {
+        size_t lo = t * per, hi = std::min(reps.size(), (t + 1) * per);
+        if (lo >= hi)
+          break;
+        threads.emplace_back(align_range, lo, hi);
+      }
+      for (auto & th : threads)
+        th.join();
+    }
+  }
+
+  // ---- stage 2: replay batch per worker ----------------------------------
+  auto stage2_batch = [&](size_t ti) {
+    int32_t slo = S->ranges[ti].first, shi = S->ranges[ti].second;
+    CallResult & Rw = S->parts[ti];
+    CallCtx Cw{&G, &SV, S->n_samples, S->hq_reads != 0, &Rw};
+    auto & wmaps = S->maps[ti];
+    for (int64_t r = 0; r < n; ++r)
+    {
+      if (rep_of[r] == -2)
+        continue;
+      int32_t rg = rg_v[r];
+      if (rg < slo || rg >= shi)
+        continue;
+      const auto & al = rep_of[r] >= 0 ? aligned[rep_of[r]] : S->carried_aligned;
+      std::string name((const char *)names.data() + name_off[r],
+                       (size_t)(name_off[r + 1] - name_off[r]));
+      int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
+      if (!stage2_one_record(Cw, rg, (uint32_t)flags_v[r], mapq_v[r], clip_v[r], sdiff_v[r],
+                             quals.data() + qual_off[r], qlen, std::move(name), al.first,
+                             al.second, wmaps[rg - slo]))
+      {
+        Rw.error = 1;
+        return;
+      }
+    }
+  };
+  if (S->ranges.size() <= 1)
+    stage2_batch(0);
+  else
+  {
+    std::vector<std::thread> threads;
+    for (size_t ti = 0; ti < S->ranges.size(); ++ti)
+      threads.emplace_back(stage2_batch, ti);
+    for (auto & th : threads)
+      th.join();
+  }
+
+  // carry the last rep's alignment for cross-batch dedup runs
+  if (!reps.empty())
+    S->carried_aligned = aligned.back();
+
+  // ---- drain this batch's observation rows (conn/eps stay in workers) ----
+  S->batch_obs = CallResult();
+  for (auto & W : S->parts)
+  {
+    if (W.error)
+      S->R->error = W.error;
+    auto cat = [](auto & dst, auto & src) {
+      dst.insert(dst.end(), src.begin(), src.end());
+      src.clear();
+    };
+    CallResult & B = S->batch_obs;
+    cat(B.o_site, W.o_site);
+    cat(B.o_sample, W.o_sample);
+    cat(B.o_eps, W.o_eps);
+    cat(B.o_apply, W.o_apply);
+    cat(B.o_cov, W.o_cov);
+    cat(B.o_clip_scaled, W.o_clip_scaled);
+    cat(B.o_clip_flag, W.o_clip_flag);
+    cat(B.o_mapq_sq, W.o_mapq_sq);
+    cat(B.o_mm_scaled, W.o_mm_scaled);
+    cat(B.o_sdiff, W.o_sdiff);
+    cat(B.o_strand, W.o_strand);
+    cat(B.o_proper, W.o_proper);
+    cat(B.o_bits_lo, W.o_bits_lo);
+    cat(B.o_bits_hi, W.o_bits_hi);
+    cat(B.o_big, W.o_big);
+    cat(B.x_count, W.x_count);
+    cat(B.x_vals, W.x_vals);
+  }
+  *out_n_obs = (int64_t)S->batch_obs.o_site.size();
+  *out_n_xvals = (int64_t)S->batch_obs.x_vals.size();
+  return 1;
+}
+
+int32_t gt_stream_fetch_obs(void * handle,
+                            int32_t * o_site, int32_t * o_sample, int32_t * o_eps,
+                            uint8_t * o_apply, uint32_t * o_bits_lo, uint32_t * o_bits_hi,
+                            int32_t * o_cov, int32_t * o_clip_scaled, uint8_t * o_clip_flag,
+                            int32_t * o_mapq_sq, int32_t * o_mm_scaled, int32_t * o_sdiff,
+                            uint8_t * o_strand, uint8_t * o_proper, uint8_t * o_big,
+                            int32_t * x_count, uint16_t * x_vals)
+{
+  StreamCall * S = (StreamCall *)handle;
+  CallResult & B = S->batch_obs;
+  auto cp = [](auto * dst, auto const & src) {
+    if (!src.empty())
+      memcpy(dst, src.data(), src.size() * sizeof(src[0]));
+  };
+  cp(o_site, B.o_site);
+  cp(o_sample, B.o_sample);
+  cp(o_eps, B.o_eps);
+  cp(o_apply, B.o_apply);
+  cp(o_bits_lo, B.o_bits_lo);
+  cp(o_bits_hi, B.o_bits_hi);
+  cp(o_cov, B.o_cov);
+  cp(o_clip_scaled, B.o_clip_scaled);
+  cp(o_clip_flag, B.o_clip_flag);
+  cp(o_mapq_sq, B.o_mapq_sq);
+  cp(o_mm_scaled, B.o_mm_scaled);
+  cp(o_sdiff, B.o_sdiff);
+  cp(o_strand, B.o_strand);
+  cp(o_proper, B.o_proper);
+  cp(o_big, B.o_big);
+  cp(x_count, B.x_count);
+  cp(x_vals, B.x_vals);
+  S->batch_obs = CallResult();
+  return 0;
+}
+
+// Finish: merge worker eps/conn state into the final result and hand back a
+// CallResult handle compatible with gt_call_pool_fetch/free (observation
+// arrays will be empty — they were drained per batch).
+void * gt_stream_finish(void * handle, int64_t * out_n_obs, int64_t * out_n_xvals,
+                        int64_t * out_n_conn, int64_t * out_n_counts, int64_t * out_n_touched)
+{
+  StreamCall * S = (StreamCall *)handle;
+  CallResult * R = S->R;
+  merge_worker_parts(R, S->parts, S->ranges, S->n_sites, S->n_samples);
+  R->finalize_conn();
+  *out_n_obs = (int64_t)R->o_site.size();
+  *out_n_xvals = (int64_t)R->x_vals.size();
+  *out_n_conn = (int64_t)R->c_hap1.size();
+  *out_n_counts = (int64_t)R->c_counts.size();
+  *out_n_touched = (int64_t)R->t_hap1.size();
+  S->R = nullptr;
+  return R;
+}
+
+void gt_stream_free(void * handle)
+{
+  StreamCall * S = (StreamCall *)handle;
+  for (auto & F : S->files)
+    F.z.close_file();
+  delete S->R;
+  delete S;
 }
 
 }  // extern "C"
