@@ -226,13 +226,16 @@ def _jitted_apply_tier_sharded(mesh_key):
     from jax.sharding import PartitionSpec as P
 
     mesh = _MESHES[mesh_key]
+    axes = tuple(mesh.axis_names)  # 1D ("data",) or 2D ("host", "data"):
+    # observation rows shard over every axis; the host axis of a global mesh
+    # rides DCN, the data axis ICI — the integer psum is exact either way
 
     def sharded(obs_mat, A, n_sites, n_samples):
         out = _apply_tier_impl(obs_mat, A, n_sites, n_samples)
-        return jax.lax.psum(out, "data")
+        return jax.lax.psum(out, axes)
 
     def build(A, n_sites, n_samples):
-        specs = dict(mesh=mesh, in_specs=(P(None, "data"),), out_specs=P())
+        specs = dict(mesh=mesh, in_specs=(P(None, axes),), out_specs=P())
         body = partial(sharded, A=A, n_sites=n_sites, n_samples=n_samples)
         try:
             fn = shard_map(body, check_vma=False, **specs)

@@ -106,3 +106,201 @@ def genotype_regions_distributed(
     for region in mine:
         outs.extend(genotype_regions(ref_path, sams, region, output_path, **kw))
     return outs
+
+
+# ---------------------------------------------------------------------------
+# Cross-host cohort genotyping: samples sharded over hosts, one region
+# ---------------------------------------------------------------------------
+
+
+def _allgather_bytes(payload: bytes) -> list[bytes]:
+    """Gather one byte-string from every process (DCN collective over a
+    padded uint8 tensor; jax.experimental.multihost_utils)."""
+    from jax.experimental import multihost_utils
+
+    n = np.asarray(len(payload), dtype=np.int64)
+    sizes = np.atleast_1d(multihost_utils.process_allgather(n))
+    m = max(1, int(sizes.max()))
+    buf = np.zeros(m, dtype=np.uint8)
+    if payload:
+        buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    gathered = np.atleast_2d(gathered)
+    return [gathered[i, : int(sizes[i])].tobytes() for i in range(gathered.shape[0])]
+
+
+class DiscoveryDist:
+    """Distribution hooks for streamlined_discovery: contiguous file
+    ownership per host, partials allgather, and sequential realignment
+    state rounds (see typer/discovery.py)."""
+
+    def __init__(self, n_files: int, n_hosts: int | None = None, host: int | None = None):
+        self.n_hosts = n_hosts if n_hosts is not None else num_hosts()
+        self.host = host if host is not None else host_id()
+        bounds = np.linspace(0, n_files, self.n_hosts + 1).astype(int)
+        self.lo = int(bounds[self.host])
+        self.hi = int(bounds[self.host + 1])
+
+    def owns(self, file_i: int) -> bool:
+        return self.lo <= file_i < self.hi
+
+    def allgather(self, obj):
+        import pickle
+
+        return [pickle.loads(b) for b in _allgather_bytes(pickle.dumps(obj))]
+
+    def sync_state(self, file_i: int, state):
+        """One realignment round: the owner contributes the post-realign
+        event state; everyone receives it."""
+        import pickle
+
+        payload = pickle.dumps(state) if state is not None else b""
+        parts = [b for b in _allgather_bytes(payload) if b]
+        if state is not None:
+            return state
+        return pickle.loads(parts[0])
+
+
+def genotype_distributed(
+    ref_path: str,
+    sams: list[str],
+    region_str: str,
+    output_path: str,
+    avg_cov_by_readlen: list[float] | None = None,
+    is_extra_call_only_iteration: bool = False,
+    output_all_variants: bool = False,
+) -> str | None:
+    """The full discovery + iterative pipeline with SAMPLES sharded across
+    hosts for one region — the cross-host cohort analog of the reference's
+    pool-file merge (src/typer/vcf_operations.cpp:20-142). Each host
+    bamshrinks + calls only its sample shard; per-iteration pool results
+    gather over DCN as batched .vcfb bytes + pickled phasing maps and merge
+    through the same code as the in-process multi-pool path, so every host
+    reconstructs the identical cohort state (byte-identical to a
+    single-process run; asserted by tests/parallel/test_distributed_e2e.py).
+    Host 0 writes the final outputs; other hosts return None."""
+    import os
+    import pickle
+    import shutil
+    import tempfile
+
+    import jax
+
+    from graphtyper_tpu.config import current_options
+    from graphtyper_tpu.graph.build import construct_graph
+    from graphtyper_tpu.graph.coords import AbsolutePosition, GenomicRegion
+    from graphtyper_tpu.index.build import index_graph
+    from graphtyper_tpu.io.fasta import FastaFile
+    from graphtyper_tpu.pipeline.caller import call_pools
+    from graphtyper_tpu.pipeline.vcf_operations import (
+        merge_ph_maps,
+        vcf_merge_and_break,
+        vcf_merge_and_filter,
+        vcf_merge_streamed,
+    )
+    from graphtyper_tpu.typer.discovery import streamlined_discovery
+    from graphtyper_tpu.typer.vcf_out import VcfOutput
+
+    n_hosts = jax.process_count()
+    host = jax.process_index()
+    bounds = np.linspace(0, len(sams), n_hosts + 1).astype(int)
+    lo, hi = int(bounds[host]), int(bounds[host + 1])
+    my_sams = list(sams[lo:hi])
+    my_cov = avg_cov_by_readlen[lo:hi] if avg_cov_by_readlen is not None else None
+
+    region = GenomicRegion.parse(region_str)
+    fasta = FastaFile(ref_path)
+    if fasta.has_contig(region.chr):
+        region.end = min(region.end, fasta.contig_length(region.chr))
+    padded = GenomicRegion(region.chr, region.begin, region.end)
+    padded.pad(1000)
+    if fasta.has_contig(region.chr):
+        padded.end = min(padded.end, fasta.contig_length(region.chr))
+    contigs = list(fasta.contigs)
+    abs_pos = AbsolutePosition(contigs)
+    fasta.close()
+
+    tmp = tempfile.mkdtemp(prefix=f"gt_dist_h{host}_")
+    if host == 0:
+        os.makedirs(output_path, exist_ok=True)
+        os.makedirs(os.path.join(output_path, region.chr), exist_ok=True)
+        os.makedirs(os.path.join(output_path, "input_sites", region.chr), exist_ok=True)
+
+    if not current_options().no_bamshrink:
+        from graphtyper_tpu.pipeline.bamshrink import run_bamshrink
+
+        my_sams = run_bamshrink(my_sams, padded, tmp, my_cov, current_options())
+
+    # global path list: only owned entries are real paths on this host
+    global_paths = [""] * len(sams)
+    for i, p in enumerate(my_sams):
+        global_paths[lo + i] = p
+
+    # ---- iteration 1: distributed discovery --------------------------------
+    dist = DiscoveryDist(len(sams))
+    sample_names: list[str] = []
+    sites_vcf = streamlined_discovery(
+        global_paths, ref_path, padded.to_string(), sample_names, dist=dist
+    )
+    it1_final = os.path.join(tmp, "it1_final.vcf.gz")
+    sites_vcf.write(it1_final, contigs, abs_pos, filter_zero_qual=False, is_dropping_genotypes=True)
+
+    def gather_merge(result):
+        """Pool results of all hosts -> (merged VcfOutput, merged ph)."""
+        local = os.path.join(tmp, "pool_local.vcfb")
+        result.vcf.save_batched(local)
+        with open(local, "rb") as f:
+            payload = f.read()
+        vcfb_all = _allgather_bytes(payload)
+        ph_all = [pickle.loads(b) for b in _allgather_bytes(pickle.dumps(result.ph))]
+        paths = []
+        for i, b in enumerate(vcfb_all):
+            p = os.path.join(tmp, f"pool_h{i}.vcfb")
+            with open(p, "wb") as f:
+                f.write(b)
+            paths.append(p)
+        names, variants = vcf_merge_streamed(paths)
+        merged = VcfOutput(sample_names=names, variants=list(variants))
+        return merged, merge_ph_maps(ph_all)
+
+    FIRST, LAST = 2, 3 + (1 if is_extra_call_only_iteration else 0)
+    prev_vcf = it1_final
+    out_vcf_path = os.path.join(tmp, "graphtyper.vcf.gz")
+    for i in range(FIRST, LAST + 1):
+        is_last = i == LAST
+        graph = construct_graph(
+            ref_path, prev_vcf, padded.to_string(), is_sv_graph=False, use_index=True,
+            add_all_variants=True,
+        )
+        index = index_graph(graph)
+        result = call_pools(
+            graph, index, my_sams,
+            region=padded,
+            avg_cov_by_readlen=my_cov,
+            is_writing_calls_vcf=is_last,
+            is_writing_hap=not is_last,
+            ref_path=ref_path,
+        )
+        merged_vcf, merged_ph = gather_merge(result)
+        if not is_last:
+            next_vcf = os.path.join(tmp, f"it{i}_final.vcf.gz")
+            vcf_merge_and_filter([merged_vcf], next_vcf, merged_ph, graph)
+            prev_vcf = next_vcf
+        else:
+            vcf_merge_and_break(
+                [merged_vcf], out_vcf_path, region.to_string(), graph,
+                filter_zero_qual=output_all_variants,
+            )
+
+    dst = None
+    if host == 0:
+        sites_dst = os.path.join(output_path, "input_sites", region.to_file_string() + ".vcf.gz")
+        shutil.copyfile(prev_vcf, sites_dst)
+        final_name = f"{region.begin + 1:09d}-{region.end:09d}.vcf.gz"
+        dst = os.path.join(output_path, region.chr, final_name)
+        shutil.copyfile(out_vcf_path, dst)
+        for ext in (".tbi", ".csi"):
+            if os.path.exists(out_vcf_path + ext):
+                shutil.copyfile(out_vcf_path + ext, dst + ext)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dst

@@ -790,9 +790,17 @@ def streamlined_discovery(
     ref_path: str,
     region_str: str,
     sample_names_out: list[str] | None = None,
+    dist=None,
 ) -> VcfOutput:
     """caller.cpp:2753-3095 — full discovery: first pass per sample, merge,
-    realignment second pass, emit sites-only VCF with phasing INFO."""
+    realignment second pass, emit sites-only VCF with phasing INFO.
+
+    `dist` (optional) distributes the per-file work across hosts
+    (parallel/distributed.DiscoveryDist): each host computes first-pass
+    partials only for the files it owns, partials allgather and merge in
+    global file order on every host, and the sequential realignment rounds
+    pass the shared event state between owners — so every host ends with a
+    state (and emitted VCF) byte-identical to the single-process run."""
     from graphtyper_tpu.io.fasta import FastaFile
 
     region = GenomicRegion.parse(region_str)
@@ -823,8 +831,12 @@ def streamlined_discovery(
 
         use_native_fp = native_discovery.available()
 
+    partials: dict[int, tuple] = {}
     for file_i, path in enumerate(hts_paths):
-        buckets = sample_haps = None
+        if dist is not None and not dist.owns(file_i):
+            per_file_reads.append(None)
+            continue
+        buckets = sample_haps = name = None
         if use_native_fp and path.endswith(".bam"):
             # native first pass straight from BAM bytes; reads load lazily
             # only if this file later needs realignment
@@ -841,18 +853,27 @@ def streamlined_discovery(
                 if out is not None:
                     buckets, sample_haps = out
                     per_file_reads.append(None)
-                    if sample_names_out is not None:
-                        name = samples[0] if samples else path.rsplit("/", 1)[-1].split(".")[0]
-                        sample_names_out.append(name)
+                    name = samples[0] if samples else path.rsplit("/", 1)[-1].split(".")[0]
         if buckets is None:
             header, reads = read_alignments_cached(path, ref_path=ref_path)
             reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
             reads.sort(key=lambda r: r.pos)
             per_file_reads.append(reads)
-            if sample_names_out is not None:
-                name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
-                sample_names_out.append(name)
+            name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
             buckets, sample_haps = run_first_pass(reads, region_begin, reference, opts=current_options())
+        partials[file_i] = (buckets, sample_haps, name)
+
+    if dist is not None:
+        # partials allgather: every host merges the full set in file order
+        merged_partials: dict[int, tuple] = {}
+        for d in dist.allgather(partials):
+            merged_partials.update(d)
+        partials = merged_partials
+
+    for file_i in range(len(hts_paths)):
+        buckets, sample_haps, name = partials[file_i]
+        if sample_names_out is not None:
+            sample_names_out.append(name)
         # fix file index on surviving indels
         for b in buckets:
             for ev, info in b.events.items():
@@ -869,6 +890,7 @@ def streamlined_discovery(
                     if info.max_log_qual > old.max_log_qual:
                         old.max_log_qual = info.max_log_qual
                         old.max_log_qual_file_i = info.max_log_qual_file_i
+    del partials
 
     # second pass: realign indels lacking good support, in their best file
     indel_to_realign: dict[int, list[Event]] = {}
@@ -890,6 +912,14 @@ def streamlined_discovery(
 
     for file_i, indels in indel_to_realign.items():
         if not indels:
+            continue
+        if dist is not None and not dist.owns(file_i):
+            # sequential state round: adopt the owner's post-realignment
+            # event state (the shared counters accumulate across files in
+            # file order — identical to the single-process walk)
+            new_state = dist.sync_state(file_i, None)
+            indel_events.clear()
+            indel_events.update(new_state)
             continue
         buckets2 = None
         max_read_size = 100
@@ -932,6 +962,8 @@ def streamlined_discovery(
             key=lambda e: (0 if indel_events[e].has_indel_good_support else 1, e.sort_key()[0]),
         )
         realign_to_indels(work, indel_events, buckets2, max_read_size, region_begin, reference)
+        if dist is not None:
+            dist.sync_state(file_i, indel_events)
 
     # emission (caller.cpp:2953-3090)
     vcf = VcfOutput()
