@@ -159,12 +159,27 @@ class DeviceSeeder:
     def probe_bits(self, kmers_dev, n_rows: int, nk: int) -> np.ndarray:
         """kmers_dev = (hi, lo, valid) device arrays [S, nk] (S row-padded);
         returns candidate words [n_rows, PROW] uint32 on host."""
+        import os
+        import time
+
         hi, lo, valid = kmers_dev
+        t0 = time.perf_counter()
         packed = _jitted_probe_bits()(hi, lo, valid, self.bitset, nk=nk, bits=self.bits)
+        packed.block_until_ready()
+        t1 = time.perf_counter()
         # fetch the full padded array in ONE transfer and slice on host — a
         # device-side packed[:n_rows] would add a dispatch + a second
         # round-trip, which dominates over the tunnel
-        return np.asarray(packed)[:n_rows]
+        out = np.asarray(packed)[:n_rows]
+        if os.environ.get("GT_SEED_PROFILE"):
+            import sys
+
+            print(
+                f"[seed_probe] kernel {t1 - t0:.3f}s d2h {time.perf_counter() - t1:.3f}s "
+                f"S={hi.shape[0]} nk={nk} bits={self.bits}",
+                file=sys.stderr,
+            )
+        return out
 
 
 def stage_kmers(hi: np.ndarray, lo: np.ndarray, valid: np.ndarray):
