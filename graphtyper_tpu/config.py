@@ -93,9 +93,12 @@ class Options:
     # device k-mer seeding (ops/seed_probe.py): the 97-probe exact+Hamming-1
     # index probing per kmer runs as a batched TPU pass, with the host
     # verifying only the surviving candidates — bit-identical to host probing
-    # (the membership bitset has no false negatives). "auto" (on whenever a
-    # TPU backend is active), "on" (also on CPU jax — used by parity tests),
-    # or "off".
+    # (the membership bitset has no false negatives). Default "auto" = off:
+    # the host seed filter (native gt_seed_filter_build — the Hamming-1
+    # expansion flipped to the build side) probes ~2 bitset words per kmer
+    # in L2/L3, which measures faster than the device kernel's 25M-probe
+    # HBM gather plus its D2H round-trip over the interconnect on every
+    # tested workload. "on" forces the device pass (parity tests).
     device_seed: str = "auto"
     # bounded-memory streaming pooled caller (native/gt_align.cpp
     # gt_stream_*): BAM files merge through a BGZF stream + heap and flow in

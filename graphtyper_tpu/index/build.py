@@ -251,8 +251,24 @@ def index_graph(graph: Graph) -> KmerIndex:
     if current_options().native_aligner != "off":
         native = _index_graph_native(graph)
         if native is not None:
+            _prefetch_seed_filter(native)
             return native
-    return index_graph_py(graph)
+    idx = index_graph_py(graph)
+    if current_options().native_aligner != "off":
+        _prefetch_seed_filter(idx)
+    return idx
+
+
+def _prefetch_seed_filter(index) -> None:
+    """Kick off the native seed-filter build (exact + Hamming-neighborhood
+    bitsets) in the background so callers find it ready; see
+    typer/native_align.py seed_filter_prefetch."""
+    try:
+        from graphtyper_tpu.typer.native_align import seed_filter_prefetch
+
+        seed_filter_prefetch(index)
+    except Exception:
+        pass
 
 
 def _index_graph_native(graph: Graph) -> KmerIndex | None:

@@ -35,6 +35,7 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p] * 2  # quals qual_off
         + [ctypes.c_void_p]  # rg_idx
         + [ctypes.c_int32] * 5  # n_samples sam_flag_filter force_both hq_reads n_threads
+        + [ctypes.c_void_p]  # seed filter
         + [_p64] * 5
     )
     lib.gt_call_pool_fetch.restype = ctypes.c_int32
@@ -48,6 +49,7 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
         + [ctypes.c_void_p] * 4 + [ctypes.c_int64]  # files
         + [ctypes.c_int32] * 5
+        + [ctypes.c_void_p]  # seed filter
         + [_p64] * 5
     )
     lib.gt_call_pool_free.restype = None
@@ -73,6 +75,7 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
         + [ctypes.c_void_p, ctypes.c_int32]  # cand bit words + nk_max
         + [ctypes.c_int32] * 3  # n_samples hq_reads n_threads
+        + [ctypes.c_void_p]  # seed filter
         + [_p64] * 5
     )
     lib.gt_prep_free.restype = None
@@ -237,17 +240,11 @@ def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both):
 
 
 def _device_seed_enabled(opts) -> bool:
-    ds = getattr(opts, "device_seed", "auto")
-    if ds == "off":
-        return False
-    if ds == "on":
-        return True
-    try:
-        import jax
-
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    # "auto" resolves to off: the host seed filter (gt_seed_filter_build)
+    # answers the same membership question with ~2 cache-local probes per
+    # kmer, which beats the device kernel's HBM gather + D2H round-trip on
+    # every measured workload (see config.device_seed).
+    return getattr(opts, "device_seed", "auto") == "on"
 
 
 def _device_seed_words(index, entry: _PrepEntry, lib):
@@ -340,6 +337,8 @@ def run_native_call_pool_bam(
         cand_ptr = None
         nk_max = 0
 
+    from graphtyper_tpu.typer.native_align import seed_filter_handle
+
     handle = lib.gt_call_finish(
         entry.handle,
         ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
@@ -352,6 +351,7 @@ def run_native_call_pool_bam(
         ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
         cand_ptr, nk_max,
         len(sample_names), 1 if hq_reads else 0, n_threads,
+        seed_filter_handle(index, lib, n_threads),
         ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn),
         ctypes.byref(n_counts), ctypes.byref(n_touched),
     )
@@ -379,7 +379,7 @@ def run_native_call_pool(
     if the native loop reported an unsupported condition (caller then falls
     back to the Python loop)."""
     from graphtyper_tpu.ops.site_scoring import ALLELE_TIERS, _TierBuffer, apply_obs_host
-    from graphtyper_tpu.typer.native_align import NativeAligner
+    from graphtyper_tpu.typer.native_align import NativeAligner, seed_filter_handle
     from graphtyper_tpu.utils.dna import encode
 
     lib = get_lib()
@@ -456,6 +456,7 @@ def run_native_call_pool(
         ptr(rg_idx),
         n_samples, sam_flag_filter, 1 if force_both else 0, 1 if hq_reads else 0,
         n_threads,
+        seed_filter_handle(index, lib, n_threads),
         ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn), ctypes.byref(n_counts),
         ctypes.byref(n_touched),
     )
@@ -655,6 +656,7 @@ def _setup_stream(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
         + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [ctypes.c_void_p]  # seed filter
         + [_p64] * 2
     )
     lib.gt_stream_fetch_obs.restype = ctypes.c_int32
@@ -732,7 +734,7 @@ def run_native_call_pool_stream(
             return None
         sample_names.append(samples[0])
 
-    from graphtyper_tpu.typer.native_align import NativeAligner
+    from graphtyper_tpu.typer.native_align import NativeAligner, seed_filter_handle
     from graphtyper_tpu.typer.scoring import SiteScorer
 
     scorer = SiteScorer(graph, sample_names, hq_reads=hq_reads)
@@ -779,6 +781,7 @@ def run_native_call_pool_stream(
                 ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
                 ptr(na.keys), len(na.keys), ptr(na.offsets),
                 ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
+                seed_filter_handle(index, lib, n_threads),
                 ctypes.byref(n_obs), ctypes.byref(n_xvals),
             )
             if rc == 0:

@@ -34,13 +34,78 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # reads
         + [ctypes.c_void_p] * 3  # flags/tlen/same_ref
         + [ctypes.c_int32, ctypes.c_int32]  # force_both, n_threads
+        + [ctypes.c_void_p]  # seed filter
         + [_p64] * 3
     )
     lib.gt_align_fetch.restype = ctypes.c_int32
     lib.gt_align_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
     lib.gt_align_free.restype = None
     lib.gt_align_free.argtypes = [ctypes.c_void_p]
+    lib.gt_seed_filter_build.restype = ctypes.c_void_p
+    lib.gt_seed_filter_build.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+    lib.gt_seed_filter_free.restype = None
+    lib.gt_seed_filter_free.argtypes = [ctypes.c_void_p]
     lib._align_ready = True
+
+
+class _SeedFilterHandle:
+    """Owns one native SeedFilter (exact + Hamming-1-neighborhood membership
+    bitsets over an index's keys, native/gt_align.cpp gt_seed_filter_build);
+    cached on the index object so it is built once and freed with it."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self.handle = handle
+
+    def __del__(self):
+        try:
+            self._lib.gt_seed_filter_free(self.handle)
+        except Exception:
+            pass
+
+
+_seed_filter_lock = __import__("threading").Lock()
+
+
+def seed_filter_prefetch(index, n_threads: int = 0) -> None:
+    """Start building the index's seed filter on a background thread (the
+    ~100ms Hamming-neighborhood build overlaps graph finalize / pool prep);
+    seed_filter_handle() joins it via the build lock."""
+    lib = get_lib()
+    if lib is None or getattr(index, "_seed_filter", None) is not None:
+        return
+    import threading
+
+    t = threading.Thread(
+        target=seed_filter_handle, args=(index, lib, n_threads), daemon=True
+    )
+    index._seed_filter_thread = t
+    t.start()
+
+
+def seed_filter_handle(index, lib, n_threads: int = 0):
+    """Build (once) and return the native seed-filter handle for `index`.
+    The filter only prunes provably-absent probes, so every consumer stays
+    bit-identical with or without it. Double-checked locking: concurrent
+    pool threads share one index, and a duplicate build would free the
+    first handle mid-use."""
+    sf = getattr(index, "_seed_filter", None)
+    if sf is None:
+        with _seed_filter_lock:
+            sf = getattr(index, "_seed_filter", None)
+            if sf is None:
+                _setup_lib(lib)
+                keys = np.ascontiguousarray(np.asarray(index.keys, dtype=np.uint64))
+                if n_threads <= 0:
+                    import os
+
+                    n_threads = min(8, os.cpu_count() or 1)
+                handle = lib.gt_seed_filter_build(
+                    keys.ctypes.data_as(ctypes.c_void_p), len(keys), n_threads
+                )
+                sf = _SeedFilterHandle(lib, handle)
+                index._seed_filter = sf
+    return sf.handle
 
 
 def available() -> bool:
@@ -53,6 +118,7 @@ class NativeAligner:
 
     def __init__(self, graph, index):
         self.graph = graph
+        self.index = index
         g = graph
         self.ref_order = np.array([rn.label.order for rn in g.ref_nodes], dtype=np.int64)
         ref_len = np.array([len(rn.label.dna) for rn in g.ref_nodes], dtype=np.int64)
@@ -131,6 +197,7 @@ class NativeAligner:
             ptr(read_codes), ptr(read_off), n,
             ptr(flags), ptr(tlen), ptr(same_ref),
             1 if force_both else 0, n_threads,
+            seed_filter_handle(self.index, lib, n_threads),
             ctypes.byref(n_paths), ctypes.byref(n_sites), ctypes.byref(n_nums),
         )
         try:

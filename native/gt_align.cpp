@@ -152,6 +152,43 @@ struct Label {
   int64_t start, end, var_id;
 };
 
+// Seed filter: two membership bitsets over the sorted index keys that gate
+// the 97-probe-per-kmer seeding (1 exact + 96 Hamming-1). The reference
+// probes a hash map with all 97 keys per kmer (alignment.cpp:30-31 +
+// kmer_help_functions.cpp:93-119); here the 96x Hamming expansion is flipped
+// from the query side to the BUILD side: `ham` holds a hash of every
+// Hamming-1 neighbor of every index key, so a read kmer needs exactly one
+// `ham` probe to learn whether ANY of its 96 Hamming-1 probes can hit the
+// index (no false negatives by construction; false positives cost one pass
+// of 96 `exact`-bitset tests). `exact` gates individual probes before the
+// binary search. Net: ~2 L2/L3-local bitset probes per kmer instead of 97
+// binary searches, with bit-identical candidates.
+struct SeedFilter {
+  std::vector<uint32_t> exact, ham;
+  int32_t bits_e = 0, bits_h = 0;
+
+  static inline uint32_t h1(uint64_t k, int32_t bits)
+  {
+    uint32_t lo = (uint32_t)k, hi = (uint32_t)(k >> 32);
+    return (lo * 0x9E3779B1u + hi * 0x85EBCA77u) >> (32 - bits);
+  }
+  static inline uint32_t h2(uint64_t k, int32_t bits)
+  {
+    uint32_t lo = (uint32_t)k, hi = (uint32_t)(k >> 32);
+    return (lo * 0x85EBCA77u + hi * 0x9E3779B1u) >> (32 - bits);
+  }
+  inline bool test_exact(uint64_t k) const
+  {
+    uint32_t h = h1(k, bits_e);
+    return (exact[h >> 5] >> (h & 31)) & 1u;
+  }
+  inline bool test_ham(uint64_t k) const
+  {
+    uint32_t h = h2(k, bits_h);
+    return (ham[h >> 5] >> (h & 31)) & 1u;
+  }
+};
+
 struct Path {
   int64_t start = 0, end = 0;
   int32_t rsi = 0, rei = 0;  // read start/end index
@@ -1169,7 +1206,8 @@ struct SeedCands {
 
 static void find_genotype_paths(const GraphView & G, const IndexView & I,
                                 const uint8_t * codes, int len, Geno & g,
-                                const SeedCands * cands = nullptr)
+                                const SeedCands * cands = nullptr,
+                                const SeedFilter * sf = nullptr)
 {
   int nk = (len < K) ? 0 : 1 + (len - K) / (K - 1);
   if (nk <= 0)
@@ -1251,6 +1289,8 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
   {
     for (uint64_t key : keys_per_pos[i])
     {
+      if (sf != nullptr && !sf->test_exact(key))
+        continue;  // bitset miss -> key provably absent (no false negatives)
       int64_t a, b;
       I.get(key, a, b);
       expand_span(I, a, b, h0[i]);
@@ -1258,6 +1298,8 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
     if (!ambiguous[i] && !keys_per_pos[i].empty())
     {
       uint64_t base = keys_per_pos[i][0];
+      if (sf != nullptr && !sf->test_ham(base))
+        continue;  // no index key within Hamming-1 of this kmer
       // probe order matches index/kmer_index.py hamming1_keys: position
       // shift ascending (3' end first), xor delta 1..3
       for (int kpos = 0; kpos < K; ++kpos)
@@ -1268,6 +1310,8 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
         for (uint64_t d = 1; d <= 3; ++d)
         {
           uint64_t key = cleared | ((cur ^ d) << shift);
+          if (sf != nullptr && !sf->test_exact(key))
+            continue;
           int64_t a, b;
           I.get(key, a, b);
           expand_span(I, a, b, h1[i]);
@@ -1864,6 +1908,8 @@ void * gt_align_batch(
   const uint8_t * read_codes, const int64_t * read_off, int64_t n_reads,
   const int32_t * flags, const int32_t * tlen, const uint8_t * same_ref,
   int32_t force_both, int32_t n_threads,
+  // optional seed filter handle from gt_seed_filter_build (nullable)
+  void * seed_filter,
   // out sizes
   int64_t * out_n_paths, int64_t * out_n_sites, int64_t * out_n_nums)
 {
@@ -1871,6 +1917,7 @@ void * gt_align_batch(
               var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
               sp_ref_reach, sp_actual, n_special, is_sv_graph != 0};
   IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
+  const SeedFilter * sf = (const SeedFilter *)seed_filter;
 
   auto align_range = [&](int64_t lo, int64_t hi, BatchResult & R) {
     std::vector<uint8_t> rcodes;
@@ -1888,13 +1935,13 @@ void * gt_align_batch(
           (flags[r] & IS_PAIRED) == 0 ||
           (same_ref[r] && -1200 < tlen[r] && tlen[r] < 1200 &&
            ((flags[r] & 0x10) != 0) != ((flags[r] & 0x20) != 0));
-        find_genotype_paths(G, I, codes, len, g1);
+        find_genotype_paths(G, I, codes, len, g1, nullptr, sf);
         if (!proper_geometry || force_both)
         {
           rcodes.resize(len);
           for (int i = 0; i < len; ++i)
             rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
-          find_genotype_paths(G, I, rcodes.data(), len, g2);
+          find_genotype_paths(G, I, rcodes.data(), len, g2, nullptr, sf);
         }
       }
       push_geno(R, g1);
@@ -2194,7 +2241,7 @@ static void * run_call_core(
   int32_t n_threads,
   // precomputed dedup (optional; both or neither) and seed candidates
   const int64_t * reps_in, int64_t n_reps_in, const int64_t * rep_of_in,
-  const CandView * cand,
+  const CandView * cand, const SeedFilter * sf,
   // out sizes
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
@@ -2278,13 +2325,13 @@ static void * run_call_core(
               c2 = &sc2;
             }
           }
-          find_genotype_paths(G, I, codes, len, g1, c1);
+          find_genotype_paths(G, I, codes, len, g1, c1, sf);
           if (!proper_geometry || force_both)
           {
             rcodes.resize(len);
             for (int i = 0; i < len; ++i)
               rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
-            find_genotype_paths(G, I, rcodes.data(), len, g2, c2);
+            find_genotype_paths(G, I, rcodes.data(), len, g2, c2, sf);
           }
         }
       }
@@ -2423,6 +2470,8 @@ void * gt_call_pool(
   // options
   int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
   int32_t n_threads,
+  // optional seed filter handle from gt_seed_filter_build (nullable)
+  void * seed_filter,
   // out sizes
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
@@ -2437,7 +2486,7 @@ void * gt_call_pool(
     flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
     quals, qual_off, rg_idx,
     n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
-    nullptr, 0, nullptr, nullptr,
+    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -2810,7 +2859,7 @@ static void * finish_from_prep(
   const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
   const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
-  const CandView * cand,
+  const CandView * cand, const SeedFilter * sf,
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
 {
@@ -2827,7 +2876,7 @@ static void * finish_from_prep(
     P.quals.data(), P.qual_off.data(),
     P.rg.data(),
     n_samples, P.sam_flag_filter, P.force_both, hq_reads, n_threads,
-    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand,
+    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand, sf,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -2850,6 +2899,8 @@ void * gt_call_pool_bam(
   // options
   int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
   int32_t n_threads,
+  // optional seed filter handle from gt_seed_filter_build (nullable)
+  void * seed_filter,
   // out sizes
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
@@ -2866,7 +2917,7 @@ void * gt_call_pool_bam(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, nullptr,
+    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -2985,6 +3036,8 @@ void * gt_call_finish(
   const uint32_t * cand_words, int32_t nk_max,
   // options
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
+  // optional seed filter handle from gt_seed_filter_build (nullable)
+  void * seed_filter,
   // out sizes
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
@@ -3005,7 +3058,7 @@ void * gt_call_finish(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, cvp,
+    n_samples, hq_reads, n_threads, cvp, (const SeedFilter *)seed_filter,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3028,6 +3081,83 @@ void gt_build_seed_bitset(const uint64_t * keys, int64_t n_keys, uint32_t * word
     uint32_t h = (lo * 0x9E3779B1u + hi * 0x85EBCA77u) >> (32 - bits);
     words[h >> 5] |= 1u << (h & 31);
   }
+}
+
+// Build the host-side seed filter (exact + Hamming-1-neighborhood bitsets)
+// for one index. Sized so the exact set stays ~1-2% loaded and the ham set
+// ~6% loaded (96 entries per key); the ham build is the heavy half
+// (96*n_keys random ORs) and is threaded.
+void * gt_seed_filter_build(const uint64_t * keys, int64_t n_keys, int32_t n_threads)
+{
+  SeedFilter * f = new SeedFilter();
+  int64_t n = std::max<int64_t>(1, n_keys);
+  int32_t be = 24;
+  while (((int64_t)1 << be) < 64 * n && be < 28)
+    ++be;
+  int32_t bh = 26;
+  while (((int64_t)1 << bh) < 16 * 96 * n && bh < 30)
+    ++bh;
+  f->bits_e = be;
+  f->bits_h = bh;
+  f->exact.assign(((size_t)1 << be) / 32, 0);
+  f->ham.assign(((size_t)1 << bh) / 32, 0);
+  for (int64_t i = 0; i < n_keys; ++i)
+  {
+    uint32_t h = SeedFilter::h1(keys[i], be);
+    f->exact[h >> 5] |= 1u << (h & 31);
+  }
+  uint32_t * w = f->ham.data();
+  auto ham_range = [w, keys, bh](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+    {
+      uint64_t base = keys[i];
+      for (int kpos = 0; kpos < K; ++kpos)
+      {
+        uint64_t shift = (uint64_t)kpos * 2;
+        uint64_t cur = (base >> shift) & 3ULL;
+        uint64_t cleared = base & ~(3ULL << shift);
+        for (uint64_t d = 1; d <= 3; ++d)
+        {
+          uint64_t key = cleared | ((cur ^ d) << shift);
+          uint32_t h = SeedFilter::h2(key, bh);
+          __atomic_fetch_or(&w[h >> 5], 1u << (h & 31), __ATOMIC_RELAXED);
+        }
+      }
+    }
+  };
+  int nt = (n_threads <= 1) ? 1 : std::min<int64_t>(n_threads, (n_keys + 4095) / 4096);
+  if (nt <= 1 || n_keys < 8192)
+  {
+    ham_range(0, n_keys);
+  }
+  else
+  {
+    std::vector<std::thread> threads;
+    int64_t per = (n_keys + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t)
+    {
+      int64_t lo = t * per, hi = std::min<int64_t>(n_keys, (t + 1) * per);
+      if (lo >= hi)
+        break;
+      threads.emplace_back(ham_range, lo, hi);
+    }
+    for (auto & th : threads)
+      th.join();
+  }
+  return f;
+}
+
+void gt_seed_filter_free(void * f)
+{
+  delete (SeedFilter *)f;
+}
+
+// test hook: bit0 = exact-bitset membership, bit1 = Hamming-neighborhood
+// membership for `key`
+int32_t gt_seed_filter_test(void * f, uint64_t key)
+{
+  const SeedFilter * sf = (const SeedFilter *)f;
+  return (sf->test_exact(key) ? 1 : 0) | (sf->test_ham(key) ? 2 : 0);
 }
 
 }  // extern "C"
@@ -3762,6 +3892,8 @@ int32_t gt_stream_step(
   // index
   const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
   const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // optional seed filter handle from gt_seed_filter_build (nullable)
+  void * seed_filter,
   int64_t * out_n_obs, int64_t * out_n_xvals)
 {
   StreamCall * S = (StreamCall *)handle;
@@ -3771,6 +3903,7 @@ int32_t gt_stream_step(
               var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
               sp_ref_reach, sp_actual, n_special, false};
   IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
+  const SeedFilter * sf = (const SeedFilter *)seed_filter;
   SiteView SV{site_order, site_cnum, site_is_snp, n_sites};
 
   // ASCII -> code table (utils/dna.py _CODE), as in parse_bam_pool
@@ -3961,13 +4094,13 @@ int32_t gt_stream_step(
             (flags_v[r] & IS_PAIRED) == 0 ||
             (same_ref[r] && -1200 < tlen_v[r] && tlen_v[r] < 1200 &&
              ((flags_v[r] & 0x10) != 0) != ((flags_v[r] & 0x20) != 0));
-          find_genotype_paths(G, I, codes, len, g1);
+          find_genotype_paths(G, I, codes, len, g1, nullptr, sf);
           if (!proper_geometry || S->force_both)
           {
             rcodes.resize(len);
             for (int i = 0; i < len; ++i)
               rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
-            find_genotype_paths(G, I, rcodes.data(), len, g2);
+            find_genotype_paths(G, I, rcodes.data(), len, g2, nullptr, sf);
           }
         }
       }
