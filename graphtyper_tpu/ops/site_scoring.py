@@ -208,6 +208,19 @@ def _chunk_rows(A: int) -> int:
     return max(4096, min(1 << 18, (1 << 23) // (A * A)))
 
 
+def _row_bucket(rows: int) -> int:
+    """Pad row counts to quarter-power-of-two buckets (floor 1024): bounds
+    jit recompiles to ~4 shapes per octave while capping transfer padding
+    waste at 25% (plain pow2 padding wastes up to 100%)."""
+    if rows <= 1024:
+        return 1024
+    b = 1 << (rows - 1).bit_length()
+    for cand in (b * 5 // 8, b * 3 // 4, b * 7 // 8, b):
+        if rows <= cand:
+            return cand
+    return b
+
+
 @lru_cache(maxsize=None)
 def _jitted_apply_tier_sharded(mesh_key):
     """Multi-chip variant of the observation-application kernel: observation
@@ -428,9 +441,19 @@ class ObsBatcher:
                 self._flush_tier(tier, buf)
 
     def finalize(self) -> None:
-        """Run the device passes and materialize all accumulated site state."""
-        for tier, buf in self.tiers.items():
-            self._flush_tier(tier, buf)
+        """Run the device passes and materialize all accumulated site state.
+
+        All tiers and chunks are dispatched first (jax dispatch is
+        asynchronous, so the H2D + kernel launches queue without blocking),
+        and results are fetched afterwards — the per-round-trip interconnect
+        latency overlaps across tiers instead of serializing, which is the
+        dominant cost of small flushes on a remote device."""
+        pending = [
+            (tier, buf, self._flush_tier_launch(tier, buf))
+            for tier, buf in self.tiers.items()
+        ]
+        for tier, buf, launched in pending:
+            self._flush_tier_collect(tier, launched)
             totals = self._totals.pop(tier, None)
             if totals is not None:
                 self._materialize(buf, totals, buf.A)
@@ -450,83 +473,120 @@ class ObsBatcher:
             p[: v.shape[0]] += v
             prev[k] = p
 
+    # rows below this apply directly on host (apply_obs_host, the device
+    # kernel's oracle): a device round trip costs more interconnect latency
+    # than a few hundred Python row-applications on either backend
+    HOST_APPLY_MAX_ROWS = 512
+
     def _flush_tier(self, tier: int, buf: "_TierBuffer") -> None:
-            cols_np, n = buf.materialize_cols()
-            buf.blocks = []
-            buf.cols = {k: [] for k in OBS_FIELDS}
-            if n == 0:
-                return
-            A = buf.A
-            # pad the site count to coarse power-of-two buckets (floor 256) so
-            # the jitted kernel shape is reused across regions and iterations
-            # (site ids stay < len(site_ids); pad slots read back as zeros)
-            real_sites = len(buf.site_ids)
-            n_sites = 1 << max(8, (real_sites - 1).bit_length())
-            chunk = _chunk_rows(A)
-            totals: dict[str, np.ndarray] | None = None
+        self._flush_tier_collect(tier, self._flush_tier_launch(tier, buf))
 
-            def make_chunk(lo_i: int) -> np.ndarray:
-                hi_i = min(n, lo_i + chunk)
-                rows = hi_i - lo_i
-                # pad rows to bucketed sizes to bound jit recompiles
-                n_pad = 1 << max(10, (rows - 1).bit_length())
-                # int32 halves the transfer bytes; every column fits (the
-                # uint32 explain bitmaps ride as their int32 bit patterns and
-                # are bitcast back on device)
-                mat = np.zeros((len(OBS_FIELDS), n_pad), dtype=np.int32)
-                for i, k in enumerate(OBS_FIELDS):
-                    v = cols_np[k][lo_i:hi_i]
-                    if k in ("bits_lo", "bits_hi"):
-                        mat[i, :rows] = v.astype(np.uint32).view(np.int32)
-                    else:
-                        mat[i, :rows] = v.astype(np.int32)
-                if n_pad > rows:
-                    mat[OBS_FIELDS.index("cov"), rows:] = COV_PAD
-                return mat
+    def _flush_tier_launch(self, tier: int, buf: "_TierBuffer"):
+        """Stage + dispatch this tier's chunks (non-blocking); returns the
+        pending device vectors for _flush_tier_collect. Tiny tiers are
+        applied on host immediately and return no pending work."""
+        cols_np, n = buf.materialize_cols()
+        buf.blocks = []
+        buf.cols = {k: [] for k in OBS_FIELDS}
+        if n == 0:
+            return []
+        A = buf.A
+        if n <= self.HOST_APPLY_MAX_ROWS and self.mesh_key is None:
+            self._apply_rows_host(buf, cols_np, n)
+            return []
+        # pad the site count to coarse power-of-two buckets (floor 256) so
+        # the jitted kernel shape is reused across regions and iterations
+        # (site ids stay < len(site_ids); pad slots read back as zeros)
+        real_sites = len(buf.site_ids)
+        n_sites = 1 << max(8, (real_sites - 1).bit_length())
+        chunk = _chunk_rows(A)
+        import jax.numpy as jnp
 
-            chunk_starts = list(range(0, n, chunk))
-            if self.mesh_key is None and len(chunk_starts) > 1:
-                # double-buffer H2D with device compute (parallel/prefetch):
-                # chunk k+1 stages onto the device while chunk k computes
-                from graphtyper_tpu.parallel.prefetch import prefetch_to_device
+        def make_chunk(lo_i: int) -> np.ndarray:
+            hi_i = min(n, lo_i + chunk)
+            rows = hi_i - lo_i
+            n_pad = _row_bucket(rows)
+            # int32 halves the transfer bytes; every column fits (the
+            # uint32 explain bitmaps ride as their int32 bit patterns and
+            # are bitcast back on device)
+            mat = np.zeros((len(OBS_FIELDS), n_pad), dtype=np.int32)
+            for i, k in enumerate(OBS_FIELDS):
+                v = cols_np[k][lo_i:hi_i]
+                if k in ("bits_lo", "bits_hi"):
+                    mat[i, :rows] = v.astype(np.uint32).view(np.int32)
+                else:
+                    mat[i, :rows] = v.astype(np.int32)
+            if n_pad > rows:
+                mat[OBS_FIELDS.index("cov"), rows:] = COV_PAD
+            return mat
 
-                staged = prefetch_to_device((make_chunk(lo_i) for lo_i in chunk_starts), size=2)
+        launched = []
+        for lo_i in range(0, n, chunk):
+            mat = make_chunk(lo_i)
+            if self.mesh_key is not None:
+                mesh = _MESHES[self.mesh_key]
+                n_dev = mesh.devices.size
+                n_pad = mat.shape[1]
+                if n_pad % n_dev:
+                    extra = n_dev - n_pad % n_dev
+                    pad = np.zeros((mat.shape[0], extra), dtype=mat.dtype)
+                    pad[OBS_FIELDS.index("cov"), :] = COV_PAD
+                    mat = np.concatenate([mat, pad], axis=1)
+                fn = _jitted_apply_tier_sharded(self.mesh_key)(A, n_sites, self.n_samples)
+                vec = fn(jnp.asarray(mat))
             else:
-                staged = None
+                vec = _jitted_apply_tier()(
+                    jnp.asarray(mat),
+                    A=A,
+                    n_sites=n_sites,
+                    n_samples=self.n_samples,
+                )
+            launched.append((vec, n_sites))
+        return launched
 
-            for ci, lo_i in enumerate(chunk_starts):
-                import jax.numpy as jnp
+    def _flush_tier_collect(self, tier: int, launched) -> None:
+        """Block on the dispatched chunks and fold them into the running
+        totals."""
+        if not launched:
+            return
+        A = self.tiers[tier].A
+        totals: dict[str, np.ndarray] | None = None
+        for vec, n_sites in launched:
+            out = _split_out_vec(np.asarray(vec), A, n_sites, self.n_samples)
+            if totals is None:
+                totals = out
+            else:
+                for k in totals:
+                    totals[k] += out[k]
+        if totals is not None:
+            self._accumulate(tier, totals)
 
-                if staged is not None:
-                    mat = next(staged)
-                else:
-                    mat = make_chunk(lo_i)
-                if self.mesh_key is not None:
-                    mesh = _MESHES[self.mesh_key]
-                    n_dev = mesh.devices.size
-                    n_pad = mat.shape[1]
-                    if n_pad % n_dev:
-                        extra = n_dev - n_pad % n_dev
-                        pad = np.zeros((mat.shape[0], extra), dtype=mat.dtype)
-                        pad[OBS_FIELDS.index("cov"), :] = COV_PAD
-                        mat = np.concatenate([mat, pad], axis=1)
-                    fn = _jitted_apply_tier_sharded(self.mesh_key)(A, n_sites, self.n_samples)
-                    vec = fn(jnp.asarray(mat))
-                else:
-                    vec = _jitted_apply_tier()(
-                        jnp.asarray(mat),
-                        A=A,
-                        n_sites=n_sites,
-                        n_samples=self.n_samples,
-                    )
-                out = _split_out_vec(np.asarray(vec), A, n_sites, self.n_samples)
-                if totals is None:
-                    totals = out
-                else:
-                    for k in totals:
-                        totals[k] += out[k]
-            if totals is not None:
-                self._accumulate(tier, totals)
+    def _apply_rows_host(self, buf: "_TierBuffer", cols_np: dict, n: int) -> None:
+        """Apply a tiny tier's rows straight to site state via the device
+        kernel's host oracle (bit-identical; additive integer updates with
+        monotone +1 saturation, so host/device interleaving is orderless)."""
+        sites = self.sites
+        site_ids = buf.site_ids
+        for i in range(n):
+            lo = int(cols_np["bits_lo"][i]) & 0xFFFFFFFF
+            hi = int(cols_np["bits_hi"][i]) & 0xFFFFFFFF
+            explains = [a for a in range(32) if lo >> a & 1]
+            explains += [a + 32 for a in range(32) if hi >> a & 1]
+            apply_obs_host(
+                sites[site_ids[int(cols_np["site"][i])]],
+                int(cols_np["sample"][i]),
+                int(cols_np["eps"][i]),
+                bool(cols_np["apply_score"][i]),
+                explains,
+                int(cols_np["cov"][i]),
+                int(cols_np["clipped_scaled"][i]),
+                int(cols_np["clipped_flag"][i]),
+                int(cols_np["mapq_sq"][i]),
+                int(cols_np["mm_scaled"][i]),
+                int(cols_np["sdiff"][i]),
+                int(cols_np["strand"][i]),
+                int(cols_np["proper"][i]),
+            )
 
     def _materialize(self, buf: _TierBuffer, out: dict, A: int) -> None:
         P = self.n_samples
