@@ -3107,7 +3107,42 @@ void * gt_seed_filter_build(const uint64_t * keys, int64_t n_keys, int32_t n_thr
     f->exact[h >> 5] |= 1u << (h & 31);
   }
   uint32_t * w = f->ham.data();
-  auto ham_range = [w, keys, bh](int64_t lo, int64_t hi) {
+  int nt = (n_threads <= 1) ? 1 : std::min<int64_t>(n_threads, (n_keys + 4095) / 4096);
+  if (n_keys < 8192)
+  {
+    // tiny index: the plain scattered build beats the partition setup
+    for (int64_t i = 0; i < n_keys; ++i)
+    {
+      uint64_t base = keys[i];
+      for (int kpos = 0; kpos < K; ++kpos)
+      {
+        uint64_t shift = (uint64_t)kpos * 2;
+        uint64_t cur = (base >> shift) & 3ULL;
+        uint64_t cleared = base & ~(3ULL << shift);
+        for (uint64_t d = 1; d <= 3; ++d)
+        {
+          uint32_t h = SeedFilter::h2(cleared | ((cur ^ d) << shift), bh);
+          w[h >> 5] |= 1u << (h & 31);
+        }
+      }
+    }
+    return f;
+  }
+  // Radix-partitioned two-phase build: scattered atomic ORs over the (up to
+  // 64MB) bitset miss cache on nearly every insert. Phase 1 bins the 96
+  // neighbor hashes per key by their top bits (sequential writes); phase 2
+  // gives each thread exclusive ownership of a run of buckets, so the ORs
+  // are plain (no atomics) and confined to an L2-sized bitset slice.
+  constexpr int RADIX_BITS = 6;
+  constexpr int N_BUCKETS = 1 << RADIX_BITS;
+  std::vector<std::vector<std::vector<uint32_t>>> bins(nt);
+  auto bin_range = [&](int t, int64_t lo, int64_t hi) {
+    auto & mine = bins[t];
+    mine.resize(N_BUCKETS);
+    size_t expect = (size_t)(hi - lo) * 96 / N_BUCKETS + 16;
+    for (auto & b : mine)
+      b.reserve(expect + expect / 4);
+    int bshift = bh - RADIX_BITS;
     for (int64_t i = lo; i < hi; ++i)
     {
       uint64_t base = keys[i];
@@ -3118,19 +3153,24 @@ void * gt_seed_filter_build(const uint64_t * keys, int64_t n_keys, int32_t n_thr
         uint64_t cleared = base & ~(3ULL << shift);
         for (uint64_t d = 1; d <= 3; ++d)
         {
-          uint64_t key = cleared | ((cur ^ d) << shift);
-          uint32_t h = SeedFilter::h2(key, bh);
-          __atomic_fetch_or(&w[h >> 5], 1u << (h & 31), __ATOMIC_RELAXED);
+          uint32_t h = SeedFilter::h2(cleared | ((cur ^ d) << shift), bh);
+          mine[h >> bshift].push_back(h);
         }
       }
     }
   };
-  int nt = (n_threads <= 1) ? 1 : std::min<int64_t>(n_threads, (n_keys + 4095) / 4096);
-  if (nt <= 1 || n_keys < 8192)
+  auto or_buckets = [&](int b_lo, int b_hi) {
+    for (int b = b_lo; b < b_hi; ++b)
+      for (int t = 0; t < nt; ++t)
+        for (uint32_t h : bins[t][b])
+          w[h >> 5] |= 1u << (h & 31);
+  };
+  if (nt <= 1)
   {
-    ham_range(0, n_keys);
+    bin_range(0, 0, n_keys);
+    or_buckets(0, N_BUCKETS);
+    return f;
   }
-  else
   {
     std::vector<std::thread> threads;
     int64_t per = (n_keys + nt - 1) / nt;
@@ -3138,8 +3178,21 @@ void * gt_seed_filter_build(const uint64_t * keys, int64_t n_keys, int32_t n_thr
     {
       int64_t lo = t * per, hi = std::min<int64_t>(n_keys, (t + 1) * per);
       if (lo >= hi)
-        break;
-      threads.emplace_back(ham_range, lo, hi);
+        bins[t].resize(N_BUCKETS);
+      else
+        threads.emplace_back(bin_range, t, lo, hi);
+    }
+    for (auto & th : threads)
+      th.join();
+  }
+  {
+    std::vector<std::thread> threads;
+    int per = (N_BUCKETS + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t)
+    {
+      int lo = t * per, hi = std::min(N_BUCKETS, (t + 1) * per);
+      if (lo < hi)
+        threads.emplace_back(or_buckets, lo, hi);
     }
     for (auto & th : threads)
       th.join();
