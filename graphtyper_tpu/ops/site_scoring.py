@@ -269,6 +269,80 @@ def register_mesh(mesh) -> str:
     return key
 
 
+def _apply_rows_numpy(cols_np: dict, n: int, A: int, n_sites: int, n_samples: int) -> dict:
+    """Vectorized host twin of _apply_tier_impl: the same segment sums via
+    np.bincount, returning the same totals dict as _split_out_vec (so host
+    and device flushes accumulate interchangeably and materialize once).
+    Exact: every sum is an integer accumulation, and float64 bincount
+    weights are exact far beyond these magnitudes (< 2^53)."""
+    S = n_sites * n_samples
+    site = cols_np["site"][:n].astype(np.int64)
+    sample = cols_np["sample"][:n].astype(np.int64)
+    cov = cols_np["cov"][:n].astype(np.int64)
+    apply_score = cols_np["apply_score"][:n] > 0
+    eps = cols_np["eps"][:n].astype(np.int64)
+    seg = site * n_samples + sample
+
+    bits_lo = cols_np["bits_lo"][:n].astype(np.uint64)
+    bits_hi = cols_np["bits_hi"][:n].astype(np.uint64)
+    bits = bits_lo | (bits_hi << np.uint64(32))
+    B = ((bits[:, None] >> np.arange(A, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+
+    def seg_sum(idx, w, size):
+        return np.bincount(idx, weights=w.astype(np.float64), minlength=size).astype(np.int64)
+
+    # -- PL triangle (explain_to_score) ---------------------------------
+    e = np.where(apply_score, eps, 0)
+    Bm = B * apply_score[:, None]
+    xs, ys = _triangle_xy(A)
+    T = len(xs)
+    u = np.stack([seg_sum(seg, (e - 1) * Bm[:, a], S) for a in range(A)], axis=1)  # [S, A]
+    w2 = 2 - e
+    log_delta = np.empty((S, T), dtype=np.int64)
+    for t in range(T):
+        W_t = seg_sum(seg, Bm[:, xs[t]] * Bm[:, ys[t]] * w2, S)
+        log_delta[:, t] = u[:, xs[t]] + u[:, ys[t]] + W_t
+
+    # -- coverage_to_gts --------------------------------------------------
+    is_allele = cov >= 0
+    gt_cov = np.stack([seg_sum(seg, (cov == a).astype(np.int64), S) for a in range(A)], axis=1)
+    is_multi = (cov == COV_MULTI_REF) | (cov == COV_MULTI_ALT)
+    amb = seg_sum(seg, is_multi.astype(np.int64), S)
+    amb_alt = seg_sum(seg, (cov == COV_MULTI_ALT).astype(np.int64), S)
+    proper = cols_np["proper"][:n] > 0
+    alt_pp_mask = ((cov == COV_MULTI_ALT) | (is_allele & (cov > 0))) & proper
+    alt_pp = seg_sum(seg, alt_pp_mask.astype(np.int64), S)
+
+    # -- VarStats ----------------------------------------------------------
+    clip_reads = seg_sum(site, cols_np["clipped_flag"][:n], n_sites)
+    site_mapq_sq = seg_sum(site, cols_np["mapq_sq"][:n], n_sites)
+    acov = np.where(is_allele, cov, 0)
+    aseg = site * A + acov
+    amask = is_allele.astype(np.int64)
+    SA = n_sites * A
+    pa_clip = seg_sum(aseg, cols_np["clipped_scaled"][:n] * amask, SA).reshape(n_sites, A)
+    pa_mapq = seg_sum(aseg, cols_np["mapq_sq"][:n] * amask, SA).reshape(n_sites, A)
+    pa_mm = seg_sum(aseg, cols_np["mm_scaled"][:n] * amask, SA).reshape(n_sites, A)
+    pa_sdiff = seg_sum(aseg, cols_np["sdiff"][:n] * amask, SA).reshape(n_sites, A)
+    strand_seg = aseg * 4 + cols_np["strand"][:n].astype(np.int64)
+    pa_strand = seg_sum(strand_seg, amask, SA * 4).reshape(n_sites, A, 4)
+
+    return dict(
+        log_delta=log_delta,
+        gt_cov=gt_cov,
+        amb=amb,
+        amb_alt=amb_alt,
+        alt_pp=alt_pp,
+        clip_reads=clip_reads,
+        site_mapq_sq=site_mapq_sq,
+        pa_clip=pa_clip,
+        pa_mapq=pa_mapq,
+        pa_mm=pa_mm,
+        pa_sdiff=pa_sdiff,
+        pa_strand=pa_strand,
+    )
+
+
 def apply_obs_host(
     site,
     sample: int,
@@ -473,10 +547,13 @@ class ObsBatcher:
             p[: v.shape[0]] += v
             prev[k] = p
 
-    # rows below this apply directly on host (apply_obs_host, the device
-    # kernel's oracle): a device round trip costs more interconnect latency
-    # than a few hundred Python row-applications on either backend
-    HOST_APPLY_MAX_ROWS = 512
+    # rows below this apply on host via the vectorized numpy twin of the
+    # device kernel (_apply_rows_numpy): a device round trip over the
+    # chip interconnect costs ~50-150ms of latency + transfer, while the
+    # bincount-based host apply handles tens of thousands of rows in
+    # single-digit milliseconds. The device earns its dispatch only on
+    # cohort-scale flushes (maybe_flush) where batches are millions of rows.
+    HOST_APPLY_MAX_ROWS = 65536
 
     def _flush_tier(self, tier: int, buf: "_TierBuffer") -> None:
         self._flush_tier_collect(tier, self._flush_tier_launch(tier, buf))
@@ -492,7 +569,7 @@ class ObsBatcher:
             return []
         A = buf.A
         if n <= self.HOST_APPLY_MAX_ROWS and self.mesh_key is None:
-            self._apply_rows_host(buf, cols_np, n)
+            self._accumulate(tier, _apply_rows_numpy(cols_np, n, A, len(buf.site_ids), self.n_samples))
             return []
         # pad the site count to coarse power-of-two buckets (floor 256) so
         # the jitted kernel shape is reused across regions and iterations
@@ -560,33 +637,6 @@ class ObsBatcher:
                     totals[k] += out[k]
         if totals is not None:
             self._accumulate(tier, totals)
-
-    def _apply_rows_host(self, buf: "_TierBuffer", cols_np: dict, n: int) -> None:
-        """Apply a tiny tier's rows straight to site state via the device
-        kernel's host oracle (bit-identical; additive integer updates with
-        monotone +1 saturation, so host/device interleaving is orderless)."""
-        sites = self.sites
-        site_ids = buf.site_ids
-        for i in range(n):
-            lo = int(cols_np["bits_lo"][i]) & 0xFFFFFFFF
-            hi = int(cols_np["bits_hi"][i]) & 0xFFFFFFFF
-            explains = [a for a in range(32) if lo >> a & 1]
-            explains += [a + 32 for a in range(32) if hi >> a & 1]
-            apply_obs_host(
-                sites[site_ids[int(cols_np["site"][i])]],
-                int(cols_np["sample"][i]),
-                int(cols_np["eps"][i]),
-                bool(cols_np["apply_score"][i]),
-                explains,
-                int(cols_np["cov"][i]),
-                int(cols_np["clipped_scaled"][i]),
-                int(cols_np["clipped_flag"][i]),
-                int(cols_np["mapq_sq"][i]),
-                int(cols_np["mm_scaled"][i]),
-                int(cols_np["sdiff"][i]),
-                int(cols_np["strand"][i]),
-                int(cols_np["proper"][i]),
-            )
 
     def _materialize(self, buf: _TierBuffer, out: dict, A: int) -> None:
         P = self.n_samples

@@ -20,24 +20,33 @@ def sim(tmp_path_factory):
     return cfg, simulate_cohort(str(out), cfg)
 
 
-def _run(sim_pair, device: bool):
+def _run(sim_pair, device: bool, force_device_kernel: bool = False):
     cfg, res = sim_pair
     graph = construct_graph(res.fasta, res.vcf, f"{cfg.chrom}:1-{cfg.region_length}", use_index=True)
     index = index_graph(graph)
     region = GenomicRegion.parse(f"{cfg.chrom}:1-{cfg.region_length}")
     from graphtyper_tpu.config import current_options, replace, set_options
+    from graphtyper_tpu.ops.site_scoring import ObsBatcher
 
     old = current_options()
+    old_thresh = ObsBatcher.HOST_APPLY_MAX_ROWS
     set_options(replace(old, device_scoring="on" if device else "off"))
+    if force_device_kernel:
+        # batches at this scale fall under the host-apply threshold; force
+        # every flush through the jitted device kernel so the e2e device
+        # path stays covered
+        ObsBatcher.HOST_APPLY_MAX_ROWS = 0
     try:
         return call_pool(graph, index, res.sams, region=region, is_writing_hap=True)
     finally:
         set_options(old)
+        ObsBatcher.HOST_APPLY_MAX_ROWS = old_thresh
 
 
-def test_host_device_parity(sim):
+@pytest.mark.parametrize("force_device_kernel", [False, True])
+def test_host_device_parity(sim, force_device_kernel):
     host = _run(sim, device=False)
-    dev = _run(sim, device=True)
+    dev = _run(sim, device=True, force_device_kernel=force_device_kernel)
     assert len(host.scorer.sites) == len(dev.scorer.sites)
     assert len(host.scorer.sites) > 3
     n_obs_checked = 0
