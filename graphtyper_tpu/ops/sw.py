@@ -81,7 +81,7 @@ def align_batch(
 ) -> SWResult:
     B, M = queries.shape
     _, N = databases.shape
-    # The Pallas TPU kernel (5.5 Gcell/s/chip) is the DEFAULT realignment
+    # The Pallas TPU kernel (32.6 Gcell/s/chip) is the DEFAULT realignment
     # path on a TPU backend: score/begin/end match the host DP exactly on
     # real hardware (lexicographic tie keys make the reduction
     # order-independent); clip counts come back as -1 (no pipeline consumer

@@ -2,15 +2,19 @@
 
 Same model as ops/sw.py (match 1, mismatch -4, gap open 7, extend 1, flat
 query-end clips 5, free database columns) — the paw-AVX512 replacement for
-indel realignment, batched over (read, window) pairs.
+indel realignment (reference: caller.cpp:2007), batched over (read, window)
+pairs.
 
-Layout: grid = (batch_tiles, query_rows); the DP state lives in VMEM
-scratch across the row dimension, and the BlockSpec pipeline delivers one
-query column per grid step (no dynamic in-kernel slicing — Mosaic requires
-128-aligned lane slices). Each row is fully vectorized over database lanes;
-the within-row affine-gap dependency is a prefix max computed with a
-log2(N) shift-doubling scan carrying (value, start-index) pairs so the
-database begin position of the best alignment survives to the output.
+Layout: grid = (batch_tiles, query_row_blocks); each grid step advances the
+DP by `rows_per_step` query rows for a (block_b, N) tile of independent
+alignments, with the row loop unrolled inside the kernel so the DP state
+(H, F, start, and the end-clip candidates) stays in vector registers
+between rows and the VMEM scratch is read/written once per step instead of
+once per row. Each row is fully
+vectorized over database lanes; the within-row affine-gap dependency is a
+prefix max computed with a log2(N) shift-doubling scan carrying
+(value, start-index) pairs so the database begin position of the best
+alignment survives to the output.
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ def _prefix_max_with_arg(v, a, lane_iota):
 
 
 def _sw_kernel(
-    q_ref,  # [Bt, M] full queries (lane-1 blocks are not lowerable)
+    q_ref,  # [Bt, Mp] full queries (lane dims < 128 are not lowerable)
     qlen_ref,  # [Bt, 1]
     d_ref,  # [Bt, N]
     dlen_ref,  # [Bt, 1]
@@ -70,8 +74,9 @@ def _sw_kernel(
     sm_s,
     rm_s,  # row where each lane's best clip-end candidate was set
     *,
-    M: int,
+    Mp: int,
     N: int,
+    R: int,
     match: int,
     mismatch: int,
     go: int,
@@ -79,7 +84,7 @@ def _sw_kernel(
     clip: int,
 ):
     Bt = d_ref.shape[0]
-    row = pl.program_id(1)  # 0-based query row; DP row i = row + 1
+    step = pl.program_id(1)
     d = d_ref[:]
     qlen = qlen_ref[:]
     dlen = dlen_ref[:]
@@ -87,7 +92,7 @@ def _sw_kernel(
     jprefix = jpos + 1
     d_valid = jpos < dlen
 
-    @pl.when(row == 0)
+    @pl.when(step == 0)
     def _init():
         H_s[:] = jnp.zeros((Bt, N), jnp.int32)
         F_s[:] = jnp.full((Bt, N), NEG, jnp.int32)
@@ -96,75 +101,85 @@ def _sw_kernel(
         sm_s[:] = jnp.zeros((Bt, N), jnp.int32)
         rm_s[:] = jnp.zeros((Bt, N), jnp.int32)
 
-    i = row + 1
     H = H_s[:]
     F = F_s[:]
     S = S_s[:]
-    row_active = i <= qlen  # [Bt, 1] broadcasts over lanes
+    bm = bm_s[:]
+    sm = sm_s[:]
+    rm = rm_s[:]
 
-    # extract query base for this row as a masked lane reduction (softmax-style
-    # reduce-then-broadcast, which Mosaic supports)
-    q_all = q_ref[:]
+    q_all = q_ref[:]  # [Bt, Mp]
     q_iota = jax.lax.broadcasted_iota(jnp.int32, q_all.shape, 1)
-    qb = jnp.sum(jnp.where(q_iota == row, q_all, 0), axis=1, keepdims=True)  # [Bt, 1]
-    s = jnp.where(qb == d, jnp.int32(match), jnp.int32(-mismatch))
-    s = jnp.where((qb >= 4) | (d >= 4), jnp.int32(0), s)
-    s = jnp.where(d_valid, s, NEG)
 
-    is_first = i == 1
-    H_shift = _shift_right(H, 1, jnp.where(is_first, 0, NEG), jpos)
-    S_shift = _shift_right(S, 1, 0, jpos)
-    fresh_val = jnp.where(is_first, jnp.int32(0), jnp.int32(-clip))
-    use_fresh = fresh_val > H_shift
-    diag_val = jnp.where(use_fresh, fresh_val, H_shift)
-    diag_start = jnp.where(use_fresh, jpos, S_shift)
-    M_cand = diag_val + s
+    for r in range(R):  # unrolled: the DP state stays in registers across rows
+        i = step * R + (r + 1)  # DP row (1-based), traced scalar
+        row_active = i <= qlen  # [Bt, 1] broadcasts over lanes
 
-    F_new = jnp.maximum(H - go, F - ge)
-    use_M = M_cand >= F_new
-    H_tmp = jnp.where(use_M, M_cand, F_new)
-    S_tmp = jnp.where(use_M, diag_start, S)
+        # masked lane reduction (reduce-then-broadcast, which Mosaic supports)
+        qb = jnp.sum(jnp.where(q_iota == (i - 1), q_all, 0), axis=1, keepdims=True)  # [Bt, 1]
+        s = jnp.where(qb == d, jnp.int32(match), jnp.int32(-mismatch))
+        s = jnp.where((qb >= 4) | (d >= 4), jnp.int32(0), s)
+        s = jnp.where(d_valid, s, NEG)
 
-    T = H_tmp + jprefix * ge
-    runmax, runstart = _prefix_max_with_arg(T, S_tmp, jpos)
-    runmax_sh = _shift_right(runmax, 1, NEG, jpos)
-    runstart_sh = _shift_right(runstart, 1, 0, jpos)
-    E_val = runmax_sh - go - (jprefix - 1) * ge
-    use_E = E_val > H_tmp
-    H_row = jnp.where(use_E, E_val, H_tmp)
-    S_row = jnp.where(use_E, runstart_sh, S_tmp)
+        is_first = i == 1
+        H_shift = _shift_right(H, 1, jnp.where(is_first, 0, NEG), jpos)
+        S_shift = _shift_right(S, 1, 0, jpos)
+        fresh_val = jnp.where(is_first, jnp.int32(0), jnp.int32(-clip))
+        use_fresh = fresh_val > H_shift
+        diag_val = jnp.where(use_fresh, fresh_val, H_shift)
+        diag_start = jnp.where(use_fresh, jpos, S_shift)
+        M_cand = diag_val + s
 
-    H_new = jnp.where(row_active, H_row, H)
-    S_new = jnp.where(row_active, S_row, S)
-    H_s[:] = H_new
-    S_s[:] = S_new
-    F_s[:] = jnp.where(row_active, F_new, F)
+        F_new = jnp.maximum(H - go, F - ge)
+        use_M = M_cand >= F_new
+        H_tmp = jnp.where(use_M, M_cand, F_new)
+        S_tmp = jnp.where(use_M, diag_start, S)
 
-    # per-lane end-clip candidates for rows i < qlen
-    mid_active = row_active & (i < qlen) & d_valid
-    cand = H_new - clip
-    improve = mid_active & (cand > bm_s[:])
-    bm_s[:] = jnp.where(improve, cand, bm_s[:])
-    sm_s[:] = jnp.where(improve, S_new, sm_s[:])
-    rm_s[:] = jnp.where(improve, i, rm_s[:])
+        T = H_tmp + jprefix * ge
+        runmax, runstart = _prefix_max_with_arg(T, S_tmp, jpos)
+        runmax_sh = _shift_right(runmax, 1, NEG, jpos)
+        runstart_sh = _shift_right(runstart, 1, 0, jpos)
+        E_val = runmax_sh - go - (jprefix - 1) * ge
+        use_E = E_val > H_tmp
+        H_row = jnp.where(use_E, E_val, H_tmp)
+        S_row = jnp.where(use_E, runstart_sh, S_tmp)
 
-    @pl.when(row == M - 1)
+        H = jnp.where(row_active, H_row, H)
+        S = jnp.where(row_active, S_row, S)
+        F = jnp.where(row_active, F_new, F)
+
+        # per-lane end-clip candidates for rows i < qlen
+        mid_active = row_active & (i < qlen) & d_valid
+        cand = H - clip
+        improve = mid_active & (cand > bm)
+        bm = jnp.where(improve, cand, bm)
+        sm = jnp.where(improve, S, sm)
+        rm = jnp.where(improve, i, rm)
+
+    H_s[:] = H
+    F_s[:] = F
+    S_s[:] = S
+    bm_s[:] = bm
+    sm_s[:] = sm
+    rm_s[:] = rm
+
+    @pl.when(step == (Mp // R) - 1)
     def _finalize():
         # tie-breaks mirror the host DP exactly (ops/sw.py): the full-query
         # category wins over clip-end on equal score GLOBALLY (not per lane),
         # then the earliest (row, j) clip candidate / smallest-j final cell
         # is chosen via a lexicographic key so the lane-reduction order on
         # hardware cannot change the answer
-        H_fin = jnp.where(d_valid, H_s[:], NEG)
+        H_fin = jnp.where(d_valid, H, NEG)
         best_fin = jnp.max(H_fin, axis=1, keepdims=True)
-        best_clip = jnp.max(bm_s[:], axis=1, keepdims=True)
+        best_clip = jnp.max(bm, axis=1, keepdims=True)
         use_clip = best_clip > best_fin  # [Bt, 1], strict: ties keep full query
-        val_N = jnp.where(use_clip, bm_s[:], H_fin)
-        start_N = jnp.where(use_clip, sm_s[:], S_s[:])
+        val_N = jnp.where(use_clip, bm, H_fin)
+        start_N = jnp.where(use_clip, sm, S)
         best = jnp.where(use_clip, best_clip, best_fin)
         is_best = val_N == best
-        key = jnp.where(use_clip, rm_s[:] * (N + 2) + jprefix, jprefix)
-        sel_key = jnp.min(jnp.where(is_best, key, (M + 2) * (N + 2)), axis=1, keepdims=True)
+        key = jnp.where(use_clip, rm * (N + 2) + jprefix, jprefix)
+        sel_key = jnp.min(jnp.where(is_best, key, (Mp + 2) * (N + 2)), axis=1, keepdims=True)
         chosen = is_best & (key == sel_key)
         fin_j = jnp.max(jnp.where(chosen, jprefix, 0), axis=1, keepdims=True)
         fin_s = jnp.max(jnp.where(chosen, start_N, 0), axis=1, keepdims=True)
@@ -175,7 +190,10 @@ def _sw_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "gap_open", "gap_extend", "clip", "block_b", "interpret"),
+    static_argnames=(
+        "match", "mismatch", "gap_open", "gap_extend", "clip",
+        "block_b", "rows_per_step", "interpret",
+    ),
 )
 def sw_align_pallas(
     queries: jnp.ndarray,  # [B, M]
@@ -187,28 +205,36 @@ def sw_align_pallas(
     gap_open: int = SCORE_GAP_OPEN,
     gap_extend: int = SCORE_GAP_EXTEND,
     clip: int = SCORE_CLIP,
-    block_b: int = 32,  # best-measured tile on v5e (5.5 Gcell/s)
+    block_b: int = 256,  # best-measured tile on v5e: 32.6 Gcell/s with R=8
+    rows_per_step: int = 8,
     interpret: bool = False,
 ):
     B, M = queries.shape
     _, N = databases.shape
+    R = rows_per_step
     pad_b = (-B) % block_b
+    pad_m = (-M) % R
     if pad_b:
-        queries = jnp.pad(queries, ((0, pad_b), (0, 0)), constant_values=5)
-        databases = jnp.pad(databases, ((0, pad_b), (0, 0)), constant_values=5)
         q_lens = jnp.pad(q_lens, (0, pad_b))
         d_lens = jnp.pad(d_lens, (0, pad_b))
-    Bp = B + pad_b
-    grid = (Bp // block_b, M)
+        databases = jnp.pad(databases, ((0, pad_b), (0, 0)), constant_values=5)
+    if pad_b or pad_m:
+        # pad rows carry base 5 (mismatch-everything); rows beyond qlen are
+        # inert anyway via the row_active mask
+        queries = jnp.pad(queries, ((0, pad_b), (0, pad_m)), constant_values=5)
+    Bp, Mp = B + pad_b, M + pad_m
+    grid = (Bp // block_b, Mp // R)
     kernel = functools.partial(
-        _sw_kernel, M=M, N=N, match=match, mismatch=mismatch, go=gap_open, ge=gap_extend, clip=clip
+        _sw_kernel,
+        Mp=Mp, N=N, R=R,
+        match=match, mismatch=mismatch, go=gap_open, ge=gap_extend, clip=clip,
     )
     out_shape = [jax.ShapeDtypeStruct((Bp, 1), jnp.int32)] * 3
     score, begin, end = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, M), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, Mp), lambda i, j: (i, 0)),
             pl.BlockSpec((block_b, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((block_b, N), lambda i, j: (i, 0)),
             pl.BlockSpec((block_b, 1), lambda i, j: (i, 0)),
