@@ -1,17 +1,26 @@
 """Driver benchmark: prints ONE JSON line.
 
 Measures the NORTH-STAR metric (BASELINE.md): reads aligned + genotyped per
-second per chip through the REAL `genotype` pipeline — discovery iteration +
-two call iterations + merge/decompose + bgzf VCF write — on a simulated
-30x 151bp cohort over a 50kb region (graphtyper's region unit). This is
-end-to-end wall clock, not a kernel microbenchmark; the fused device kernel
-number is reported as a secondary field.
+second per chip through the REAL production path — `genotype_regions`, the
+50kb-unit region fan-out over the persistent worker pool that the CLI uses
+(reference: genotype.cpp:683-741 + main.cpp:30-58) — discovery iteration +
+two call iterations + merge/decompose + bgzf VCF write per unit, on a
+simulated 30x 151bp cohort over a 200kb region. End-to-end wall clock, not
+a kernel microbenchmark.
+
+detail extras (VERDICT r2 #4/#8):
+  per_1mb_wall_s       wall-clock for a full 1Mb region (BASELINE's stated
+                       second metric), measured on the same backend;
+  indep_reads_per_sec  throughput on an INDEPENDENT workload recipe the
+                       pipeline was never tuned against (Markov reference,
+                       clustered indel-rich sites, ramped per-base quals,
+                       adapter soft clips, CRAM input — utils/simulate_indep);
+  kernel_reads_per_sec the fused device genotyping step (scan-timed in-jit).
 
 vs_baseline compares against the reference implementation's single-core
 throughput proxy: graphtyper's AVX512-era design targets roughly 10k reads
 aligned+genotyped/sec/core on its hot path (derived from published
-population-scale runtimes: ~30x genome, ~50kb regions, minutes/sample-region
-on deCODE's cluster; BASELINE.md notes no in-repo numbers exist).
+population-scale runtimes; BASELINE.md notes no in-repo numbers exist).
 
 The pipeline run executes in a subprocess so a hung TPU tunnel (a known
 axon failure mode) degrades to a CPU-backend measurement instead of
@@ -31,6 +40,16 @@ REFERENCE_READS_PER_SEC_PER_CORE = 10_000.0
 REGION_LENGTH = 200_000
 COVERAGE = 30.0
 N_TIMED_RUNS = 3  # report the best — the tunnel adds +-40% noise to short walls
+N_PROCESSES = 4
+
+
+def _count_records(paths: list[str]) -> int:
+    import gzip
+
+    n = 0
+    for p in paths:
+        n += sum(1 for l in gzip.open(p, "rt") if not l.startswith("#"))
+    return n
 
 
 def child_pipeline() -> None:
@@ -41,26 +60,67 @@ def child_pipeline() -> None:
         jax.config.update("jax_platforms", "cpu")
     import tempfile
 
-    from graphtyper_tpu.pipeline.genotype import genotype
+    from graphtyper_tpu.pipeline.genotype import genotype_regions
     from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+    from graphtyper_tpu.utils.simulate_indep import IndepConfig, simulate_indep
 
     tmp = tempfile.mkdtemp(prefix="gt_bench_")
-    # warm-up at the SAME workload shape (different seed): compiles the
-    # bucketed device scoring kernels so the timed run reuses every shape
+    # warm-up at the SAME workload shape (different seed): spawns the worker
+    # pool and compiles the bucketed device scoring kernels so the timed runs
+    # reuse every shape
     warm_cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=2, out_format="bam")
     warm = simulate_cohort(os.path.join(tmp, "warm"), warm_cfg)
-    genotype(warm.fasta, warm.sams, f"{warm_cfg.chrom}:1-{REGION_LENGTH}", os.path.join(tmp, "warm_out"))
+    genotype_regions(
+        warm.fasta,
+        warm.sams,
+        f"{warm_cfg.chrom}:1-{REGION_LENGTH}",
+        os.path.join(tmp, "warm_out"),
+        processes=N_PROCESSES,
+    )
 
     cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=1, out_format="bam")
     sim = simulate_cohort(os.path.join(tmp, "main"), cfg)
     wall = float("inf")
     for rep in range(N_TIMED_RUNS):
         t0 = time.perf_counter()
-        out = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-{REGION_LENGTH}", os.path.join(tmp, f"out{rep}"))
+        outs = genotype_regions(
+            sim.fasta,
+            sim.sams,
+            f"{cfg.chrom}:1-{REGION_LENGTH}",
+            os.path.join(tmp, f"out{rep}"),
+            processes=N_PROCESSES,
+        )
         wall = min(wall, time.perf_counter() - t0)
-    import gzip
+    n_records = _count_records(outs)
 
-    n_records = sum(1 for l in gzip.open(out, "rt") if not l.startswith("#"))
+    # --- BASELINE metric 2: wall-clock per 1Mb region (same backend) -------
+    mb_cfg = SimConfig(region_length=1_000_000, coverage=COVERAGE, seed=4, out_format="bam")
+    mb = simulate_cohort(os.path.join(tmp, "mb"), mb_cfg)
+    t0 = time.perf_counter()
+    genotype_regions(
+        mb.fasta,
+        mb.sams,
+        f"{mb_cfg.chrom}:1-1000000",
+        os.path.join(tmp, "mb_out"),
+        processes=N_PROCESSES,
+    )
+    per_1mb_wall = time.perf_counter() - t0
+    mb_reads = mb.n_reads
+
+    # --- independent workload: untuned recipe, CRAM input ------------------
+    ind_cfg = IndepConfig(region_length=120_000, coverage=COVERAGE, seed=9)
+    ind = simulate_indep(os.path.join(tmp, "indep"), ind_cfg)
+    t0 = time.perf_counter()
+    ind_outs = genotype_regions(
+        ind.fasta,
+        ind.sams,
+        f"{ind_cfg.chrom}:1-120000",
+        os.path.join(tmp, "indep_out"),
+        processes=N_PROCESSES,
+    )
+    ind_wall = time.perf_counter() - t0
+    ind_records = _count_records(ind_outs)
+
     try:
         kernel = kernel_secondary()
     except Exception:
@@ -68,7 +128,16 @@ def child_pipeline() -> None:
     print(
         "GT_BENCH_RESULT "
         + json.dumps(
-            {"n_reads": sim.n_reads, "wall_s": wall, "n_records": n_records, "kernel": kernel}
+            {
+                "n_reads": sim.n_reads,
+                "wall_s": wall,
+                "n_records": n_records,
+                "per_1mb_wall_s": per_1mb_wall,
+                "per_1mb_reads": mb_reads,
+                "indep_reads_per_sec": ind.n_reads / ind_wall,
+                "indep_n_records": ind_records,
+                "kernel": kernel,
+            }
         )
     )
 
@@ -164,6 +233,10 @@ def main() -> None:
                     "wall_s_200kb_30x": round(raw["wall_s"], 2),
                     "n_reads": raw["n_reads"],
                     "n_records": raw["n_records"],
+                    "per_1mb_wall_s": round(raw["per_1mb_wall_s"], 2),
+                    "per_1mb_reads_per_sec": round(raw["per_1mb_reads"] / raw["per_1mb_wall_s"], 1),
+                    "indep_reads_per_sec": round(raw["indep_reads_per_sec"], 1),
+                    "indep_n_records": raw["indep_n_records"],
                     "backend": backend,
                     "kernel_reads_per_sec": round(kernel, 1),
                 },

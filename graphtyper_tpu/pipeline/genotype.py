@@ -334,9 +334,7 @@ def genotype_regions(
 
         processes = getattr(current_options(), "threads", 1)
     if processes > 1 and len(subs) > 1:
-        import multiprocessing as mp
         import sys
-        from concurrent.futures import ProcessPoolExecutor
 
         jax_platform = None
         if "jax" in sys.modules:
@@ -348,12 +346,46 @@ def genotype_regions(
             (ref_path, sams, s.to_string(), output_path, jax_platform, current_options(), kw)
             for s in subs
         ]
-        ctx = mp.get_context("spawn")  # fork is unsafe under a live JAX runtime
         try:
-            with ProcessPoolExecutor(max_workers=min(processes, len(subs)), mp_context=ctx) as pool:
-                return list(pool.map(_genotype_one, jobs))
+            pool = _region_pool(processes)
+            return list(pool.map(_genotype_one, jobs))
         except Exception:
             # spawn needs an importable __main__ (breaks under stdin/REPL
             # drivers) — fall back to the serial loop rather than failing
-            pass
+            _shutdown_region_pool()
     return [genotype(ref_path, sams, s.to_string(), output_path, **kw) for s in subs]
+
+
+# ---- persistent region worker pool ----------------------------------------
+# The reference keeps ONE process alive and loops regions over a thread pool
+# (main.cpp:30-58). Our region workers are spawn processes (fork is unsafe
+# under a live JAX runtime), so worker startup — the Python/JAX import plus
+# first-compile of the scoring kernels — costs seconds. Keeping the pool
+# alive across genotype_regions calls amortizes that to once per process:
+# chromosome-scale runs stream hundreds of 50kb regions through warm
+# workers instead of re-paying the spawn tax per call.
+_POOL = None
+_POOL_SIZE = 0
+
+
+def _region_pool(processes: int):
+    global _POOL, _POOL_SIZE
+    if _POOL is not None and _POOL_SIZE != processes:
+        _shutdown_region_pool()
+    if _POOL is None:
+        import atexit
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = mp.get_context("spawn")
+        _POOL = ProcessPoolExecutor(max_workers=processes, mp_context=ctx)
+        _POOL_SIZE = processes
+        atexit.register(_shutdown_region_pool)
+    return _POOL
+
+
+def _shutdown_region_pool() -> None:
+    global _POOL
+    if _POOL is not None:
+        _POOL.shutdown(wait=False, cancel_futures=True)
+        _POOL = None
