@@ -328,16 +328,44 @@ def _rans_decode_1(data: bytes, out_size: int) -> bytes:
     return bytes(out)
 
 
+def _rans_decode_native(body: bytes, order: int, out_size: int) -> bytes | None:
+    """C twin of the order-0/1 decoders (native/gt_native.cpp
+    gt_rans_decode): the interleaved byte-at-a-time renormalization loop is
+    unvectorizable in numpy and dominates CRAM read time in pure Python."""
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    if not getattr(lib, "_rans_ready", False):
+        lib.gt_rans_decode.restype = ctypes.c_int64
+        lib.gt_rans_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._rans_ready = True
+    out = ctypes.create_string_buffer(out_size)
+    rc = lib.gt_rans_decode(body, len(body), order, out, out_size)
+    if rc != 0:
+        return None
+    return out.raw
+
+
 def rans_decode(data: bytes) -> bytes:
     order = data[0]
     # 4-byte compressed size + 4-byte uncompressed size
     (out_size,) = struct.unpack_from("<I", data, 5)
     body = data[9:]
+    if order not in (0, 1):
+        raise CramError(f"unsupported rANS order {order}")
+    native = _rans_decode_native(body, order, out_size)
+    if native is not None:
+        return native
     if order == 0:
         return _rans_decode_0(body, out_size)
-    if order == 1:
-        return _rans_decode_1(body, out_size)
-    raise CramError(f"unsupported rANS order {order}")
+    return _rans_decode_1(body, out_size)
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,118 @@ def rans_encode_0(data: bytes) -> bytes:
     return bytes([0]) + struct.pack("<I", len(payload)) + struct.pack("<I", len(data)) + payload
 
 
+def _norm_freqs(counts: np.ndarray) -> np.ndarray:
+    """Quantize counts to sum TOTFREQ with every present symbol >= 1."""
+    total = int(counts.sum())
+    freqs = np.maximum((counts * TOTFREQ) // max(total, 1), (counts > 0).astype(np.int64))
+    diff = TOTFREQ - int(freqs.sum())
+    big = int(np.argmax(freqs))
+    freqs[big] += diff
+    if freqs[big] <= 0:
+        raise ValueError("rans normalization failed")
+    return freqs
+
+
+def _rle_table(used_freqs: np.ndarray, emit_inner) -> bytearray:
+    """htslib rANS_static symbol-RLE walk: for each present index j emit the
+    index (with run-length compression of consecutive indices) then
+    emit_inner(j) for the payload; terminated by 0."""
+    table = bytearray()
+    rle = 0
+    for j in range(256):
+        if not used_freqs[j]:
+            continue
+        if rle:
+            rle -= 1
+        else:
+            table.append(j)
+            if j > 0 and used_freqs[j - 1]:
+                run = 0
+                k = j + 1
+                while k < 256 and used_freqs[k]:
+                    run += 1
+                    k += 1
+                rle = run
+                table.append(run)
+        emit_inner(table, j)
+    table.append(0)
+    return table
+
+
+def rans_encode_1(data: bytes) -> bytes:
+    """rANS 4x8 order-1 (context = previous symbol per interleaved stream) —
+    the inverse of io/cram.py:_rans_decode_1. Stream j encodes the j-th
+    quarter of the output; the tail rides stream 3; renormalization bytes are
+    pushed in the exact reverse of the decoder's consumption order."""
+    if len(data) == 0:
+        data = b"\x00"
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    q = n >> 2
+    starts = [0, q, 2 * q, 3 * q]
+
+    # context-conditional counts: ctx of stream-start positions is 0
+    counts = np.zeros((256, 256), dtype=np.int64)
+    ctx_prev = np.empty(n, dtype=np.uint8)
+    ctx_prev[1:] = arr[:-1]
+    for j in range(4):
+        ctx_prev[starts[j]] = 0
+    np.add.at(counts, (ctx_prev, arr), 1)
+    freqs = np.zeros((256, 256), dtype=np.int64)
+    cum = np.zeros((256, 257), dtype=np.int64)
+    used_ctx = counts.sum(axis=1) > 0
+    for c in np.nonzero(used_ctx)[0]:
+        freqs[c] = _norm_freqs(counts[c])
+        np.cumsum(freqs[c], out=cum[c, 1:])
+
+    # table: context-level RLE wrapping an inner order-0-style table each
+    def emit_ctx(table: bytearray, c: int) -> None:
+        def emit_freq(tb: bytearray, s: int) -> None:
+            f = int(freqs[c, s])
+            if f < 128:
+                tb.append(f)
+            else:
+                tb.append(128 | (f >> 8))
+                tb.append(f & 0xFF)
+
+        table += _rle_table(freqs[c], emit_freq)
+
+    table = _rle_table(used_ctx.astype(np.int64), emit_ctx)
+
+    # ops in decode order, then encode in reverse
+    ops: list[int] = []  # positions; stream = derived
+    op_stream: list[int] = []
+    for k in range(q):
+        for j in range(4):
+            ops.append(starts[j] + k)
+            op_stream.append(j)
+    for p in range(4 * q, n):
+        ops.append(p)
+        op_stream.append(3)
+
+    states = [RANS_L] * 4
+    out_rev = bytearray()
+    for oi in range(len(ops) - 1, -1, -1):
+        p = ops[oi]
+        j = op_stream[oi]
+        s = int(arr[p])
+        c = int(ctx_prev[p])
+        f = int(freqs[c, s])
+        x = states[j]
+        x_max = ((RANS_L >> TF_SHIFT) << 8) * f
+        while x >= x_max:
+            out_rev.append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // f) << TF_SHIFT) + (x % f) + int(cum[c, s])
+
+    body = bytearray()
+    for j in range(4):
+        body += struct.pack("<I", states[j])
+    body += bytes(out_rev[::-1])
+    payload = bytes(table) + bytes(body)
+    return bytes([1]) + struct.pack("<I", len(payload)) + struct.pack("<I", len(data)) + payload
+
+
 # ---------------------------------------------------------------------------
 # block / container serialization
 # ---------------------------------------------------------------------------

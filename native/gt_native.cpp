@@ -472,3 +472,237 @@ int64_t gt_pack_kmers(uint8_t const * codes, int64_t n, uint64_t * kmers, uint8_
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 decode (CRAM 3.0 codec, orders 0/1) — native twin of
+// io/cram.py:_rans_decode_0/_rans_decode_1 (htslib rans_static.c semantics,
+// verified against the reference's own test.cram). Returns 0 on success,
+// -1 on malformed input (caller falls back to the Python decoder).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t RANS_L = 1u << 23;
+constexpr int TF_SHIFT = 12;
+constexpr uint32_t TOTFREQ = 1u << TF_SHIFT;
+
+struct RansReader {
+  const uint8_t * d;
+  int64_t n;
+  int64_t p = 0;
+  bool ok = true;
+
+  uint8_t u8()
+  {
+    if (p >= n)
+    {
+      ok = false;
+      return 0;
+    }
+    return d[p++];
+  }
+
+  uint8_t peek()
+  {
+    if (p >= n)
+    {
+      ok = false;
+      return 0;
+    }
+    return d[p];
+  }
+
+  uint32_t freq()
+  {
+    uint32_t f = u8();
+    if (f >= 128)
+      f = ((f & 127) << 8) | u8();
+    return f;
+  }
+};
+
+// order-0 style symbol-RLE frequency table into freqs[256]
+bool read_freqs0(RansReader & br, uint32_t * freqs)
+{
+  for (int s = 0; s < 256; ++s)
+    freqs[s] = 0;
+  int rle = 0;
+  int j = br.u8();
+  while (br.ok)
+  {
+    freqs[j & 255] = br.freq();
+    if (rle > 0)
+    {
+      --rle;
+      ++j;
+    }
+    else if (j + 1 < 256 && br.peek() == j + 1)
+    {
+      j = br.u8();
+      rle = br.u8();
+    }
+    else
+    {
+      j = br.u8();
+    }
+    if (j == 0)
+      break;
+  }
+  return br.ok;
+}
+
+} // namespace
+
+extern "C" {
+
+int64_t gt_rans_decode(const uint8_t * data, int64_t len, int32_t order, uint8_t * out,
+                       int64_t out_size)
+{
+  RansReader br{data, len};
+  if (out_size <= 0)
+    return 0;
+
+  if (order == 0)
+  {
+    uint32_t freqs[256];
+    if (!read_freqs0(br, freqs))
+      return -1;
+    uint32_t cum[257];
+    cum[0] = 0;
+    for (int s = 0; s < 256; ++s)
+      cum[s + 1] = cum[s] + freqs[s];
+    if (cum[256] > TOTFREQ)
+      return -1;
+    std::vector<uint8_t> sym_of(TOTFREQ, 0);
+    for (int s = 0; s < 256; ++s)
+      for (uint32_t k = cum[s]; k < cum[s + 1]; ++k)
+        sym_of[k] = (uint8_t)s;
+    if (br.p + 16 > br.n)
+      return -1;
+    uint32_t st[4];
+    std::memcpy(st, data + br.p, 16);
+    int64_t p = br.p + 16;
+    for (int64_t i = 0; i < out_size; ++i)
+    {
+      uint32_t & x = st[i & 3];
+      uint32_t slot = x & (TOTFREQ - 1);
+      uint8_t s = sym_of[slot];
+      out[i] = s;
+      x = freqs[s] * (x >> TF_SHIFT) + slot - cum[s];
+      while (x < RANS_L && p < len)
+        x = (x << 8) | data[p++];
+    }
+    return 0;
+  }
+
+  if (order == 1)
+  {
+    // per-context tables; contexts appear in symbol-RLE order like symbols
+    std::vector<uint32_t> freqs(256 * 256, 0);
+    std::vector<uint32_t> cum(256 * 257, 0);
+    int rle_i = 0;
+    int i = br.u8();
+    while (br.ok)
+    {
+      // inner order-0 style table for context i
+      {
+        int rle_j = 0;
+        int j = br.u8();
+        while (br.ok)
+        {
+          freqs[(i & 255) * 256 + (j & 255)] = br.freq();
+          if (rle_j > 0)
+          {
+            --rle_j;
+            ++j;
+          }
+          else if (j + 1 < 256 && br.peek() == j + 1)
+          {
+            j = br.u8();
+            rle_j = br.u8();
+          }
+          else
+          {
+            j = br.u8();
+          }
+          if (j == 0)
+            break;
+        }
+      }
+      if (rle_i > 0)
+      {
+        --rle_i;
+        ++i;
+      }
+      else if (i + 1 < 256 && br.peek() == i + 1)
+      {
+        i = br.u8();
+        rle_i = br.u8();
+      }
+      else
+      {
+        i = br.u8();
+      }
+      if (i == 0)
+        break;
+    }
+    if (!br.ok)
+      return -1;
+    std::vector<uint8_t> lut(256 * TOTFREQ, 0);
+    for (int c = 0; c < 256; ++c)
+    {
+      uint32_t * cc = &cum[c * 257];
+      const uint32_t * fc = &freqs[c * 256];
+      cc[0] = 0;
+      for (int s = 0; s < 256; ++s)
+        cc[s + 1] = cc[s] + fc[s];
+      if (cc[256] > TOTFREQ)
+        return -1;
+      uint8_t * lc = &lut[(size_t)c * TOTFREQ];
+      for (int s = 0; s < 256; ++s)
+        for (uint32_t k = cc[s]; k < cc[s + 1]; ++k)
+          lc[k] = (uint8_t)s;
+    }
+    if (br.p + 16 > br.n)
+      return -1;
+    uint32_t st[4];
+    std::memcpy(st, data + br.p, 16);
+    int64_t p = br.p + 16;
+    int64_t q = out_size >> 2;
+    int64_t idx[4] = {0, q, 2 * q, 3 * q};
+    int64_t ends[4] = {q, 2 * q, 3 * q, out_size};
+    uint32_t ctx[4] = {0, 0, 0, 0};
+    for (int64_t k = 0; k < q; ++k)
+    {
+      for (int j = 0; j < 4; ++j)
+      {
+        uint32_t & x = st[j];
+        uint32_t c = ctx[j];
+        uint32_t slot = x & (TOTFREQ - 1);
+        uint8_t s = lut[(size_t)c * TOTFREQ + slot];
+        out[idx[j]++] = s;
+        x = freqs[c * 256 + s] * (x >> TF_SHIFT) + slot - cum[c * 257 + s];
+        while (x < RANS_L && p < len)
+          x = (x << 8) | data[p++];
+        ctx[j] = s;
+      }
+    }
+    while (idx[3] < ends[3]) // remainder rides stream 3
+    {
+      uint32_t & x = st[3];
+      uint32_t c = ctx[3];
+      uint32_t slot = x & (TOTFREQ - 1);
+      uint8_t s = lut[(size_t)c * TOTFREQ + slot];
+      out[idx[3]++] = s;
+      x = freqs[c * 256 + s] * (x >> TF_SHIFT) + slot - cum[c * 257 + s];
+      while (x < RANS_L && p < len)
+        x = (x << 8) | data[p++];
+      ctx[3] = s;
+    }
+    return 0;
+  }
+
+  return -1;
+}
+
+} // extern "C"
