@@ -264,7 +264,7 @@ def rans_encode_1(data: bytes) -> bytes:
 
 def _block(method: int, content_type: int, content_id: int, data: bytes) -> bytes:
     if method == GZIP:
-        payload = gzip.compress(data)
+        payload = gzip.compress(data, mtime=0)  # deterministic output bytes
     elif method == RANS:
         payload = rans_encode_0(data)
     else:
