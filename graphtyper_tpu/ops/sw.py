@@ -65,6 +65,12 @@ def _tpu_available() -> bool:
 
 
 _device_sw_failures = 0  # logged fallbacks from the device kernel
+_device_sw_bad_shapes: set = set()  # (Mp, Np) whose device compile failed
+
+
+class _ShapeDisabled(Exception):
+    """Raised to skip the device path for a shape bucket that already failed
+    once — a failed remote TPU compile costs ~20s, so it must never repeat."""
 
 
 def align_batch(
@@ -105,10 +111,18 @@ def align_batch(
         try:
             from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
 
-            # shape bucketing: pad sequence dims to 64-multiples (length
-            # masks make the padding inert) so compiles are reused
+            # shape bucketing: the query dim pads to 64-multiples (reads are
+            # near-constant length) and the database dim geometrically
+            # (64,96,128,192,256,...) — window lengths vary widely, and every
+            # distinct padded shape is a separate TPU executable, so the
+            # bucket set must stay O(log) for compiles to amortize. Length
+            # masks make the padding inert.
             Mp = max(64, -(-M // 64) * 64)
-            Np = max(64, -(-N // 64) * 64)
+            Np = 64  # smallest 2^k or 3*2^(k-1) >= N: 64,96,128,192,256,384,...
+            while Np < N:
+                Np = Np * 3 // 2 if Np & (Np - 1) == 0 else Np * 4 // 3
+            if (Mp, Np) in _device_sw_bad_shapes:
+                raise _ShapeDisabled()
             q = queries if Mp == M else np.pad(queries, ((0, 0), (0, Mp - M)), constant_values=5)
             d = databases if Np == N else np.pad(databases, ((0, 0), (0, Np - N)), constant_values=5)
             s, bg, en = sw_align_pallas(
@@ -121,13 +135,19 @@ def align_batch(
                 np.full(B, -1, dtype=np.int32),
                 np.full(B, -1, dtype=np.int32),
             )
+        except _ShapeDisabled:
+            pass  # this bucket already failed once; silent host fallback
         except Exception as e:  # pragma: no cover - device-specific
             global _device_sw_failures
             _device_sw_failures += 1
+            _device_sw_bad_shapes.add((Mp, Np))
             from graphtyper_tpu.utils.log import get_logger
 
             get_logger().warning(
-                "device SW kernel failed (%r); host DP fallback #%d", e, _device_sw_failures
+                "device SW kernel failed (%r); host DP fallback #%d (shape %s disabled)",
+                e,
+                _device_sw_failures,
+                (Mp, Np),
             )
     ge = gap_extend
     go = gap_open

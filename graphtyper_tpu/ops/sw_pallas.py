@@ -188,6 +188,22 @@ def _sw_kernel(
         end_ref[:] = fin_j
 
 
+def auto_block_b(N: int) -> int:
+    """Largest power-of-two batch tile whose compiled VMEM footprint fits.
+
+    The unrolled row loop keeps ~34 live int32 [block_b, N] vectors on the
+    Mosaic stack (measured: 17.75MB at 256x512); v5e scoped VMEM is 16MB.
+    256 is the best-measured tile at the common N<=256 window sizes
+    (32.6 Gcell/s with R=8); larger databases halve the tile instead of
+    OOMing the compile."""
+    budget = 14 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+    per_cell = 136  # bytes per (batch, lane) cell, measured from the OOM report
+    b = 256
+    while b > 8 and b * max(N, 64) * per_cell > budget:
+        b //= 2
+    return b
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -205,14 +221,22 @@ def sw_align_pallas(
     gap_open: int = SCORE_GAP_OPEN,
     gap_extend: int = SCORE_GAP_EXTEND,
     clip: int = SCORE_CLIP,
-    block_b: int = 256,  # best-measured tile on v5e: 32.6 Gcell/s with R=8
+    block_b: int | None = None,
     rows_per_step: int = 8,
     interpret: bool = False,
 ):
     B, M = queries.shape
     _, N = databases.shape
+    if block_b is None:
+        block_b = auto_block_b(N)
     R = rows_per_step
-    pad_b = (-B) % block_b
+    # pad the batch to the next power of two >= block_b: the grid shape is
+    # baked into the executable, so geometric bucketing bounds the number of
+    # distinct compiles at log2(B_max) instead of B_max/block_b
+    Bt = block_b
+    while Bt < B:
+        Bt *= 2
+    pad_b = Bt - B
     pad_m = (-M) % R
     if pad_b:
         q_lens = jnp.pad(q_lens, (0, pad_b))
