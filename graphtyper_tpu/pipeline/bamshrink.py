@@ -306,7 +306,26 @@ def _bamshrink_native(
 
     from graphtyper_tpu.io.bgzf import BGZF_EOF, bgzf_compress_bulk, decompress_all
 
-    data = decompress_all(path)
+    # indexed input: decode only the BGZF chunks overlapping the intervals
+    # (htslib-iterator analog, io/bai.py) — O(slice) instead of O(file) per
+    # region, which is what keeps the 50kb region fan-out linear at
+    # chromosome scale
+    data = None
+    try:
+        from graphtyper_tpu.io.bai import read_region_bam_bytes
+
+        # the shrink keeps reads with pos in [begin-pad, end+pad]
+        # (pad = bamshrink_max_fraglen - 100, _shrink_region above); query
+        # the index over that padded window so the slice is a superset of
+        # every keepable record — the filters then reproduce the full-scan
+        # output exactly
+        pad = opts.bamshrink_max_fraglen - 100 + 1
+        padded = [(c, max(0, b - pad), e + pad) for c, b, e in intervals]
+        data = read_region_bam_bytes(path, padded)
+    except Exception:
+        data = None
+    if data is None:
+        data = decompress_all(path)
     if data[:4] != b"BAM\x01":
         return None
     # resolve contig names -> BAM ref ids

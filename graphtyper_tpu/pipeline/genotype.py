@@ -329,6 +329,13 @@ def genotype_regions(
         region.end = min(region.end, fasta.contig_length(region.chr))
     fasta.close()
     subs = list(split_region(region, max_region_size))
+    if len(subs) > 1:
+        # index inputs once in the parent so every region worker's bamshrink
+        # decodes only its slice (io/bai.py) instead of the whole file
+        from graphtyper_tpu.io.bai import ensure_bai
+
+        for s in sams:
+            ensure_bai(s)
     if processes is None:
         from graphtyper_tpu.config import current_options
 
