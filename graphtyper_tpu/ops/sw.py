@@ -105,8 +105,12 @@ def align_batch(
             device = False
         elif mode == "on":
             device = _tpu_available()
-        else:  # auto: TPU backend and a batch worth dispatching
-            device = B >= 32 and _tpu_available()
+        else:  # auto: TPU backend and a batch worth dispatching. The native
+            # host path does ~30 alignments/ms on 4 cores, so over the
+            # tunneled single chip (~35ms round-trip) the chip only wins on
+            # big batches; on directly-attached production TPUs the
+            # break-even is far lower — tune via device_sw="on".
+            device = B >= 768 and _tpu_available()
     if device:
         try:
             from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
@@ -149,6 +153,12 @@ def align_batch(
                 _device_sw_failures,
                 (Mp, Np),
             )
+    native = _align_batch_native(
+        queries, q_lens, databases, d_lens, match, mismatch, gap_open, gap_extend, clip
+    )
+    if native is not None:
+        return native
+
     ge = gap_extend
     go = gap_open
 
@@ -253,6 +263,55 @@ def align_batch(
         clip_begin=np.zeros(B, dtype=np.int64),
         clip_end=clip_end_arr.astype(np.int64),
     )
+
+
+def _align_batch_native(
+    queries, q_lens, databases, d_lens, match, mismatch, gap_open, gap_extend, clip
+) -> SWResult | None:
+    """Host CPU path through native/gt_sw.cpp (threaded C twin of the numpy
+    DP below, bit-parity tested); returns None when the library is missing
+    so the numpy oracle runs instead."""
+    import os
+
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    if not getattr(lib, "_sw_ready", False):
+        try:
+            lib.gt_sw_batch.restype = None
+            lib.gt_sw_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32,
+            ]
+            lib._sw_ready = True
+        except AttributeError:
+            return None  # stale .so without the symbol
+    B, M = queries.shape
+    _, N = databases.shape
+    q = np.ascontiguousarray(queries, dtype=np.uint8)
+    d = np.ascontiguousarray(databases, dtype=np.uint8)
+    ql = np.ascontiguousarray(q_lens, dtype=np.int32)
+    dl = np.ascontiguousarray(d_lens, dtype=np.int32)
+    score = np.empty(B, dtype=np.int64)
+    begin = np.empty(B, dtype=np.int64)
+    end = np.empty(B, dtype=np.int64)
+    clip_end = np.empty(B, dtype=np.int64)
+    vp = ctypes.c_void_p
+    n_threads = min(os.cpu_count() or 1, 8) if B >= 64 else 1
+    lib.gt_sw_batch(
+        vp(q.ctypes.data), vp(ql.ctypes.data), vp(d.ctypes.data), vp(dl.ctypes.data),
+        B, M, N, match, mismatch, gap_open, gap_extend, clip,
+        vp(score.ctypes.data), vp(begin.ctypes.data), vp(end.ctypes.data),
+        vp(clip_end.ctypes.data), n_threads,
+    )
+    return SWResult(score, begin, end, np.zeros(B, dtype=np.int64), clip_end)
 
 
 def align_one(query: bytes | np.ndarray, database: bytes | np.ndarray, **kw) -> SWResult:
