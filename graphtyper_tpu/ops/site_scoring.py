@@ -40,6 +40,10 @@ COV_PAD = -3
 
 ALLELE_TIERS = (2, 4, 8, 16, 32, 64)
 
+#: observation bytes actually shipped host->device across all flushes
+#: (host-applied tiers ship nothing) — telemetry for the H2D-per-read budget
+H2D_BYTES_SHIPPED = 0
+
 #: columns of one observation row, in buffer order
 OBS_FIELDS = (
     "site",
@@ -555,6 +559,9 @@ class ObsBatcher:
     # cohort-scale flushes (maybe_flush) where batches are millions of rows.
     HOST_APPLY_MAX_ROWS = 65536
 
+    # running telemetry: observation bytes actually shipped host->device
+    # (host-applied tiers ship nothing); read by tools/stats and STATUS
+
     def _flush_tier(self, tier: int, buf: "_TierBuffer") -> None:
         self._flush_tier_collect(tier, self._flush_tier_launch(tier, buf))
 
@@ -600,6 +607,8 @@ class ObsBatcher:
         launched = []
         for lo_i in range(0, n, chunk):
             mat = make_chunk(lo_i)
+            global H2D_BYTES_SHIPPED
+            H2D_BYTES_SHIPPED += mat.nbytes
             if self.mesh_key is not None:
                 mesh = _MESHES[self.mesh_key]
                 n_dev = mesh.devices.size
