@@ -266,7 +266,13 @@ def _block(method: int, content_type: int, content_id: int, data: bytes) -> byte
     if method == GZIP:
         payload = gzip.compress(data, mtime=0)  # deterministic output bytes
     elif method == RANS:
+        # order-1 wins on context-heavy streams (quality ramps) exactly as
+        # htslib chooses for QS; keep whichever is smaller
         payload = rans_encode_0(data)
+        if len(data) > 4096:
+            p1 = rans_encode_1(data)
+            if len(p1) < len(payload):
+                payload = p1
     else:
         payload = data
     out = bytearray()
