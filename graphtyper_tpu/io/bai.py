@@ -66,6 +66,45 @@ def bgzf_block_table(path: str) -> tuple[list[int], list[int]]:
     return coffsets, usizes
 
 
+def _scan_records_native(data: bytes, off: int):
+    """(rec_off, tid, pos, ref_end) arrays via native/gt_native.cpp
+    gt_bai_scan — the boundary chain is sequential, so the walk lives in C;
+    returns None (Python fallback) when the library is missing."""
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    if not getattr(lib, "_baiscan_ready", False):
+        try:
+            lib.gt_bai_scan.restype = ctypes.c_int64
+            lib.gt_bai_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib._baiscan_ready = True
+        except AttributeError:
+            return None
+    cap = max(1, (len(data) - off) // 36 + 1)
+    rec_off = np.empty(cap, dtype=np.int64)
+    tid = np.empty(cap, dtype=np.int32)
+    pos = np.empty(cap, dtype=np.int32)
+    ref_end = np.empty(cap, dtype=np.int32)
+    vp = ctypes.c_void_p
+    n = lib.gt_bai_scan(
+        data, len(data), off,
+        vp(rec_off.ctypes.data), vp(tid.ctypes.data), vp(pos.ctypes.data),
+        vp(ref_end.ctypes.data),
+    )
+    if n < 0:
+        return None
+    return rec_off[:n], tid[:n], pos[:n], ref_end[:n]
+
+
 @dataclass
 class Bai:
     bins: list[dict[int, list[tuple[int, int]]]]  # per ref: bin -> chunks
@@ -108,39 +147,95 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
     linear: list[list[int]] = [[] for _ in range(n_ref)]
     n_no_coor = 0
     n = len(data)
-    while off + 4 <= n:
-        (block_size,) = struct.unpack_from("<i", data, off)
-        rec_beg, rec_end = off, off + 4 + block_size
-        if rec_end > n:
-            break
-        tid, pos = struct.unpack_from("<ii", data, off + 4)
-        n_cigar = struct.unpack_from("<H", data, off + 16)[0]
-        l_read_name = data[off + 12]
-        if tid < 0 or pos < 0:
-            n_no_coor += 1
+
+    scan = _scan_records_native(data, off)
+    if scan is not None:
+        import numpy as np
+
+        rec_off, tids, poss, ref_ends = scan
+        n_rec = len(rec_off)
+        if n_rec:
+            rec_end_off = np.empty(n_rec, dtype=np.int64)
+            rec_end_off[:-1] = rec_off[1:]
+            rec_end_off[-1] = rec_off[-1] + 4 + int(
+                struct.unpack_from("<i", data, int(rec_off[-1]))[0]
+            )
+            mapped = (tids >= 0) & (poss >= 0)
+            n_no_coor = int((~mapped).sum())
+            # vectorized voffsets
+            co = np.asarray(coffsets, dtype=np.int64)
+            us = np.asarray(ustarts[:-1], dtype=np.int64)
+            bi = np.searchsorted(ustarts, rec_off, side="right") - 1
+            v0s = np.where(bi < len(co), (co[np.minimum(bi, len(co) - 1)] << 16)
+                           | (rec_off - us[np.minimum(bi, len(us) - 1)]), csize << 16)
+            bi1 = np.searchsorted(ustarts, rec_end_off, side="right") - 1
+            v1s = np.where(bi1 < len(co), (co[np.minimum(bi1, len(co) - 1)] << 16)
+                           | (rec_end_off - us[np.minimum(bi1, len(us) - 1)]), csize << 16)
+            # vectorized reg2bin
+            beg = poss.astype(np.int64)
+            endm1 = ref_ends.astype(np.int64) - 1
+            bnum = np.zeros(n_rec, dtype=np.int64)
+            for shift, base in ((14, 4681), (17, 585), (20, 73), (23, 9), (26, 1)):
+                hit = (bnum == 0) & ((beg >> shift) == (endm1 >> shift))
+                bnum = np.where(hit, base + (beg >> shift), bnum)
+            # chunks: runs of identical (tid, bin) in file order coalesce
+            # (consecutive records are voffset-contiguous by construction)
+            idx = np.flatnonzero(mapped)
+            if len(idx):
+                t_m, b_m = tids[idx].astype(np.int64), bnum[idx]
+                breaks = np.flatnonzero((t_m[1:] != t_m[:-1]) | (b_m[1:] != b_m[:-1])) + 1
+                starts = np.concatenate([[0], breaks])
+                ends = np.concatenate([breaks, [len(idx)]])
+                for s, e in zip(starts, ends):
+                    tid_r = int(t_m[s])
+                    bins[tid_r].setdefault(int(b_m[s]), []).append(
+                        (int(v0s[idx[s]]), int(v1s[idx[e - 1]]))
+                    )
+                # linear index: reads span < 16kb, so at most 2 windows each
+                for tid_r in np.unique(t_m):
+                    sel = idx[t_m == tid_r]
+                    w0 = (poss[sel].astype(np.int64)) >> LEAF_SHIFT
+                    w1 = (ref_ends[sel].astype(np.int64) - 1) >> LEAF_SHIFT
+                    n_w = int(w1.max()) + 1
+                    lin = np.full(n_w, np.iinfo(np.int64).max, dtype=np.int64)
+                    np.minimum.at(lin, w0, v0s[sel])
+                    np.minimum.at(lin, w1, v0s[sel])
+                    lin[lin == np.iinfo(np.int64).max] = 0
+                    linear[int(tid_r)] = lin.tolist()
+    else:
+        while off + 4 <= n:
+            (block_size,) = struct.unpack_from("<i", data, off)
+            rec_beg, rec_end = off, off + 4 + block_size
+            if rec_end > n:
+                break
+            tid, pos = struct.unpack_from("<ii", data, off + 4)
+            n_cigar = struct.unpack_from("<H", data, off + 16)[0]
+            l_read_name = data[off + 12]
+            if tid < 0 or pos < 0:
+                n_no_coor += 1
+                off = rec_end
+                continue
+            span = 0
+            cig_off = off + 36 + l_read_name
+            for k in range(n_cigar):
+                (c,) = struct.unpack_from("<I", data, cig_off + 4 * k)
+                if (c & 0xF) in _REF_CONSUME:
+                    span += c >> 4
+            end = pos + max(span, 1)
+            b = reg2bin(pos, end)
+            v0, v1 = voff(rec_beg), voff(rec_end)
+            chunks = bins[tid].setdefault(b, [])
+            if chunks and chunks[-1][1] == v0:
+                chunks[-1] = (chunks[-1][0], v1)  # coalesce adjacent records
+            else:
+                chunks.append((v0, v1))
+            lin = linear[tid]
+            for w in range(pos >> LEAF_SHIFT, ((end - 1) >> LEAF_SHIFT) + 1):
+                while len(lin) <= w:
+                    lin.append(0)
+                if lin[w] == 0 or v0 < lin[w]:
+                    lin[w] = v0
             off = rec_end
-            continue
-        span = 0
-        cig_off = off + 36 + l_read_name
-        for k in range(n_cigar):
-            (c,) = struct.unpack_from("<I", data, cig_off + 4 * k)
-            if (c & 0xF) in _REF_CONSUME:
-                span += c >> 4
-        end = pos + max(span, 1)
-        b = reg2bin(pos, end)
-        v0, v1 = voff(rec_beg), voff(rec_end)
-        chunks = bins[tid].setdefault(b, [])
-        if chunks and chunks[-1][1] == v0:
-            chunks[-1] = (chunks[-1][0], v1)  # coalesce adjacent records
-        else:
-            chunks.append((v0, v1))
-        lin = linear[tid]
-        for w in range(pos >> LEAF_SHIFT, ((end - 1) >> LEAF_SHIFT) + 1):
-            while len(lin) <= w:
-                lin.append(0)
-            if lin[w] == 0 or v0 < lin[w]:
-                lin[w] = v0
-        off = rec_end
 
     # fill linear-index holes with the next known offset (htslib behavior)
     for lin in linear:

@@ -331,11 +331,17 @@ def genotype_regions(
     subs = list(split_region(region, max_region_size))
     if len(subs) > 1:
         # index inputs once in the parent so every region worker's bamshrink
-        # decodes only its slice (io/bai.py) instead of the whole file
+        # decodes only its slice (io/bai.py) instead of the whole file;
+        # cohort-sized sample lists index in parallel
         from graphtyper_tpu.io.bai import ensure_bai
 
-        for s in sams:
-            ensure_bai(s)
+        if len(sams) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(sams))) as ex:
+                list(ex.map(ensure_bai, sams))
+        else:
+            ensure_bai(sams[0])
     if processes is None:
         from graphtyper_tpu.config import current_options
 

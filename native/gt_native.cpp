@@ -555,6 +555,50 @@ bool read_freqs0(RansReader & br, uint32_t * freqs)
 
 extern "C" {
 
+// Walk decompressed BAM records from `off` (end of the header/ref section):
+// per record emit (uncompressed offset, tid, pos, reference end). Feeds the
+// BAI builder (io/bai.py) — the boundary chain is inherently sequential, so
+// the walk lives in C. Returns the record count (outputs sized >= len/36 by
+// the caller), or -1 on a malformed record.
+int64_t gt_bai_scan(const uint8_t * data, int64_t len, int64_t off, int64_t * rec_off,
+                    int32_t * tid, int32_t * pos, int32_t * ref_end)
+{
+  int64_t n = 0;
+  while (off + 4 <= len)
+  {
+    int32_t block_size;
+    std::memcpy(&block_size, data + off, 4);
+    int64_t end = off + 4 + block_size;
+    if (block_size < 32 || end > len)
+      return -1;
+    int32_t t, p;
+    std::memcpy(&t, data + off + 4, 4);
+    std::memcpy(&p, data + off + 8, 4);
+    uint8_t l_read_name = data[off + 12];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, data + off + 16, 2);
+    int64_t span = 0;
+    int64_t cig = off + 36 + l_read_name;
+    if (cig + 4LL * n_cigar > end)
+      return -1;
+    for (int k = 0; k < n_cigar; ++k)
+    {
+      uint32_t c;
+      std::memcpy(&c, data + cig + 4LL * k, 4);
+      uint32_t op = c & 0xF;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) // M D N = X
+        span += c >> 4;
+    }
+    rec_off[n] = off;
+    tid[n] = t;
+    pos[n] = p;
+    ref_end[n] = p + (int32_t)(span > 0 ? span : 1);
+    ++n;
+    off = end;
+  }
+  return n;
+}
+
 int64_t gt_rans_decode(const uint8_t * data, int64_t len, int32_t order, uint8_t * out,
                        int64_t out_size)
 {
