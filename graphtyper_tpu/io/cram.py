@@ -1069,7 +1069,13 @@ class CramFile:
         self._ref_cache[ref_id] = got
         return got
 
-    def records(self) -> list[_CramRec]:
+    def records(self, region: tuple[int, int, int] | None = None) -> list[_CramRec]:
+        """Decode records; `region=(ref_id, beg, end)` (0-based half-open)
+        skips every container whose header range does not overlap — the
+        container header carries (ref_id, start, span, length), so region
+        reads are O(matching slices) with no index file (htslib needs the
+        .crai only because it streams; we hold the byte buffer). Multi-ref
+        containers (ref_id == -2) are always decoded."""
         out: list[_CramRec] = []
         br = self.br
         major = self.major
@@ -1082,6 +1088,12 @@ class CramFile:
             if hdr.n_records == 0 and hdr.n_blocks == 0:
                 br.pos = payload_end
                 continue
+            if region is not None and hdr.ref_id != -2:
+                rid, beg, end = region
+                c_beg = hdr.start - 1  # container start is 1-based
+                if hdr.ref_id != rid or c_beg + hdr.span <= beg or c_beg >= end:
+                    br.pos = payload_end
+                    continue
             comp_block = read_block(br, major)
             if comp_block.content_type != COMPRESSION_HEADER:
                 raise CramError("expected compression header block")
@@ -1154,13 +1166,29 @@ def _regenerate_nm_md(r: "_CramRec", ref: bytes) -> None:
     r.tags.setdefault("MD", "".join(md_parts))
 
 
-def read_cram(path: str, ref_path: str | None = None, parse_tags: bool = True):
+def read_cram(
+    path: str,
+    ref_path: str | None = None,
+    parse_tags: bool = True,
+    region: tuple[str, int, int] | None = None,
+):
     """Decode a CRAM file into (BamHeader, [AlignedRead]) like read_bam.
     When the provided reference verifies (slice MD5), NM/MD tags dropped by
-    the encoder are regenerated like htslib does."""
+    the encoder are regenerated like htslib does. `region=(chrom, beg, end)`
+    (0-based half-open) decodes only overlapping containers; the returned
+    record set is a container-granular superset of the overlap, exactly like
+    a BAI query (consumers filter by position)."""
     cf = CramFile(path, ref_path)
+    rid_region = None
+    if region is not None:
+        chrom, beg, end = region
+        try:
+            rid = cf.header.ref_names.index(chrom)
+        except ValueError:
+            rid = -9  # unknown contig: no container can match
+        rid_region = (rid, max(0, beg), end)
     reads: list[AlignedRead] = []
-    for r in cf.records():
+    for r in cf.records(rid_region):
         if (
             parse_tags
             and ref_path is not None

@@ -426,7 +426,20 @@ def bamshrink(
         )
         if native is not None:
             return native
-    header, reads = read_alignments(sam_path, parse_tags=True)
+    if sam_path.endswith(".cram"):
+        # container-granular region decode (io/cram.py records(region=...)):
+        # the shrink keeps reads with pos in [begin-pad, end+pad], so query
+        # that window — superset semantics identical to the BAI slice path
+        from graphtyper_tpu.io.cram import read_cram
+
+        pad = opts.bamshrink_max_fraglen - 100 + 1
+        header, reads = read_cram(
+            sam_path,
+            parse_tags=True,
+            region=(chrom, max(0, region_begin - pad), region_end + pad),
+        )
+    else:
+        header, reads = read_alignments(sam_path, parse_tags=True)
     kept: list[AlignedRead] = []
     _shrink_region(header, reads, chrom, region_begin, region_end, avg_cov_by_readlen, opts, kept, set())
     return _rename_sort_write(header, kept, out_path)
