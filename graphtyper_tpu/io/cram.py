@@ -83,7 +83,7 @@ class CramError(ValueError):
 
 
 class ByteReader:
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_itf8_vals", "_itf8_starts", "_itf8_vi")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
@@ -429,6 +429,51 @@ class NullCodec(Codec):
         raise CramError("read from NULL codec")
 
 
+def _predecode_itf8(s: ByteReader) -> bool:
+    """Decode every consecutive ITF8 value of an external stream in one
+    native pass (gt_itf8_decode_all) so per-record reads become array
+    lookups. Mixed itf8/raw streams stay correct: the value cursor is
+    validated against the exact byte position and falls back to live
+    parsing on any mismatch."""
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        s._itf8_vals = False  # don't retry
+        return False
+    import ctypes
+
+    if not getattr(lib, "_itf8_ready", False):
+        try:
+            lib.gt_itf8_decode_all.restype = ctypes.c_int64
+            lib.gt_itf8_decode_all.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib._itf8_ready = True
+        except AttributeError:
+            s._itf8_vals = False
+            return False
+    data = s.data
+    cap = len(data) - s.pos + 1
+    if cap > 256 * 1024:
+        # huge streams reached via read_int are raw byte series with
+        # occasional scalar reads (QS via 'Q'/'B' features): pre-parsing
+        # megabytes of quality bytes as itf8 costs more than it saves
+        s._itf8_vals = False
+        return False
+    vals = np.empty(cap, dtype=np.int32)
+    starts = np.empty(cap + 1, dtype=np.int64)
+    vp = ctypes.c_void_p
+    n = lib.gt_itf8_decode_all(data, len(data), s.pos, vp(vals.ctypes.data), vp(starts.ctypes.data))
+    # plain lists: per-value access is hot and list indexing beats numpy
+    # scalar indexing several-fold
+    s._itf8_vals = vals[:n].tolist()
+    s._itf8_starts = starts[: n + 1].tolist()  # [n] = parse end
+    s._itf8_vi = 0
+    return True
+
+
 class ExternalCodec(Codec):
     def __init__(self, blocks: dict, cid: int):
         # lazy: a block may be absent when its series is never used
@@ -440,7 +485,28 @@ class ExternalCodec(Codec):
         return self._blocks[self._cid]
 
     def read_int(self, core: BitReader) -> int:
-        return self.stream.itf8()
+        s = self.stream
+        vals = getattr(s, "_itf8_vals", None)
+        if vals is None:
+            if not _predecode_itf8(s):
+                return s.itf8()
+            vals = s._itf8_vals
+        elif vals is False:
+            return s.itf8()
+        starts = s._itf8_starts
+        vi = s._itf8_vi
+        pos = s.pos
+        if vi >= len(vals) or starts[vi] != pos:
+            # resync after raw-byte reads on the same stream
+            from bisect import bisect_left
+
+            vi = bisect_left(starts, pos, 0, len(vals))
+            if vi >= len(vals) or starts[vi] != pos:
+                return s.itf8()  # non-itf8 region: live parse
+        v = vals[vi]
+        s._itf8_vi = vi + 1
+        s.pos = starts[vi + 1]
+        return v
 
     def read_byte(self) -> int:
         return self.stream.u8()
@@ -528,10 +594,10 @@ class ByteArrayStopCodec(Codec):
         s = self.stream
         start = s.pos
         data = s.data
-        stop = self.stop
-        p = start
-        while p < len(data) and data[p] != stop:
-            p += 1
+        # bytes.find is a C memchr — no per-byte Python loop
+        p = data.find(self.stop, start)
+        if p < 0:
+            p = len(data)
         out = data[start:p]
         s.pos = p + 1
         return out

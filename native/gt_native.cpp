@@ -555,6 +555,63 @@ bool read_freqs0(RansReader & br, uint32_t * freqs)
 
 extern "C" {
 
+// Decode every consecutive ITF8 value in a CRAM external stream in one
+// pass (io/cram.py ByteReader.itf8 semantics, signed 32-bit wrap).
+// starts[i] is the byte offset where value i begins — the Python side uses
+// it to keep value-index and byte-position views of the stream in sync
+// (and to detect non-ITF8 regions by exact-offset mismatch). Outputs are
+// sized >= len by the caller. Returns the value count.
+int64_t gt_itf8_decode_all(const uint8_t * data, int64_t len, int64_t off, int32_t * values,
+                           int64_t * starts)
+{
+  int64_t n = 0;
+  while (off < len)
+  {
+    starts[n] = off;
+    uint8_t b0 = data[off];
+    uint32_t v;
+    if (b0 < 0x80)
+    {
+      v = b0;
+      off += 1;
+    }
+    else if (b0 < 0xC0)
+    {
+      if (off + 2 > len)
+        break;
+      v = ((uint32_t)(b0 & 0x7F) << 8) | data[off + 1];
+      off += 2;
+    }
+    else if (b0 < 0xE0)
+    {
+      if (off + 3 > len)
+        break;
+      v = ((uint32_t)(b0 & 0x3F) << 16) | ((uint32_t)data[off + 1] << 8) | data[off + 2];
+      off += 3;
+    }
+    else if (b0 < 0xF0)
+    {
+      if (off + 4 > len)
+        break;
+      v = ((uint32_t)(b0 & 0x1F) << 24) | ((uint32_t)data[off + 1] << 16)
+        | ((uint32_t)data[off + 2] << 8) | data[off + 3];
+      off += 4;
+    }
+    else
+    {
+      if (off + 5 > len)
+        break;
+      v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)data[off + 1] << 20)
+        | ((uint32_t)data[off + 2] << 12) | ((uint32_t)data[off + 3] << 4)
+        | (data[off + 4] & 0x0F);
+      off += 5;
+    }
+    values[n++] = (int32_t)v;
+  }
+  starts[n] = off; // sentinel: where parsing stopped (= value n's end)
+  return n;
+}
+
 // Walk decompressed BAM records from `off` (end of the header/ref section):
 // per record emit (uncompressed offset, tid, pos, reference end). Feeds the
 // BAI builder (io/bai.py) — the boundary chain is inherently sequential, so
