@@ -242,19 +242,25 @@ def index_variant(em: _Emitter, graph: Graph, mers: list[list[IndexEntry]], var_
     _append_list(mers, clean_list)
 
 
-def index_graph(graph: Graph) -> KmerIndex:
+def index_graph(graph: Graph, seed_filter_donor=None) -> KmerIndex:
     """indexer.cpp:246-290. Uses the native builder when available (label-
     level parity asserted by tests/index/test_native_index.py); the Python
-    walk below is the oracle/fallback."""
+    walk below is the oracle/fallback. `seed_filter_donor` is a previous
+    iteration's index whose (additive-only, superset-safe) seed-filter
+    bitsets this index may adopt instead of rebuilding."""
     from graphtyper_tpu.config import current_options
 
     if current_options().native_aligner != "off":
         native = _index_graph_native(graph)
         if native is not None:
+            if seed_filter_donor is not None:
+                native._seed_filter_donor = seed_filter_donor
             _prefetch_seed_filter(native)
             return native
     idx = index_graph_py(graph)
     if current_options().native_aligner != "off":
+        if seed_filter_donor is not None:
+            idx._seed_filter_donor = seed_filter_donor
         _prefetch_seed_filter(idx)
     return idx
 

@@ -194,6 +194,22 @@ def genotype(
     # ---- iteration 1: discovery ----
     it1 = os.path.join(tmp, "it1")
     os.makedirs(it1, exist_ok=True)
+    # overlap: the reference backbone supplies ~95% of iteration 2's index
+    # k-mers, so its seed filter builds on a background thread while
+    # discovery runs (typer/native_align.prebuild_reference_seed_filter)
+    ref_donor = None
+    try:
+        if current_options().native_caller != "off":
+            from graphtyper_tpu.typer.native_align import prebuild_reference_seed_filter
+            from graphtyper_tpu.utils.dna import encode
+
+            f2 = FastaFile(ref_path)
+            if f2.has_contig(padded.chr):
+                refbytes = f2.fetch(padded.chr, padded.begin, padded.end)
+                ref_donor = prebuild_reference_seed_filter(encode(refbytes.upper()))
+            f2.close()
+    except Exception:
+        ref_donor = None
     sample_names: list[str] = []
     sites_vcf = streamlined_discovery(sams, ref_path, padded.to_string(), sample_names)
     if prior_vcf:
@@ -217,6 +233,7 @@ def genotype(
     final_result = None
     graph = None
 
+    prev_index = None
     for i in range(FIRST_CALLONLY_ITERATION, LAST_ITERATION + 1):
         is_last = i == LAST_ITERATION
         out_dir = os.path.join(tmp, f"it{i}")
@@ -224,7 +241,12 @@ def genotype(
         graph = construct_graph(
             ref_path, prev_vcf, padded.to_string(), is_sv_graph=False, use_index=True, add_all_variants=True
         )
-        index = index_graph(graph)
+        # successive iterations share almost every k-mer (the reference
+        # backbone), so the seed filter carries over with a small additive
+        # update instead of a rebuild (native_align._adopt_donor_filter);
+        # iteration 2 adopts the prebuilt reference-backbone filter
+        index = index_graph(graph, seed_filter_donor=prev_index or ref_donor)
+        prev_index = index
         result = call_pools(
             graph,
             index,

@@ -43,6 +43,8 @@ def _setup_lib(lib) -> None:
     lib.gt_align_free.argtypes = [ctypes.c_void_p]
     lib.gt_seed_filter_build.restype = ctypes.c_void_p
     lib.gt_seed_filter_build.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+    lib.gt_seed_filter_add.restype = None
+    lib.gt_seed_filter_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.gt_seed_filter_free.restype = None
     lib.gt_seed_filter_free.argtypes = [ctypes.c_void_p]
     lib._align_ready = True
@@ -96,16 +98,93 @@ def seed_filter_handle(index, lib, n_threads: int = 0):
             if sf is None:
                 _setup_lib(lib)
                 keys = np.ascontiguousarray(np.asarray(index.keys, dtype=np.uint64))
-                if n_threads <= 0:
-                    import os
+                sf = _adopt_donor_filter(index, keys, lib)
+                if sf is None:
+                    if n_threads <= 0:
+                        import os
 
-                    n_threads = min(8, os.cpu_count() or 1)
-                handle = lib.gt_seed_filter_build(
-                    keys.ctypes.data_as(ctypes.c_void_p), len(keys), n_threads
-                )
-                sf = _SeedFilterHandle(lib, handle)
+                        n_threads = min(8, os.cpu_count() or 1)
+                    handle = lib.gt_seed_filter_build(
+                        keys.ctypes.data_as(ctypes.c_void_p), len(keys), n_threads
+                    )
+                    sf = _SeedFilterHandle(lib, handle)
                 index._seed_filter = sf
     return sf.handle
+
+
+class _RefFilterDonor:
+    """Duck-typed donor for _adopt_donor_filter: the reference backbone's
+    k-mers with a prebuilt filter. Built on a background thread launched
+    BEFORE discovery runs, so by the time iteration 2's index exists the
+    bulk of its seed filter (the ~95% reference-derived keys) is already
+    paid for — the adopt step just ORs in the variant k-mers."""
+
+    def __init__(self):
+        self.keys = None
+        self._seed_filter = None
+        self._seed_filter_thread = None
+
+
+def prebuild_reference_seed_filter(ref_codes: np.ndarray):
+    """Kick off the reference-kmer filter build in the background; returns a
+    donor consumable by index_graph(seed_filter_donor=...), or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import threading
+
+    donor = _RefFilterDonor()
+
+    def build():
+        import os as _os
+
+        from graphtyper_tpu.utils.dna import pack_kmers
+
+        kmers, valid = pack_kmers(np.asarray(ref_codes, dtype=np.uint8), 32)
+        keys = np.ascontiguousarray(np.unique(kmers[valid]))
+        _setup_lib(lib)
+        handle = lib.gt_seed_filter_build(
+            keys.ctypes.data_as(ctypes.c_void_p), len(keys), min(8, _os.cpu_count() or 1)
+        )
+        donor.keys = keys
+        donor._seed_filter = _SeedFilterHandle(lib, handle)
+
+    t = threading.Thread(target=build, daemon=True)
+    donor._seed_filter_thread = t
+    t.start()
+    return donor
+
+
+def _adopt_donor_filter(index, keys: np.ndarray, lib):
+    """Reuse the previous iteration's filter: the bitsets are additive-only,
+    so a superset filter is still exact-pruning-correct for ANY index — OR in
+    the (few) keys the donor lacks instead of rebuilding from scratch
+    (gt_seed_filter_add). Ownership moves to this index; the donor must be
+    idle (the genotyping loop's iterations are sequential)."""
+    donor = getattr(index, "_seed_filter_donor", None)
+    if donor is None:
+        return None
+    index._seed_filter_donor = None  # consume once
+    t = getattr(donor, "_seed_filter_thread", None)
+    if t is not None:
+        t.join()
+    dsf = getattr(donor, "_seed_filter", None)
+    if dsf is None:
+        return None
+    donor_keys = np.asarray(donor.keys, dtype=np.uint64)
+    if len(keys) > 2 * max(1, len(donor_keys)):
+        return None  # bitsets sized for the donor: rebuild to keep FP rates
+    pos = np.searchsorted(donor_keys, keys)
+    pos_c = np.minimum(pos, max(0, len(donor_keys) - 1))
+    present = (pos < len(donor_keys)) & (donor_keys[pos_c] == keys) if len(donor_keys) else np.zeros(len(keys), bool)
+    new_keys = np.ascontiguousarray(keys[~present])
+    if len(new_keys):
+        lib.gt_seed_filter_add(
+            dsf.handle, new_keys.ctypes.data_as(ctypes.c_void_p), len(new_keys)
+        )
+    donor._seed_filter = None  # transfer ownership (single free via wrapper)
+    return dsf
 
 
 def available() -> bool:

@@ -3200,6 +3200,37 @@ void * gt_seed_filter_build(const uint64_t * keys, int64_t n_keys, int32_t n_thr
   return f;
 }
 
+// Incrementally OR the exact + Hamming-neighborhood bits of `keys` into an
+// existing filter. The bitsets are additive-only, so a superset filter is
+// still CORRECT for any index (it can only prune less, never wrongly) —
+// iteration N+1 of the genotyping loop reuses iteration N's filter and adds
+// just the new keys (typically a few percent) instead of rebuilding.
+// Caller must guarantee no concurrent readers during the add.
+void gt_seed_filter_add(void * fp, const uint64_t * keys, int64_t n_keys)
+{
+  SeedFilter * f = (SeedFilter *)fp;
+  int32_t be = f->bits_e, bh = f->bits_h;
+  uint32_t * we = f->exact.data();
+  uint32_t * w = f->ham.data();
+  for (int64_t i = 0; i < n_keys; ++i)
+  {
+    uint32_t he = SeedFilter::h1(keys[i], be);
+    we[he >> 5] |= 1u << (he & 31);
+    uint64_t base = keys[i];
+    for (int kpos = 0; kpos < K; ++kpos)
+    {
+      uint64_t shift = (uint64_t)kpos * 2;
+      uint64_t cur = (base >> shift) & 3ULL;
+      uint64_t cleared = base & ~(3ULL << shift);
+      for (uint64_t d = 1; d <= 3; ++d)
+      {
+        uint32_t h = SeedFilter::h2(cleared | ((cur ^ d) << shift), bh);
+        w[h >> 5] |= 1u << (h & 31);
+      }
+    }
+  }
+}
+
 void gt_seed_filter_free(void * f)
 {
   delete (SeedFilter *)f;
