@@ -73,3 +73,25 @@ def test_far_keys_mostly_filtered(lib):
         assert hits_h / len(probes) < 0.20
     finally:
         lib.gt_seed_filter_free(handle)
+
+
+def test_incremental_add_covers_new_keys(lib):
+    """gt_seed_filter_add: build(subset) + add(rest) must pass every key and
+    Hamming-1 neighbor that build(all) passes (superset-correctness — the
+    adopt path can only prune less, never miss)."""
+    rng = np.random.default_rng(23)
+    all_keys = np.unique(rng.integers(0, 2**64, size=12000, dtype=np.uint64))
+    subset, rest = all_keys[:10000], np.ascontiguousarray(all_keys[10000:])
+    h = _build(lib, subset)
+    try:
+        lib.gt_seed_filter_add(h, rest.ctypes.data_as(ctypes.c_void_p), len(rest))
+        for k in all_keys[rng.integers(0, len(all_keys), 500)].tolist():
+            r = lib.gt_seed_filter_test(h, k)
+            assert r & 1, "exact bit missing after add"
+            # a random Hamming-1 neighbor must pass the neighborhood bitset
+            pos = int(rng.integers(0, 32))
+            d = int(rng.integers(1, 4))
+            nb = k ^ (d << (2 * pos))
+            assert lib.gt_seed_filter_test(h, nb) & 2, "ham bit missing after add"
+    finally:
+        lib.gt_seed_filter_free(h)
