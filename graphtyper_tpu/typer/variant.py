@@ -193,6 +193,8 @@ class Variant:
             st.per_allele = VarStats.sized(len(self.seqs)).per_allele
             st.read_strand = VarStats.sized(len(self.seqs)).read_strand
         num_alts = len(self.seqs) - 1
+        if len(self.calls) >= 8 and self._scan_calls_vectorized(is_lr_calling):
+            return
         st.n_calls += len(self.calls)
 
         for sc in self.calls:
@@ -270,6 +272,150 @@ class Variant:
             if filt == 0:
                 st.per_allele[c1].pass_ac += 1
                 st.per_allele[c2].pass_ac += 1
+
+    def _scan_calls_vectorized(self, is_lr_calling: bool) -> bool:
+        """Batched twin of the scalar loop below over [S, P] phred / [S, A]
+        coverage matrices — every accumulation is an order-free sum/max, so
+        the results are identical (tests/typer/test_scan_calls_vec.py fuzzes
+        parity). Returns False (caller falls back) on ragged shapes."""
+        st = self.stats
+        A = len(self.seqs)
+        P = A * (A + 1) // 2
+        calls = self.calls
+        S = len(calls)
+        for sc in calls:
+            if len(sc.phred) != P or len(sc.coverage) != A:
+                return False
+        phred = np.stack([sc.phred for sc in calls]).astype(np.int64)  # [S, P]
+        cov = np.stack([sc.coverage for sc in calls]).astype(np.int64)  # [S, A]
+        amb = np.array([sc.ambiguous_depth for sc in calls], dtype=np.int64)
+        app = np.array([sc.alt_proper_pair_depth for sc in calls], dtype=np.int64)
+        filt_pre = np.array([sc.filter for sc in calls], dtype=np.int64)
+
+        # PL-triangle coordinate tables (x <= y per entry, row-major by y)
+        tri_x = np.empty(P, dtype=np.int64)
+        tri_y = np.empty(P, dtype=np.int64)
+        i = 0
+        for y in range(A):
+            for x in range(y + 1):
+                tri_x[i] = x
+                tri_y[i] = y
+                i += 1
+
+        # get_gt_call: first zero entry (or 0/0 when none)
+        is_zero = phred == 0
+        first_zero = np.argmax(is_zero, axis=1)
+        has_zero = is_zero[np.arange(S), first_zero]
+        c1 = np.where(has_zero, tri_x[first_zero], 0)
+        c2 = np.where(has_zero, tri_y[first_zero], 0)
+
+        # get_gq: 0 when two zero entries, else min over nonzero (255 cap)
+        n_zero = is_zero.sum(axis=1)
+        nz_min = np.where(is_zero, 255, np.minimum(phred, 255)).min(axis=1)
+        gq = np.where(n_zero >= 2, 0, nz_min)
+        if is_lr_calling:
+            gq = gq + 10
+        # check_filter with memoized values preserved
+        bucket = np.select([gq >= 30, gq >= 20, gq >= 10], [0, 1, 2], default=3)
+        filt = np.where(filt_pre >= 0, filt_pre, bucket)
+        for sc, f in zip(calls, filt):
+            sc.filter = int(f)
+
+        # get_lowest_phred_not_with(a): min over entries avoiding allele a
+        notwith = (tri_x[None, :] != np.arange(A)[:, None]) & (
+            tri_y[None, :] != np.arange(A)[:, None]
+        )  # [A, P]
+        low_notwith = np.empty((S, A), dtype=np.int64)
+        for a in range(A):  # per-allele keeps peak memory at [S, P]
+            low_notwith[:, a] = np.where(notwith[a], phred, 255).min(axis=1)
+
+        # qd accumulation: calls with phred[0] > 0 contribute for gt1 (and
+        # gt2 when het), depth-capped at 10
+        qd_active = phred[:, 0] > 0
+        sidx = np.arange(S)
+        pa = st.per_allele
+        for which, gt, other in ((0, c1, None), (1, c2, c1)):
+            m = qd_active & (gt > 0)
+            if other is not None:
+                m &= c1 != c2
+            depth = np.minimum(10, cov[sidx, gt] + amb)
+            m &= depth > 0
+            if m.any():
+                contrib = np.minimum(25 * depth, low_notwith[sidx, gt])
+                qd_q = np.zeros(A, dtype=np.int64)
+                qd_d = np.zeros(A, dtype=np.int64)
+                np.add.at(qd_q, gt[m], contrib[m])
+                np.add.at(qd_d, gt[m], depth[m])
+                for a in range(1, A):
+                    pa[a].qd_qual += int(qd_q[a])
+                    pa[a].qd_depth += int(qd_d[a])
+
+        st.n_max_alt_proper_pairs = max(st.n_max_alt_proper_pairs, int(app.max()))
+        total_depth = cov.sum(axis=1)
+
+        # per-alt genotype-class counts and support maxima
+        alt_ids = np.arange(1, A)
+        called = (c1[:, None] == alt_ids[None, :]) | (c2[:, None] == alt_ids[None, :])
+        hom = c1 == c2
+        for c in range(num_alts := A - 1):
+            p = pa[c + 1]
+            p.maximum_alt_support = max(p.maximum_alt_support, int(cov[:, c + 1].max()))
+            nz = total_depth > 0
+            if nz.any():
+                ratios = cov[nz, c + 1] / total_depth[nz]
+                p.maximum_alt_support_ratio = max(p.maximum_alt_support_ratio, float(ratios.max()))
+            cc = called[:, c]
+            p.n_alt_alt += int((cc & hom).sum())
+            p.n_ref_alt += int((cc & ~hom).sum())
+            p.n_ref_ref += int((~cc).sum())
+
+        genotyped = (phred != 0).any(axis=1)
+        st.n_genotyped += int(genotyped.sum())
+        st.n_passed_calls += int((filt == 0).sum())
+
+        het = c1 != c2
+        cov_c1 = cov[sidx, c1]
+        cov_c2 = cov[sidx, c2]
+        st.het_allele_depth[0] += int(cov_c1[het].sum())
+        st.het_allele_depth[1] += int(cov_c2[het].sum())
+        st.hom_allele_depth[0] += int(cov_c1[~het].sum())
+        st.hom_allele_depth[1] += int((total_depth[~het] - cov_c1[~het]).sum())
+
+        # per-allele het/hom multi-allele depths
+        call_depth = total_depth
+        h0 = np.zeros(A, dtype=np.int64)
+        h1 = np.zeros(A, dtype=np.int64)
+        for gt in (c1, c2):
+            np.add.at(h0, gt[het], cov[sidx, gt][het])
+            np.add.at(h1, gt[het], (call_depth - cov[sidx, gt])[het])
+        m0 = np.zeros(A, dtype=np.int64)
+        m1 = np.zeros(A, dtype=np.int64)
+        np.add.at(m0, c1[~het], cov_c1[~het])
+        np.add.at(m1, c1[~het], (call_depth - cov_c1)[~het])
+        for a in range(A):
+            hh = pa[a].het_multi_allele_depth
+            pa[a].het_multi_allele_depth = (hh[0] + int(h0[a]), hh[1] + int(h1[a]))
+            mm = pa[a].hom_multi_allele_depth
+            pa[a].hom_multi_allele_depth = (mm[0] + int(m0[a]), mm[1] + int(m1[a]))
+
+        if A > 0:
+            st.seqdepth += int((total_depth + amb).sum())
+            for c in range(1, A):
+                pa[c].total_depth += int(cov[:, c].sum())
+
+        ac = np.zeros(A, dtype=np.int64)
+        np.add.at(ac, c1, 1)
+        np.add.at(ac, c2, 1)
+        pass_ac = np.zeros(A, dtype=np.int64)
+        pm = filt == 0
+        np.add.at(pass_ac, c1[pm], 1)
+        np.add.at(pass_ac, c2[pm], 1)
+        for a in range(A):
+            pa[a].ac += int(ac[a])
+            pa[a].pass_ac += int(pass_ac[a])
+
+        st.n_calls += S
+        return True
 
     def _write_stats_infos(self) -> None:
         """VarStats::write_stats (var_stats.cpp)."""
