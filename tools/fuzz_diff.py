@@ -156,6 +156,57 @@ def fuzz_seed(seed: int, tmp: str) -> list[str]:
         if vcf_text(out) != ref:
             fails.append(f"seed {seed}: SAM-input output differs")
 
+    # pooled region fan-out vs the serial loop (3 units)
+    from graphtyper_tpu.pipeline.genotype import genotype_regions
+
+    try:
+        serial = genotype_regions(
+            sim.fasta, sim.sams, region, os.path.join(tmp, "r_ser"),
+            max_region_size=12_000, processes=1,
+        )
+        pooled = genotype_regions(
+            sim.fasta, sim.sams, region, os.path.join(tmp, "r_pool"),
+            max_region_size=12_000, processes=2,
+        )
+        for a, b in zip(serial, pooled):
+            if vcf_text(a) != vcf_text(b):
+                fails.append(f"seed {seed}: pooled regions differ at {os.path.basename(a)}")
+    except Exception as e:
+        fails.append(f"seed {seed}: region fan-out raised {e!r}")
+
+    # --vcf mode determinism: two runs byte-identical (and CSI variant
+    # produces the same records)
+    from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
+
+    sites = os.path.join(tmp, "ref", "input_sites")
+    site_files = []
+    for root, _, files in os.walk(sites):
+        site_files += [os.path.join(root, f) for f in files if f.endswith(".vcf.gz")]
+    if site_files:
+        try:
+            o1 = genotype_only_with_a_vcf(
+                sim.fasta, sim.sams, site_files[0], region, os.path.join(tmp, "gv1")
+            )
+            o2 = genotype_only_with_a_vcf(
+                sim.fasta, sim.sams, site_files[0], region, os.path.join(tmp, "gv2")
+            )
+            if vcf_text(o1) != vcf_text(o2):
+                fails.append(f"seed {seed}: --vcf mode nondeterministic")
+        except Exception as e:
+            fails.append(f"seed {seed}: --vcf mode raised {e!r}")
+
+    # popVCF final encoding must decode back to the plain output
+    try:
+        out_pop = run(sim, region, os.path.join(tmp, "v_pop"), encoding="p")
+        from graphtyper_tpu.io.popvcf import decode_file
+
+        dec = os.path.join(tmp, "pop_decoded.vcf.gz")
+        decode_file(out_pop, dec)
+        if vcf_text(dec) != ref:
+            fails.append(f"seed {seed}: popVCF roundtrip differs")
+    except Exception as e:
+        fails.append(f"seed {seed}: popVCF raised {e!r}")
+
     return fails
 
 
