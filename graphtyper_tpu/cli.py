@@ -196,7 +196,15 @@ def cmd_genotype_sv(args) -> int:
     from graphtyper_tpu.pipeline.genotype import genotype_sv
 
     sams = _read_sams_arg(args)
-    out = genotype_sv(args.ref, args.sv_vcf, sams, args.region, args.output)
+    avg_cov = None
+    if args.avg_cov_by_readlen:
+        with open(args.avg_cov_by_readlen) as f:
+            avg_cov = [float(l.strip()) for l in f if l.strip()]
+        if len(avg_cov) != len(sams):
+            print("error: --avg_cov_by_readlen line count != number of SAM/BAM files", file=sys.stderr)
+            return 1
+    out = genotype_sv(args.ref, args.sv_vcf, sams, args.region, args.output,
+                      avg_cov_by_readlen=avg_cov)
     print(out)
     return 0
 
@@ -364,6 +372,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("genotype_sv", help="Genotype structural variants from an SV VCF")
     p.add_argument("ref")
     p.add_argument("sv_vcf")
+    p.add_argument(
+        "--avg_cov_by_readlen",
+        default="",
+        help="File with average coverage divided by read length, one value per line (one per SAM; main.cpp:910-912)",
+    )
     _add_common(p)
     _add_advanced(p)
     p.set_defaults(fn=cmd_genotype_sv)

@@ -292,18 +292,21 @@ def call_pool(
     bin_counts: list[dict[int, int]] = [dict() for _ in sample_names]
     coverage_filter = is_sv and not no_filter_on_coverage and avg_cov_by_readlen is not None
 
-    def update_bin_count(read: AlignedRead, sample_i: int) -> bool:
-        if not coverage_filter:
-            return True
+    def _bin_update(bins: list[dict[int, int]], read: AlignedRead, sample_i: int) -> bool:
         if avg_cov_by_readlen[sample_i] <= 0.0:
             return True
         max_bin = min(0xFFFF, int(avg_cov_by_readlen[sample_i] * 50.0 * 3.0 + 0.5))
         b = (read.pos - first_pos) // 50
-        cnt = bin_counts[sample_i].get(b, 0)
+        cnt = bins[sample_i].get(b, 0)
         if cnt > max_bin:
             return False
-        bin_counts[sample_i][b] = cnt + 1
+        bins[sample_i][b] = cnt + 1
         return True
+
+    def update_bin_count(read: AlignedRead, sample_i: int) -> bool:
+        if not coverage_filter:
+            return True
+        return _bin_update(bin_counts, read, sample_i)
 
     from graphtyper_tpu.config import current_options
 
@@ -360,24 +363,33 @@ def call_pool(
     # Native batch alignment: collect the first read of every consecutive
     # (pos, seq) run (the loop below computes each unique alignment exactly
     # once from that representative) and align them all in one C++ call.
-    # Disabled under the SV coverage filter, whose bin accounting decides
-    # per-read whether alignment happens at all.
+    # Under the SV coverage filter, the bin accounting decides per-read
+    # whether alignment happens at all — but those decisions depend only on
+    # read metadata (pos/flag/sample order), never on alignment results, so
+    # a metadata-only pre-pass replays them exactly on a scratch bin state
+    # and collects precisely the reads the main loop will align.
     aligned_iter = None
-    if current_options().native_aligner != "off" and not coverage_filter:
+    if current_options().native_aligner != "off":
         from graphtyper_tpu.typer import native_align
 
         if native_align.available():
             reps = []
             rep_prev_key = None
+            sim_bins: list[dict[int, int]] = [dict() for _ in sample_names]
             for read, _si, _ri in pooled:
                 if read.flag & SAM_FLAG_FILTER:
                     continue
                 if is_sv and not is_good_sv_read(read):
                     continue
                 key = (read.pos, read.seq)
-                if rep_prev_key is None or key != rep_prev_key:
-                    reps.append(read)
-                    rep_prev_key = key
+                if rep_prev_key is not None and key == rep_prev_key:
+                    if coverage_filter:
+                        _bin_update(sim_bins, read, _si)
+                    continue
+                if coverage_filter and not _bin_update(sim_bins, read, _si):
+                    continue  # skipped new key: rep_prev_key stays, like prev_key
+                reps.append(read)
+                rep_prev_key = key
             aligner = native_align.NativeAligner(graph, index)
             aligned_iter = iter(aligner.align_batch(reps, force_align_both_orientations))
 
