@@ -214,10 +214,11 @@ def call_pool(
 
     # Fastest path: BAM bytes straight into the native loop (no AlignedRead
     # objects at all); falls through to the object paths on any mismatch.
+    # SV pools run it too (gt_call_finish_sv: is_good_sv_read from the raw
+    # records, coverage bins, leftover mates, native ReferenceDepth).
     if (
         _copts().native_caller != "off"
         and _copts().device_scoring != "off"
-        and not graph.is_sv_graph
         and not getattr(_copts(), "stats", "")
         and not getattr(_copts(), "primer_bedpe", "")
         and scorer_mesh_key is None
@@ -228,8 +229,12 @@ def call_pool(
         if nc.available():
             fast = None
             stream_mode = getattr(_copts(), "streaming_caller", "auto")
-            use_stream = stream_mode == "on"
-            if stream_mode == "auto" and all(p.endswith(".bam") for p in hts_paths):
+            use_stream = stream_mode == "on" and not graph.is_sv_graph
+            if (
+                stream_mode == "auto"
+                and not graph.is_sv_graph
+                and all(p.endswith(".bam") for p in hts_paths)
+            ):
                 # big pools stream (bounded RSS); small pools stay in-memory
                 # (lower latency + device seeding)
                 import os as _os
@@ -247,6 +252,13 @@ def call_pool(
                     hq_reads=getattr(_copts(), "hq_reads", False),
                 )
             if fast is None:
+                sv_avg_cov = None
+                if (
+                    graph.is_sv_graph
+                    and not no_filter_on_coverage
+                    and avg_cov_by_readlen is not None
+                ):
+                    sv_avg_cov = avg_cov_by_readlen
                 fast = nc.run_native_call_pool_bam(
                     graph,
                     index,
@@ -255,9 +267,10 @@ def call_pool(
                     sam_flag_filter=SAM_FLAG_FILTER,
                     force_both=force_align_both_orientations,
                     hq_reads=getattr(_copts(), "hq_reads", False),
+                    avg_cov=sv_avg_cov,
                 )
             if fast is not None:
-                sample_names, scorer, num_records, num_duplicated = fast
+                sample_names, scorer, num_records, num_duplicated, fast_depth = fast
                 scorer.finalize()
                 ph = compute_ph_map(scorer) if is_writing_hap else {}
                 return _build_pool_result(
@@ -265,7 +278,7 @@ def call_pool(
                     scorer,
                     sample_names,
                     ph,
-                    None,
+                    fast_depth,
                     is_writing_calls_vcf,
                     num_records,
                     num_duplicated,
@@ -324,10 +337,11 @@ def call_pool(
         primers = Primers(primer_bedpe, graph)
 
     # Fully-native pooled loop (alignment + dedup + pairing + extraction in
-    # C++, device scoring after): the production fast path for non-SV calls.
+    # C++, device scoring after): the production fast path. SV pools run the
+    # same loop with the is_good_sv_read gate, coverage bins, leftover-mate
+    # resolution and ReferenceDepth accumulated natively (gt_call_pool_sv).
     if (
         current_options().native_caller != "off"
-        and not is_sv
         and stats is None
         and primers is None
         and scorer.batcher is not None
@@ -335,6 +349,21 @@ def call_pool(
         from graphtyper_tpu.pipeline import native_caller as nc
 
         if nc.available():
+            sv_ctx = None
+            if is_sv:
+                sv_ctx = {
+                    "sv_bad": np.array(
+                        [0 if is_good_sv_read(t[0]) else 1 for t in pooled], dtype=np.uint8
+                    ),
+                    "avg_cov": (
+                        np.asarray(avg_cov_by_readlen, dtype=np.float64)
+                        if coverage_filter
+                        else None
+                    ),
+                    "first_pos": first_pos,
+                    "depth": reference_depth.depths,
+                    "ref_offset": reference_depth.reference_offset,
+                }
             native_stats = nc.run_native_call_pool(
                 graph,
                 index,
@@ -344,6 +373,7 @@ def call_pool(
                 sam_flag_filter=SAM_FLAG_FILTER,
                 force_both=force_align_both_orientations,
                 hq_reads=scorer.hq_reads,
+                sv_ctx=sv_ctx,
             )
             if native_stats is not None:
                 num_records, num_duplicated = native_stats
@@ -354,11 +384,13 @@ def call_pool(
                     scorer,
                     sample_names,
                     ph,
-                    None,
+                    reference_depth,
                     is_writing_calls_vcf,
                     num_records,
                     num_duplicated,
                 )
+            if reference_depth is not None:
+                reference_depth.depths[:] = 0  # discard partial native fill
 
     # Native batch alignment: collect the first read of every consecutive
     # (pos, seq) run (the loop below computes each unique alignment exactly

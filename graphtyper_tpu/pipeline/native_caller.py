@@ -38,6 +38,25 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p]  # seed filter
         + [_p64] * 5
     )
+    lib.gt_call_pool_sv.restype = ctypes.c_void_p
+    lib.gt_call_pool_sv.argtypes = (
+        [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
+        + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # read codes
+        + [ctypes.c_void_p] * 2  # names
+        + [ctypes.c_void_p] * 5  # flags mapq tlen same_ref pos
+        + [ctypes.c_void_p] * 2  # score_diff clipped_count
+        + [ctypes.c_void_p] * 2  # quals qual_off
+        + [ctypes.c_void_p]  # rg_idx
+        + [ctypes.c_int32] * 5  # n_samples sam_flag_filter force_both hq_reads n_threads
+        + [ctypes.c_void_p]  # seed filter
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sv_bad avg_cov first_pos
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]  # depth ref_size ref_offset
+        + [_p64] * 5
+    )
     lib.gt_call_pool_fetch.restype = ctypes.c_int32
     lib.gt_call_pool_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 28
     lib.gt_call_pool_bam.restype = ctypes.c_void_p
@@ -80,6 +99,19 @@ def _setup_lib(lib) -> None:
     )
     lib.gt_prep_free.restype = None
     lib.gt_prep_free.argtypes = [ctypes.c_void_p]
+    lib.gt_call_finish_sv.restype = ctypes.c_void_p
+    lib.gt_call_finish_sv.argtypes = (
+        [ctypes.c_void_p]  # prep
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
+        + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
+        + [ctypes.c_int32] * 3  # n_samples hq_reads n_threads
+        + [ctypes.c_void_p]  # seed filter
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]  # avg_cov depth ref_size ref_offset
+        + [_p64] * 5
+    )
     lib._call_ready = True
 
 
@@ -275,15 +307,20 @@ def run_native_call_pool_bam(
     force_both: bool = False,
     hq_reads: bool = False,
     n_threads: int = 0,
+    avg_cov: list | None = None,
 ):
     """Fully array-native pool call: BAM bytes go straight into C++ (decode +
     pool sort + dedup + pairing + extraction); no AlignedRead objects are
     built. The parsed pool is cached across call iterations, and with
     device_seed active the 97-probe k-mer seeding runs as a batched TPU pass
     (ops/seed_probe.py) with the host verifying only the candidates.
-    Returns (sample_names, scorer, num_records, num_duplicated) or None when
-    the pool needs the object path (non-BAM input, multi-sample files, no
-    region)."""
+
+    SV graphs run the same loop via gt_call_finish_sv: the prep computed
+    is_good_sv_read from the raw records, the rep pre-pass replays the
+    coverage bins (avg_cov, nullable), and the ReferenceDepth track fills
+    natively. Returns (sample_names, scorer, num_records, num_duplicated,
+    reference_depth) or None when the pool needs the object path (non-BAM
+    input, multi-sample files, no region)."""
     if region is None or not all(p.endswith(".bam") for p in hts_paths):
         return None
     lib = get_lib()
@@ -311,8 +348,9 @@ def run_native_call_pool_bam(
     site_cnum = np.array([s.gt.num for s in sites], dtype=np.int64)
     site_is_snp = np.array([1 if graph.is_snp(s.gt) else 0 for s in sites], dtype=np.uint8)
 
+    is_sv = graph.is_sv_graph
     cand_words = None
-    if entry.n_rows > 0 and entry.nk_max > 0 and _device_seed_enabled(current_options()):
+    if not is_sv and entry.n_rows > 0 and entry.nk_max > 0 and _device_seed_enabled(current_options()):
         cand_words = _device_seed_words(index, entry, lib)
 
     if n_threads <= 0:
@@ -339,8 +377,7 @@ def run_native_call_pool_bam(
 
     from graphtyper_tpu.typer.native_align import seed_filter_handle
 
-    handle = lib.gt_call_finish(
-        entry.handle,
+    graph_site_index_args = (
         ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
         ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
         ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
@@ -349,18 +386,44 @@ def run_native_call_pool_bam(
         ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
         ptr(na.keys), len(na.keys), ptr(na.offsets),
         ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
-        cand_ptr, nk_max,
-        len(sample_names), 1 if hq_reads else 0, n_threads,
-        seed_filter_handle(index, lib, n_threads),
+    )
+    outs = (
         ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn),
         ctypes.byref(n_counts), ctypes.byref(n_touched),
     )
+    reference_depth = None
+    if is_sv:
+        from graphtyper_tpu.pipeline.caller import ReferenceDepth
+
+        reference_depth = ReferenceDepth(graph, len(sample_names))
+        avg_arr = (
+            np.ascontiguousarray(avg_cov, dtype=np.float64) if avg_cov is not None else None
+        )
+        handle = lib.gt_call_finish_sv(
+            entry.handle,
+            *graph_site_index_args,
+            len(sample_names), 1 if hq_reads else 0, n_threads,
+            seed_filter_handle(index, lib, n_threads),
+            ptr(avg_arr) if avg_arr is not None else None,
+            ptr(reference_depth.depths), reference_depth.depths.shape[1],
+            int(reference_depth.reference_offset),
+            *outs,
+        )
+    else:
+        handle = lib.gt_call_finish(
+            entry.handle,
+            *graph_site_index_args,
+            cand_ptr, nk_max,
+            len(sample_names), 1 if hq_reads else 0, n_threads,
+            seed_filter_handle(index, lib, n_threads),
+            *outs,
+        )
     stats = _consume_call_result(
         lib, handle, scorer, len(sample_names), n_obs, n_xvals, n_conn, n_counts, n_touched
     )
     if stats is None:
         return None
-    return sample_names, scorer, stats[0], stats[1]
+    return sample_names, scorer, stats[0], stats[1], reference_depth
 
 
 def run_native_call_pool(
@@ -373,11 +436,17 @@ def run_native_call_pool(
     force_both: bool = False,
     hq_reads: bool = False,
     n_threads: int = 0,
+    sv_ctx: dict | None = None,
 ):
     """Run the C++ pooled loop and feed results into `scorer` (a SiteScorer
     with device batching on). Returns (num_records, num_duplicated) or None
     if the native loop reported an unsupported condition (caller then falls
-    back to the Python loop)."""
+    back to the Python loop).
+
+    sv_ctx (SV graphs, caller.py is_sv branches): {"sv_bad": uint8[n],
+    "avg_cov": float64[n_samples] | None, "first_pos": int,
+    "depth": int32[n_samples, ref_size] (filled in place),
+    "ref_offset": int}."""
     from graphtyper_tpu.ops.site_scoring import ALLELE_TIERS, _TierBuffer, apply_obs_host
     from graphtyper_tpu.typer.native_align import NativeAligner, seed_filter_handle
     from graphtyper_tpu.utils.dna import encode
@@ -439,7 +508,7 @@ def run_native_call_pool(
         return a.ctypes.data_as(ctypes.c_void_p)
 
     names = np.ascontiguousarray(names)
-    handle = lib.gt_call_pool(
+    common = (
         ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
         ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
         ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
@@ -457,9 +526,27 @@ def run_native_call_pool(
         n_samples, sam_flag_filter, 1 if force_both else 0, 1 if hq_reads else 0,
         n_threads,
         seed_filter_handle(index, lib, n_threads),
+    )
+    outs = (
         ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn), ctypes.byref(n_counts),
         ctypes.byref(n_touched),
     )
+    if sv_ctx is not None:
+        sv_bad = np.ascontiguousarray(sv_ctx["sv_bad"], dtype=np.uint8)
+        avg_cov = sv_ctx["avg_cov"]
+        if avg_cov is not None:
+            avg_cov = np.ascontiguousarray(avg_cov, dtype=np.float64)
+        depth = sv_ctx["depth"]
+        assert depth.dtype == np.int32 and depth.flags.c_contiguous
+        handle = lib.gt_call_pool_sv(
+            *common,
+            ptr(sv_bad), ptr(avg_cov) if avg_cov is not None else None,
+            int(sv_ctx["first_pos"]),
+            ptr(depth), depth.shape[1], int(sv_ctx["ref_offset"]),
+            *outs,
+        )
+    else:
+        handle = lib.gt_call_pool(*common, *outs)
 
     return _consume_call_result(lib, handle, scorer, n_samples, n_obs, n_xvals, n_conn, n_counts, n_touched)
 
@@ -834,4 +921,4 @@ def run_native_call_pool_stream(
     )
     if stats is None:
         return None
-    return sample_names, scorer, stats[0], stats[1]
+    return sample_names, scorer, stats[0], stats[1], None

@@ -1501,15 +1501,45 @@ struct CallResult {
   }
 };
 
+// SV-mode context (pipeline/caller.py call_pool SV branches): the
+// is_good_sv_read verdicts, the 50bp/3x coverage bins, and the per-sample
+// ReferenceDepth track (reference_depth.cpp) that sv_reformat consumes.
+struct SvCtx {
+  const uint8_t * sv_bad;  // [n_reads] 1 = fails is_good_sv_read
+  const double * avg_cov;  // [n_samples] avg_cov_by_readlen, or nullptr
+  int64_t first_pos;       // pos of the pool's first record (pre-filter)
+  int32_t * depth;         // [n_samples * ref_size] out (caller zeroes)
+  int64_t ref_size;
+  int64_t ref_offset;      // graph.ref_nodes[0].label.order
+};
+
 struct CallCtx {
   const GraphView * G;
   const SiteView * S;
   int32_t n_samples;
   bool hq_reads;
   CallResult * R;
+  const SvCtx * sv = nullptr;
 };
 
-// typer/scoring.py are_genotype_paths_good (non-SV)
+// reference_depth.cpp add_genotype_paths: +1 over the ref-reach span of the
+// winning path, saturating at 0xFFFF
+static void sv_depth_add(const CallCtx & C, const Geno & g, int32_t pn)
+{
+  if (g.paths.empty())
+    return;
+  const Path & p = g.paths[0];
+  int64_t start = C.G->get_ref_reach_pos(p.start) - C.sv->ref_offset;
+  int64_t end = C.G->get_ref_reach_pos(p.end) - C.sv->ref_offset;
+  if (start < 0)
+    start = 0;
+  int64_t stop = std::min<int64_t>(C.sv->ref_size, end + 1);
+  int32_t * d = C.sv->depth + (int64_t)pn * C.sv->ref_size;
+  for (int64_t i = start; i < stop; ++i)
+    d[i] = std::min<int32_t>(d[i] + 1, 0xFFFF);
+}
+
+// typer/scoring.py are_genotype_paths_good
 static bool are_genotype_paths_good(const Geno & g, const CallCtx & C)
 {
   if (g.paths.empty())
@@ -1528,6 +1558,11 @@ static bool are_genotype_paths_good(const Geno & g, const CallCtx & C)
     return false;
   if (!fully_aligned && mismatch_ratio > 0.025)
     return false;
+  if (C.G->is_sv)
+  {
+    if (!fully_aligned || g.paths[0].size() < 90 || mismatch_ratio > 0.03)
+      return false;
+  }
   if (C.hq_reads)
   {
     if (!fully_aligned || g.paths[0].size() < 90 || mismatch_ratio > 0.035)
@@ -2071,6 +2106,7 @@ struct Pending {
   Geno g1, g2;
   GenoMeta m1, m2;
   std::vector<uint8_t> qual_store;
+  int64_t ins_seq = 0;  // map insertion order (Python dict order, SV leftovers)
 };
 
 // typer/alignment.py update_paths: derive the fwd/rc metadata of one record
@@ -2108,7 +2144,8 @@ static void make_metas_arrays(uint32_t flagv, int32_t mapqv, int32_t clipv, int3
 static bool stage2_one_record(const CallCtx & Cw, int32_t rg, uint32_t flagv, int32_t mapqv,
                               int32_t clipv, int32_t sdiffv, const uint8_t * qual, int32_t qlen,
                               std::string && name, const Geno & a1, const Geno & a2,
-                              std::unordered_map<std::string, Pending> & map)
+                              std::unordered_map<std::string, Pending> & map,
+                              int64_t * ins_counter = nullptr)
 {
   auto it = map.find(name);
   if (it == map.end())
@@ -2120,6 +2157,8 @@ static bool stage2_one_record(const CallCtx & Cw, int32_t rg, uint32_t flagv, in
       p.g2 = a2;
       p.qual_store.assign(qual, qual + qlen);
       make_metas_arrays(flagv, mapqv, clipv, sdiffv, p.qual_store.data(), qlen, p.m1, p.m2);
+      if (ins_counter)
+        p.ins_seq = (*ins_counter)++;
       map.emplace(std::move(name), std::move(p));
     }
     else
@@ -2180,11 +2219,49 @@ static bool stage2_one_record(const CallCtx & Cw, int32_t rg, uint32_t flagv, in
       GenoMeta ms = (cmp == 1) ? *arr_m[0] : *arr_m[2];
       mf.flags |= IS_PROPER_PAIR;
       ms.flags |= IS_PROPER_PAIR;
+      if (Cw.sv)
+      {
+        sv_depth_add(Cw, *gf, rg);
+        sv_depth_add(Cw, *gs, rg);
+      }
       update_haplotype_scores_pair(Cw, *gf, mf, *gs, ms, rg);
     }
   }
   map.erase(it);
   return true;
+}
+
+// SV leftover mates (pipeline/caller.py call_pool:436-447): the reference
+// keeps unmatched mates in SV mode — flip FIRST/REVERSED on cloned metadata
+// (qual orientation stays, matching Python's clone), resolve the better
+// orientation pair, and score the winner as a single read with proper-pair
+// set (get_better_paths marks the winning pair before returning).
+static void process_leftover_mate(const CallCtx & Cw, const Pending & p, int32_t rg)
+{
+  GenoMeta f1 = p.m1, f2 = p.m2;
+  f1.flags ^= IS_FIRST_IN_PAIR | IS_REVERSED;
+  f2.flags ^= IS_FIRST_IN_PAIR | IS_REVERSED;
+  const Geno * arr_g[4] = {nullptr, nullptr, nullptr, nullptr};
+  const GenoMeta * arr_m[4] = {nullptr, nullptr, nullptr, nullptr};
+  auto put = [&](const Geno & g, const GenoMeta & m) {
+    int idx = (int)((m.flags & IS_FIRST_IN_PAIR) != 0) + 2 * (int)((m.flags & IS_REVERSED) == 0);
+    arr_g[idx] = &g;
+    arr_m[idx] = &m;
+  };
+  put(p.g1, p.m1);
+  put(p.g2, p.m2);
+  put(p.g1, f1);
+  put(p.g2, f2);
+  if (!(arr_g[0] && arr_g[1] && arr_g[2] && arr_g[3]))
+    return;
+  int cmp = compare_pairs(*arr_g[3], *arr_g[0], *arr_g[1], *arr_g[2]);
+  if (cmp != 1 && cmp != 2)
+    return;
+  const Geno * gf = (cmp == 1) ? arr_g[3] : arr_g[1];
+  GenoMeta mf = (cmp == 1) ? *arr_m[3] : *arr_m[1];
+  mf.flags |= IS_PROPER_PAIR;
+  sv_depth_add(Cw, *gf, rg);
+  update_haplotype_scores_single(Cw, *gf, mf, rg);
 }
 
 // Seed candidates for a whole pool, as the device kernel's packed bitmask:
@@ -2242,13 +2319,15 @@ static void * run_call_core(
   // precomputed dedup (optional; both or neither) and seed candidates
   const int64_t * reps_in, int64_t n_reps_in, const int64_t * rep_of_in,
   const CandView * cand, const SeedFilter * sf,
+  // SV mode (nullable): is_good_sv_read verdicts + coverage bins + depth
+  const SvCtx * sv,
   // out sizes
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
 {
   GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
               var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
-              sp_ref_reach, sp_actual, n_special, false};
+              sp_ref_reach, sp_actual, n_special, sv != nullptr};
   IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
   SiteView S{site_order, site_cnum, site_is_snp, n_sites};
 
@@ -2257,24 +2336,56 @@ static void * run_call_core(
   int64_t prof_t0 = prof_enabled() ? prof_now() : 0;
 
   // ---- stage 1: align representatives of each (pos, seq) run -------------
+  // SV mode always computes its own reps: the is_good_sv_read gate and the
+  // coverage bins (decided here, metadata-only, exactly replaying the
+  // Python loop order) change which reads get aligned at all.
   std::vector<int64_t> reps_own, rep_of_own;
-  if (reps_in == nullptr)
+  std::vector<uint8_t> skip;  // SV: new-key reads rejected by their bin
+  bool cov_filter = sv != nullptr && sv->avg_cov != nullptr;
+  if (reps_in == nullptr || sv != nullptr)
   {
     rep_of_own.assign(n_reads, -1);
+    if (sv != nullptr)
+      skip.assign(n_reads, 0);
+    std::vector<std::unordered_map<int64_t, int32_t>> bins(cov_filter ? n_samples : 0);
+    auto bin_update = [&](int32_t s, int64_t p) -> bool {
+      // hts_parallel_reader.cpp:599-633 — 50bp bins capped at 3x coverage
+      double ac = sv->avg_cov[s];
+      if (ac <= 0.0)
+        return true;
+      int64_t max_bin = std::min<int64_t>(0xFFFF, (int64_t)(ac * 50.0 * 3.0 + 0.5));
+      int64_t b = (p - sv->first_pos) / 50;
+      int32_t & cnt = bins[s][b];
+      if (cnt > max_bin)
+        return false;
+      cnt += 1;
+      return true;
+    };
     int64_t prev = -1;
     for (int64_t r = 0; r < n_reads; ++r)
     {
       if (flags[r] & sam_flag_filter)
         continue;
+      if (sv != nullptr && sv->sv_bad[r])
+        continue;
       bool same = prev >= 0 && pos[r] == pos[prev] &&
                   (read_off[r + 1] - read_off[r]) == (read_off[prev + 1] - read_off[prev]) &&
                   memcmp(read_codes + read_off[r], read_codes + read_off[prev],
                          read_off[r + 1] - read_off[r]) == 0;
-      if (!same)
+      if (same)
       {
-        reps_own.push_back(r);
-        prev = r;
+        if (cov_filter)
+          bin_update(rg_idx[r], pos[r]);  // duplicates update, never reject
+        rep_of_own[r] = (int64_t)reps_own.size() - 1;
+        continue;
       }
+      if (cov_filter && !bin_update(rg_idx[r], pos[r]))
+      {
+        skip[r] = 1;  // prev unchanged, like Python's prev_key
+        continue;
+      }
+      reps_own.push_back(r);
+      prev = r;
       rep_of_own[r] = (int64_t)reps_own.size() - 1;
     }
     reps_in = reps_own.data();
@@ -2368,6 +2479,8 @@ static void * run_call_core(
   {
     if (flags[r] & sam_flag_filter)
       continue;
+    if (sv != nullptr && (sv->sv_bad[r] || skip[r]))
+      continue;
     R->num_records += 1;
     int64_t rep = rep_of[r];
     if (rep >= 0 && reps[rep] != r)
@@ -2375,11 +2488,14 @@ static void * run_call_core(
   }
 
   auto stage2_range = [&](int32_t slo, int32_t shi, CallResult & Rw) {
-    CallCtx Cw{&G, &S, n_samples, hq_reads != 0, &Rw};
+    CallCtx Cw{&G, &S, n_samples, hq_reads != 0, &Rw, sv};
     std::vector<std::unordered_map<std::string, Pending>> maps(shi - slo);
+    int64_t ins_counter = 0;
     for (int64_t r = 0; r < n_reads; ++r)
     {
       if (flags[r] & sam_flag_filter)
+        continue;
+      if (sv != nullptr && (sv->sv_bad[r] || skip[r]))
         continue;
       int32_t rg = rg_idx[r];
       if (rg < slo || rg >= shi)
@@ -2390,10 +2506,28 @@ static void * run_call_core(
       int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
       if (!stage2_one_record(Cw, rg, (uint32_t)flags[r], mapq[r], clipped_count[r],
                              score_diff[r], quals + qual_off[r], qlen, std::move(name),
-                             aligned[rep].first, aligned[rep].second, maps[rg - slo]))
+                             aligned[rep].first, aligned[rep].second, maps[rg - slo],
+                             sv != nullptr ? &ins_counter : nullptr))
       {
         Rw.error = 1;  // both mates claim the same pair slot; Python raises
         break;
+      }
+    }
+    // SV keeps unmatched mates (caller.py:436-447), in map insertion order
+    // (Python dict order); per-sample, in sample order like the Python loop
+    if (sv != nullptr && !Rw.error)
+    {
+      for (int32_t rg = slo; rg < shi; ++rg)
+      {
+        auto & map = maps[rg - slo];
+        std::vector<const Pending *> order;
+        order.reserve(map.size());
+        for (auto const & kv : map)
+          order.push_back(&kv.second);
+        std::sort(order.begin(), order.end(),
+                  [](const Pending * a, const Pending * b) { return a->ins_seq < b->ins_seq; });
+        for (const Pending * p : order)
+          process_leftover_mate(Cw, *p, rg);
       }
     }
   };
@@ -2486,7 +2620,59 @@ void * gt_call_pool(
     flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
     quals, qual_off, rg_idx,
     n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
-    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter,
+    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr,
+    out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
+}
+
+// SV-mode pooled caller (pipeline/caller.py call_pool is_sv branches): the
+// same loop with the is_good_sv_read gate, 50bp/3x coverage bins, SV path
+// goodness tier, leftover-mate resolution, and ReferenceDepth accumulation.
+void * gt_call_pool_sv(
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // pooled reads (already region-filtered + (ref_id,pos,seq)-sorted)
+  const uint8_t * read_codes, const int64_t * read_off, int64_t n_reads,
+  const uint8_t * names, const int64_t * name_off,
+  const int32_t * flags, const int32_t * mapq, const int32_t * tlen,
+  const uint8_t * same_ref, const int64_t * pos,
+  const int32_t * score_diff, const int32_t * clipped_count,
+  const uint8_t * quals, const int64_t * qual_off,
+  const int32_t * rg_idx,
+  // options
+  int32_t n_samples, int32_t sam_flag_filter, int32_t force_both, int32_t hq_reads,
+  int32_t n_threads,
+  // optional seed filter handle from gt_seed_filter_build (nullable)
+  void * seed_filter,
+  // SV inputs: per-read is_good_sv_read verdicts, the coverage filter
+  // (nullable avg_cov disables it), and the depth track to fill
+  const uint8_t * sv_bad, const double * avg_cov, int64_t first_pos,
+  int32_t * depth, int64_t ref_size, int64_t ref_offset,
+  // out sizes
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  SvCtx sv{sv_bad, avg_cov, first_pos, depth, ref_size, ref_offset};
+  return run_call_core(
+    ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+    var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+    sp_ref_reach, sp_actual, n_special,
+    site_order, site_cnum, site_is_snp, n_sites,
+    keys, n_keys, offsets, lab_start, lab_end, lab_var,
+    read_codes, read_off, n_reads, names, name_off,
+    flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
+    quals, qual_off, rg_idx,
+    n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
+    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, &sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -2561,6 +2747,7 @@ struct PrepPool {
   std::vector<uint8_t> read_codes, names, quals, same_ref;
   std::vector<int64_t> read_off, name_off, qual_off, pos;
   std::vector<int32_t> flags, mapq, tlen, sdiff, clip, rg;
+  std::vector<uint8_t> sv_bad;  // is_good_sv_read verdicts (SV pools)
   int64_t n_reads = 0;
   int32_t sam_flag_filter = 0, force_both = 0;
   // dedup
@@ -2736,6 +2923,7 @@ static void parse_bam_pool(
   P.clip.assign(n, 0);
   P.rg.assign(n, 0);
   P.same_ref.assign(n, 0);
+  P.sv_bad.assign(n, 0);
   std::vector<int64_t> & read_off = P.read_off;
   std::vector<int64_t> & name_off = P.name_off;
   std::vector<int64_t> & qual_off = P.qual_off;
@@ -2786,6 +2974,30 @@ static void parse_bam_pool(
         clip = (int32_t)(cl >> 4);
     }
     clip_v[r] = clip;
+    // is_good_sv_read (caller.py:79-93, hts_parallel_reader.cpp:528-568)
+    {
+      bool bad = false;
+      if (flag16 & 0x4)  // IS_UNMAPPED
+        bad = true;
+      else
+      {
+        bool far = pr.ref_id != next_ref ||
+                   (pr.pos > next_pos ? pr.pos - next_pos : next_pos - pr.pos) > 200000;
+        if (mapq8 <= 15 && far)
+          bad = true;
+        else if (n_cigar >= 2)
+        {
+          uint32_t c0, cl;
+          memcpy(&c0, q, 4);
+          memcpy(&cl, q + 4 * (n_cigar - 1), 4);
+          bool front_s = (c0 & 0xF) == 4, back_s = (cl & 0xF) == 4;
+          bool one_clipped = (front_s && (c0 >> 4) >= 12) || (back_s && (cl >> 4) >= 12);
+          if ((front_s && back_s) || (mapq8 <= 15 && one_clipped))
+            bad = true;
+        }
+      }
+      P.sv_bad[r] = bad ? 1 : 0;
+    }
     q += 4 * n_cigar;
     for (char ch : pr.seq_ascii)
       read_codes.push_back(CODE[(uint8_t)ch]);
@@ -2859,7 +3071,7 @@ static void * finish_from_prep(
   const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
   const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
-  const CandView * cand, const SeedFilter * sf,
+  const CandView * cand, const SeedFilter * sf, const SvCtx * sv,
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
 {
@@ -2876,7 +3088,7 @@ static void * finish_from_prep(
     P.quals.data(), P.qual_off.data(),
     P.rg.data(),
     n_samples, P.sam_flag_filter, P.force_both, hq_reads, n_threads,
-    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand, sf,
+    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand, sf, sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -2917,7 +3129,7 @@ void * gt_call_pool_bam(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter,
+    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3058,7 +3270,48 @@ void * gt_call_finish(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, cvp, (const SeedFilter *)seed_filter,
+    n_samples, hq_reads, n_threads, cvp, (const SeedFilter *)seed_filter, nullptr,
+    out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
+}
+
+// SV-mode finish over a prepared pool (prep computes sv_bad from the raw
+// records): the pooled SV loop without any Python record objects. The
+// coverage-filter rep pre-pass in run_call_core recomputes dedup (the
+// prep's reps don't know about bins), so no device cand bitmask here.
+void * gt_call_finish_sv(
+  void * prep,
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // options
+  int32_t n_samples, int32_t hq_reads, int32_t n_threads,
+  void * seed_filter,
+  // SV: coverage filter (nullable avg_cov) + depth track to fill
+  const double * avg_cov, int32_t * depth, int64_t ref_size, int64_t ref_offset,
+  // out sizes
+  int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
+  int64_t * out_n_touched)
+{
+  PrepPool * P = (PrepPool *)prep;
+  SvCtx sv{P->sv_bad.data(), avg_cov, P->pos.empty() ? 0 : P->pos[0],
+           depth, ref_size, ref_offset};
+  return finish_from_prep(
+    *P,
+    ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+    var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+    sp_ref_reach, sp_actual, n_special,
+    site_order, site_cnum, site_is_snp, n_sites,
+    keys, n_keys, offsets, lab_start, lab_end, lab_var,
+    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, &sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 

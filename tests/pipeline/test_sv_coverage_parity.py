@@ -41,18 +41,43 @@ def test_sv_coverage_filter_native_vs_python(tmp_path):
     # cap ~= avg_cov*50*3: pick avg low enough to trip (true cov ~44x here)
     avg = [0.08, 0.08]
 
+    # three paths must agree byte-for-byte: the fully-native SV pooled loop
+    # (gt_call_pool_sv), the Python loop + native batch aligner (bin
+    # decisions replayed by the metadata pre-pass), and the pure-Python loop
+    variants = [
+        ("pooled", dict(native_caller="on", native_aligner="on")),
+        ("batch_align", dict(native_caller="off", native_aligner="on")),
+        ("python", dict(native_caller="off", native_aligner="off")),
+    ]
     old = current_options()
+    bodies = {}
     try:
-        set_options(replace(old, native_aligner="on"))
-        out_nat = genotype_sv(fasta, sv_vcf, [carrier, homref], f"{chrom}:1-{L}",
-                              str(tmp_path / "out_nat"), avg_cov_by_readlen=avg)
-        set_options(replace(old, native_aligner="off"))
-        out_py = genotype_sv(fasta, sv_vcf, [carrier, homref], f"{chrom}:1-{L}",
-                             str(tmp_path / "out_py"), avg_cov_by_readlen=avg)
+        for name, kw in variants:
+            set_options(replace(old, **kw))
+            out = genotype_sv(fasta, sv_vcf, [carrier, homref], f"{chrom}:1-{L}",
+                              str(tmp_path / f"out_{name}"), avg_cov_by_readlen=avg)
+            bodies[name] = _body(out)
     finally:
         set_options(old)
 
-    body_nat = _body(out_nat)
-    body_py = _body(out_py)
-    assert body_nat, "no SV records emitted"
-    assert body_nat == body_py
+    assert bodies["pooled"], "no SV records emitted"
+    assert bodies["pooled"] == bodies["batch_align"] == bodies["python"]
+
+    # BAM inputs route through the BAM-bytes fast path (gt_call_finish_sv:
+    # sv_bad from raw records + native bins/depth) — must match the rest
+    from graphtyper_tpu.io.bam import read_alignments
+    from graphtyper_tpu.io.bam_writer import write_bam
+
+    bams = []
+    for sam in (carrier, homref):
+        header, reads = read_alignments(sam, parse_tags=True)
+        bam = sam[:-4] + ".bam"
+        write_bam(bam, header, list(reads))
+        bams.append(bam)
+    try:
+        set_options(replace(old, native_caller="on", native_aligner="on"))
+        out_bam = genotype_sv(fasta, sv_vcf, bams, f"{chrom}:1-{L}",
+                              str(tmp_path / "out_bam"), avg_cov_by_readlen=avg)
+    finally:
+        set_options(old)
+    assert _body(out_bam) == bodies["pooled"]
