@@ -207,6 +207,189 @@ def fuzz_seed(seed: int, tmp: str) -> list[str]:
     except Exception as e:
         fails.append(f"seed {seed}: popVCF raised {e!r}")
 
+    fails += fuzz_sv(seed, os.path.join(tmp, "sv"))
+    return fails
+
+
+def _sim_sv_messy(tmp: str, seed: int):
+    """An SV cohort with deliberately messy reads: low/edge mapq, soft clips
+    (one- and both-ended), far mates, unmapped(-mate) flags, unpaired reads,
+    duplicates and flag-filtered mates (leftover-mate fodder) — everything
+    is_good_sv_read + the coverage bins + leftover resolution branch on."""
+    import numpy as np
+
+    from graphtyper_tpu.io.bam import AlignedRead, BamHeader
+    from graphtyper_tpu.io.bam_writer import write_bam
+    from graphtyper_tpu.utils.simulate import _random_seq, _write_fasta
+
+    rng = np.random.default_rng(seed * 131 + 7)
+    L = 24_000 + (seed * 4099) % 12_000
+    chrom = "chrFSV"
+    seq = _random_seq(rng, L)
+    os.makedirs(tmp, exist_ok=True)
+    fasta = os.path.join(tmp, "ref.fa")
+    _write_fasta(fasta, chrom, seq)
+
+    svs = []  # (kind, pos1, size)
+    p = 5000
+    kinds = ["DEL", "DUP", "INV"]
+    while p < L - 3000:
+        svs.append((kinds[len(svs) % 3], p + 1, int(rng.integers(60, 300))))
+        p += int(rng.integers(5000, 9000))
+    with open(os.path.join(tmp, "sv.vcf"), "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={chrom}>\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for kind, pos1, size in svs:
+            sgn = "-" if kind == "DEL" else ""
+            f.write(f"{chrom}\t{pos1}\t.\t{chr(seq[pos1 - 1])}\t<{kind}>\t.\t.\t"
+                    f"SVTYPE={kind};SVLEN={sgn}{size};SVSIZE={size};END={pos1 + size}\n")
+
+    # alt haplotype: apply every SV
+    parts, cur = [], 0
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    for kind, pos1, size in svs:
+        p0 = pos1 - 1
+        parts.append(seq[cur : p0 + 1])
+        seg = seq[p0 + 1 : p0 + 1 + size]
+        if kind == "DUP":
+            parts.append(seg)
+            parts.append(seg)
+        elif kind == "INV":
+            parts.append(np.frombuffer(seg.tobytes().translate(comp), dtype=np.uint8)[::-1])
+        cur = p0 + 1 + size
+    parts.append(seq[cur:])
+    hap_alt = np.concatenate(parts)
+
+    read_len, frag = 100, 300
+    n_pairs = int(14.0 * L / (2 * read_len))
+    bams = []
+    for s in range(2):
+        recs = []
+        for i in range(n_pairs):
+            hap = (seq, hap_alt)[int(rng.random() < 0.5)] if s == 0 else seq
+            f = max(read_len + 8, min(frag + int(rng.normal(0, 40)), len(hap) - 1))
+            start = int(rng.integers(0, len(hap) - f))
+            r1 = hap[start : start + read_len].tobytes()
+            r2 = hap[start + f - read_len : start + f].tobytes()
+            p1, p2 = start, start + f - read_len
+            mapq = int(rng.choice([0, 10, 15, 16, 30, 60], p=[0.05, 0.1, 0.05, 0.1, 0.2, 0.5]))
+            cig1 = [(0, read_len)]
+            roll = rng.random()
+            if roll < 0.12:  # front clip
+                c = int(rng.integers(8, 20))
+                cig1 = [(4, c), (0, read_len - c)]
+            elif roll < 0.2:  # back clip
+                c = int(rng.integers(8, 20))
+                cig1 = [(0, read_len - c), (4, c)]
+            elif roll < 0.25:  # both clipped
+                cig1 = [(4, 10), (0, read_len - 22), (4, 12)]
+            flag1, flag2 = 99, 147
+            mp1, mp2 = p2, p1
+            roll2 = rng.random()
+            if roll2 < 0.06:  # far mate
+                mp1 = p1 + 250_000
+                mp2 = p1 + 250_000
+            elif roll2 < 0.1:  # mate unmapped
+                flag1 = (flag1 | 0x8) & ~0x2
+            elif roll2 < 0.14:  # unpaired read (drop the mate entirely)
+                flag1 &= ~(0x1 | 0x2 | 0x8 | 0x20 | 0x40)
+                flag2 = -1
+            elif roll2 < 0.2:  # mate flag-filtered (0x400 dup) -> leftover
+                flag2 |= 0x400
+            qual = np.full(read_len, 35, dtype=np.uint8)
+            name = f"s{s}_r{i}"
+            recs.append(AlignedRead(name=name, flag=flag1, ref_id=0, pos=p1, mapq=mapq,
+                                    cigar=cig1, mate_ref_id=0, mate_pos=mp1,
+                                    tlen=p2 + read_len - p1, seq=r1, qual=qual,
+                                    tags={"RG": f"rg_s{s}"}))
+            if flag2 >= 0:
+                recs.append(AlignedRead(name=name, flag=flag2, ref_id=0, pos=p2, mapq=mapq,
+                                        cigar=[(0, read_len)], mate_ref_id=0, mate_pos=mp2,
+                                        tlen=-(p2 + read_len - p1), seq=r2, qual=qual,
+                                        tags={"RG": f"rg_s{s}"}))
+            if rng.random() < 0.05 and flag2 >= 0:
+                # dedup fodder: another pair with identical (pos, seq) under
+                # a different name (the alignment is computed once, reused)
+                d = recs[-1]
+                recs.append(AlignedRead(name=name + "d", flag=d.flag, ref_id=0, pos=d.pos,
+                                        mapq=d.mapq, cigar=list(d.cigar), mate_ref_id=0,
+                                        mate_pos=d.mate_pos, tlen=d.tlen, seq=d.seq,
+                                        qual=d.qual, tags=dict(d.tags)))
+        recs.sort(key=lambda r: r.pos)
+        header = BamHeader(
+            text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{chrom}\tLN:{L}\n"
+            f"@RG\tID:rg_s{s}\tSM:s{s}\n",
+            ref_names=[chrom],
+            ref_lengths=[L],
+        )
+        bam = os.path.join(tmp, f"s{s}.bam")
+        write_bam(bam, header, recs)
+        bams.append(bam)
+    return fasta, os.path.join(tmp, "sv.vcf"), bams, f"{chrom}:1-{L}", L
+
+
+def fuzz_sv(seed: int, tmp: str) -> list[str]:
+    """SV pipeline differential axis: the native pooled SV loop (BAM bytes
+    and object paths), the Python loop + native batch aligner, and the pure
+    Python loop must emit byte-identical VCFs — with and without the
+    coverage-bin filter — on messy inputs."""
+    from graphtyper_tpu.pipeline.genotype import genotype_sv
+
+    fails: list[str] = []
+    os.makedirs(tmp, exist_ok=True)
+    fasta, sv_vcf, bams, region, L = _sim_sv_messy(tmp, seed)
+
+    def run_sv(name, avg, **opt_over):
+        base = current_options()
+        if opt_over:
+            set_options(replace(base, **opt_over))
+        try:
+            return genotype_sv(fasta, sv_vcf, bams, region,
+                               os.path.join(tmp, f"out_{name}"), avg_cov_by_readlen=avg)
+        finally:
+            set_options(base)
+
+    for tag, avg in (("cov", [0.05, 0.05]), ("nocov", None)):
+        try:
+            ref_out = run_sv(f"{tag}_native", avg)
+            ref = vcf_text(ref_out)
+        except Exception as e:
+            fails.append(f"seed {seed}: SV {tag} native raised {e!r}")
+            continue
+        for name, over in (
+            ("pyloop", dict(native_caller="off")),
+            ("pyall", dict(native_caller="off", native_aligner="off")),
+        ):
+            try:
+                out = run_sv(f"{tag}_{name}", avg, **over)
+                if vcf_text(out) != ref:
+                    fails.append(f"seed {seed}: SV {tag} {name} differs")
+            except Exception as e:
+                fails.append(f"seed {seed}: SV {tag} {name} raised {e!r}")
+        # object-array path (SAM re-encode defeats the BAM-bytes fast path)
+        try:
+            from types import SimpleNamespace
+
+            from graphtyper_tpu.io.bam import read_alignments
+            from graphtyper_tpu.io.sam_writer import write_sam
+
+            sam_paths = []
+            for i, p in enumerate(bams):
+                header, reads = read_alignments(p, parse_tags=True)
+                dst = os.path.join(tmp, f"re{i}.sam")
+                write_sam(dst, header, list(reads))
+                sam_paths.append(dst)
+            bak = bams
+            try:
+                bams = sam_paths
+                out = run_sv(f"{tag}_objpath", avg)
+            finally:
+                bams = bak
+            if vcf_text(out) != ref:
+                fails.append(f"seed {seed}: SV {tag} object-path differs")
+        except Exception as e:
+            fails.append(f"seed {seed}: SV {tag} object-path raised {e!r}")
     return fails
 
 
