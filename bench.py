@@ -132,6 +132,12 @@ def child_pipeline() -> None:
     ind_wall = time.perf_counter() - t0
     ind_records = _count_records(ind_outs)
 
+    # --- SV pipeline (genotype_sv): the second headline subcommand ---------
+    try:
+        sv_reads_per_sec, sv_records = sv_workload(tmp)
+    except Exception:
+        sv_reads_per_sec, sv_records = 0.0, 0
+
     try:
         kernel = kernel_secondary()
     except Exception:
@@ -147,10 +153,32 @@ def child_pipeline() -> None:
                 "per_1mb_reads": mb_reads,
                 "indep_reads_per_sec": ind.n_reads / ind_wall,
                 "indep_n_records": ind_records,
+                "sv_reads_per_sec": sv_reads_per_sec,
+                "sv_n_records": sv_records,
                 "kernel": kernel,
             }
         )
     )
+
+
+def sv_workload(tmp: str) -> tuple[float, int]:
+    """genotype_sv over a 300kb 4-sample 30x mixed DEL/DUP/INV cohort with
+    the coverage filter active (the production configuration) — the fully
+    native SV pooled loop (gt_call_finish_sv). Returns (reads/s, records)."""
+    import gzip
+    import subprocess
+
+    sv_dir = os.path.join(tmp, "sv")
+    cmd = [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "tools", "bench_sv.py"),
+           "--kb", "300", "--samples", "4", "--keep", sv_dir]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                         env=os.environ.copy())
+    for line in out.stdout.splitlines():
+        if "reads_per_sec=" in line:
+            parts = dict(kv.split("=") for kv in line.split())
+            return float(parts["reads_per_sec"]), int(parts["records"])
+    return 0.0, 0
 
 
 def kernel_secondary() -> float:
@@ -248,6 +276,8 @@ def main() -> None:
                     "per_1mb_reads_per_sec": round(raw["per_1mb_reads"] / raw["per_1mb_wall_s"], 1),
                     "indep_reads_per_sec": round(raw["indep_reads_per_sec"], 1),
                     "indep_n_records": raw["indep_n_records"],
+                    "sv_reads_per_sec": round(raw.get("sv_reads_per_sec", 0.0), 1),
+                    "sv_n_records": raw.get("sv_n_records", 0),
                     "backend": backend,
                     "kernel_reads_per_sec": round(kernel, 1),
                 },

@@ -53,20 +53,20 @@ class HaplotypeInfo:
     always_together: set = field(default_factory=set)
 
 
-@dataclass
+@dataclass(slots=True)
 class BucketFirstPass:
     global_max_pos_end: int = -1
     max_pos_end: int = -1
     events: dict = field(default_factory=dict)  # Event -> EventSupport
 
 
-@dataclass
+@dataclass(slots=True)
 class ReadIndelEvent:
     read_pos: int
     event: Event
 
 
-@dataclass
+@dataclass(slots=True)
 class Alignment2:
     pos: int = -1
     pos_end: int = -1
@@ -83,7 +83,7 @@ class Alignment2:
         return False
 
 
-@dataclass
+@dataclass(slots=True)
 class Read2:
     name: str = ""
     mate_pos: int = -1
@@ -94,7 +94,7 @@ class Read2:
     alignment: Alignment2 = field(default_factory=Alignment2)
 
 
-@dataclass
+@dataclass(slots=True)
 class Bucket2:
     global_max_pos_end: int = -1
     max_pos_end: int = -1

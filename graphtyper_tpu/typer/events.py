@@ -17,7 +17,7 @@ READ_MULTI_SUPPORT = -2
 _TYPE_ORDER = {"I": 0, "D": 1, "X": 2}
 
 
-@dataclass(frozen=True, order=False)
+@dataclass(frozen=True, order=False, slots=True)
 class Event:
     pos: int  # 1-based-ish region-absolute position
     type: str  # 'X' | 'I' | 'D'
@@ -33,7 +33,7 @@ class Event:
         return f"{self.pos} {self.type} {self.sequence.decode()}"
 
 
-@dataclass
+@dataclass(slots=True)
 class EventSupport:
     hq_count: int = 0
     lq_count: int = 0

@@ -13,9 +13,66 @@ from __future__ import annotations
 import numpy as np
 
 
+def _nw_edits_native(ref: bytes, alt: bytes):
+    """C++ twin of the numpy DP below (gt_sw.cpp gt_nw_edits, same tie
+    rules); returns None to fall back (lib missing or size cap)."""
+    from graphtyper_tpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    if not getattr(lib, "_nw_ready", False):
+        lib.gt_nw_edits.restype = ctypes.c_int64
+        lib.gt_nw_edits.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._nw_ready = True
+    n, m = len(ref), len(alt)
+    cap = n + m
+    e_pos = np.empty(cap, dtype=np.int64)
+    e_rl = np.empty(cap, dtype=np.int64)
+    e_al = np.empty(cap, dtype=np.int64)
+    r_out = np.empty(max(1, n), dtype=np.uint8)
+    a_out = np.empty(max(1, m), dtype=np.uint8)
+    k = lib.gt_nw_edits(
+        ref, n, alt, m,
+        e_pos.ctypes.data_as(ctypes.c_void_p), e_rl.ctypes.data_as(ctypes.c_void_p),
+        e_al.ctypes.data_as(ctypes.c_void_p),
+        r_out.ctypes.data_as(ctypes.c_void_p), a_out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if k < 0:
+        return None
+    edits = []
+    ro = ao = 0
+    rb = r_out.tobytes()
+    ab = a_out.tobytes()
+    for i in range(k):
+        rl, al = int(e_rl[i]), int(e_al[i])
+        edits.append((int(e_pos[i]), rb[ro : ro + rl], ab[ao : ao + al]))
+        ro += rl
+        ao += al
+    return edits
+
+
 def _needleman_wunsch_edits(ref: bytes, alt: bytes) -> list[tuple[int, bytes, bytes]]:
     """Global alignment; returns edits as (ref_pos, ref_piece, alt_piece)
-    with no anchor bases (one side may be empty for pure indels)."""
+    with no anchor bases (one side may be empty for pure indels). Native
+    C++ by default; the numpy DP below is the oracle
+    (tests/utils/test_msa_native.py asserts equality)."""
+    if len(ref) == 0 or len(alt) == 0:
+        return [(0, ref, alt)] if ref != alt else []
+    native = _nw_edits_native(ref, alt)
+    if native is not None:
+        return native
+    return _needleman_wunsch_edits_numpy(ref, alt)
+
+
+def _needleman_wunsch_edits_numpy(ref: bytes, alt: bytes) -> list[tuple[int, bytes, bytes]]:
+    """The numpy oracle DP (same scores and traceback tie rules)."""
     n, m = len(ref), len(alt)
     if n == 0 or m == 0:
         return [(0, ref, alt)] if ref != alt else []

@@ -208,4 +208,126 @@ void gt_sw_batch(const uint8_t * queries, const int32_t * q_lens, const uint8_t 
     th.join();
 }
 
+// Global Needleman-Wunsch edit extraction — native twin of
+// utils/msa.py:_needleman_wunsch_edits (match +1, mismatch -1, gap -1;
+// traceback tie rules: sticky D, sticky I, then diag, del, ins — sticky
+// state resets on any diagonal step). Decomposition parity depends on these
+// exact tie rules (tests/typer/test_decompose_differential.py).
+// Outputs: edit (pos, ref_len, alt_len) triplets plus the edit ref/alt
+// bytes concatenated (caller sizes: n_edits <= n+m, bytes <= n / m).
+// Returns n_edits, or -1 when n*m exceeds the DP-cell cap (Python fallback).
+int64_t gt_nw_edits(const uint8_t * a, int64_t n, const uint8_t * b, int64_t m,
+                    int64_t * e_pos, int64_t * e_ref_len, int64_t * e_alt_len,
+                    uint8_t * ref_out, uint8_t * alt_out)
+{
+  if (n <= 0 || m <= 0 || n * m > (int64_t)64 * 1024 * 1024)
+    return -1;
+  const int32_t MATCH = 1, MISMATCH = -1, GAP = -1;
+  std::vector<int32_t> score((n + 1) * (m + 1));
+  int64_t W = m + 1;
+  for (int64_t i = 0; i <= n; ++i)
+    score[i * W] = GAP * (int32_t)i;
+  for (int64_t j = 0; j <= m; ++j)
+    score[j] = GAP * (int32_t)j;
+  for (int64_t i = 1; i <= n; ++i)
+  {
+    const int32_t * prev = score.data() + (i - 1) * W;
+    int32_t * cur = score.data() + i * W;
+    uint8_t ac = a[i - 1];
+    int32_t left = cur[0];
+    for (int64_t j = 1; j <= m; ++j)
+    {
+      int32_t sub = prev[j - 1] + (b[j - 1] == ac ? MATCH : MISMATCH);
+      int32_t up = prev[j] + GAP;
+      int32_t best = sub > up ? sub : up;
+      int32_t with_left = left + GAP;
+      if (with_left > best)
+        best = with_left;
+      cur[j] = best;
+      left = best;
+    }
+  }
+  // traceback (ops in reverse), collapsing runs of non-matches into edits.
+  // We build the reversed op list, then emit edits forward.
+  std::vector<uint8_t> ops;  // 0=M 1=X 2=D 3=I, reversed order
+  ops.reserve(n + m);
+  int64_t i = n, j = m;
+  int last_op = 0;  // 2/3 sticky, else 0
+  while (i > 0 || j > 0)
+  {
+    const int32_t sij = score[i * W + j];
+    bool can_diag = i > 0 && j > 0 &&
+                    sij == score[(i - 1) * W + (j - 1)] + (a[i - 1] == b[j - 1] ? MATCH : MISMATCH);
+    bool can_del = i > 0 && sij == score[(i - 1) * W + j] + GAP;
+    bool can_ins = j > 0 && sij == score[i * W + (j - 1)] + GAP;
+    int op;
+    if (last_op == 2 && can_del)
+      op = 2;
+    else if (last_op == 3 && can_ins)
+      op = 3;
+    else if (can_diag)
+      op = (a[i - 1] == b[j - 1]) ? 0 : 1;
+    else if (can_del)
+      op = 2;
+    else
+      op = 3;
+    ops.push_back((uint8_t)op);
+    if (op <= 1)
+    {
+      --i;
+      --j;
+      last_op = 0;
+    }
+    else if (op == 2)
+    {
+      --i;
+      last_op = 2;
+    }
+    else
+    {
+      --j;
+      last_op = 3;
+    }
+  }
+  int64_t n_edits = 0, ro = 0, ao = 0;
+  int64_t ri = 0, ai = 0;  // forward indices into a / b
+  int64_t cur_pos = -1, cur_r0 = 0, cur_a0 = 0;
+  for (int64_t k = (int64_t)ops.size() - 1; k >= 0; --k)
+  {
+    int op = ops[k];
+    if (op == 0)
+    {
+      if (cur_pos >= 0)
+      {
+        e_pos[n_edits] = cur_pos;
+        e_ref_len[n_edits] = ro - cur_r0;
+        e_alt_len[n_edits] = ao - cur_a0;
+        ++n_edits;
+        cur_pos = -1;
+      }
+      ++ri;
+      ++ai;
+      continue;
+    }
+    if (cur_pos < 0)
+    {
+      cur_pos = ri;
+      cur_r0 = ro;
+      cur_a0 = ao;
+    }
+    if (op == 1 || op == 2)
+      ref_out[ro++] = a[ri++];
+    if (op == 1 || op == 3)
+      alt_out[ao++] = b[ai++];
+  }
+  if (cur_pos >= 0)
+  {
+    e_pos[n_edits] = cur_pos;
+    e_ref_len[n_edits] = ro - cur_r0;
+    e_alt_len[n_edits] = ao - cur_a0;
+    ++n_edits;
+  }
+  return n_edits;
+}
+
 } // extern "C"

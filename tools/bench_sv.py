@@ -100,6 +100,10 @@ def _sim_sample_bam(path, chrom, contig_len, haps, n_pairs, sample, seed, read_l
 
 
 def main():
+    if os.environ.get("GT_BENCH_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--kb", type=int, default=300)
     ap.add_argument("--samples", type=int, default=4)
