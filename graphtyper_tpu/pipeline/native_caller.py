@@ -356,7 +356,7 @@ def run_native_call_pool_bam(
     if n_threads <= 0:
         import os
 
-        n_threads = min(8, os.cpu_count() or 1)
+        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
 
     n_obs = ctypes.c_int64()
     n_xvals = ctypes.c_int64()
@@ -496,7 +496,7 @@ def run_native_call_pool(
     if n_threads <= 0:
         import os
 
-        n_threads = min(8, os.cpu_count() or 1)
+        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
 
     n_obs = ctypes.c_int64()
     n_xvals = ctypes.c_int64()
@@ -836,7 +836,7 @@ def run_native_call_pool_stream(
     if n_threads <= 0:
         import os
 
-        n_threads = min(8, os.cpu_count() or 1)
+        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
 
     path_bytes = [p.encode() for p in hts_paths]
     path_arr = (ctypes.c_char_p * len(path_bytes))(*path_bytes)

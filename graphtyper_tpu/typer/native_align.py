@@ -103,7 +103,7 @@ def seed_filter_handle(index, lib, n_threads: int = 0):
                     if n_threads <= 0:
                         import os
 
-                        n_threads = min(8, os.cpu_count() or 1)
+                        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
                     handle = lib.gt_seed_filter_build(
                         keys.ctypes.data_as(ctypes.c_void_p), len(keys), n_threads
                     )
@@ -255,7 +255,7 @@ class NativeAligner:
         if n_threads <= 0:
             import os
 
-            n_threads = min(8, os.cpu_count() or 1)
+            n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
 
         n_paths = ctypes.c_int64()
         n_sites = ctypes.c_int64()
