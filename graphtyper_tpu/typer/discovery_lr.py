@@ -28,13 +28,87 @@ from graphtyper_tpu.utils.dna import encode
 BUCKET_SIZE = 50
 
 
+# translated qual per raw phred (the scalar formula, precomputed so the
+# vectorized path reproduces Python round() bit-for-bit)
+_TR_QUAL = np.array([15 + round(min(q, 60) * 12.0 / 60.0) for q in range(256)], dtype=np.int64)
+
+
 def lr_pileup(reads, region_begin: int, ref_size: int, opts: Options) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position base counts [L, 4] and qualsums [L, 4].
+    """Per-position base counts [L, 4] and qualsums [L, 4] — vectorized per
+    read (a long read contributes each reference position at most once, so
+    segment ranges concatenate into unique-row fancy-index adds; the
+    coverage-filter trigger is the LAST added position whose post-add depth
+    reaches the cap, exactly the scalar loop's final overwrite).
+    lr_pileup_scalar below is the oracle (tests/typer/test_lr_pileup.py).
 
     Extreme-coverage protection (caller.cpp:1381,1512-1516 + bucket.cpp
     add_base_to_bucket): once any position's depth reaches
     lr_coverage_filter, later reads starting before that position are
     skipped entirely (reads arrive coordinate-sorted)."""
+    counts = np.zeros((ref_size, 4), dtype=np.int64)
+    qualsums = np.zeros((ref_size, 4), dtype=np.int64)
+    rowsum = np.zeros(ref_size, dtype=np.int64)
+    cov_filter = opts.lr_coverage_filter
+    min_pos = -1  # genomic 0-based threshold
+    for r in reads:
+        if not r.cigar or len(r.seq) < 150 or r.mapq < opts.lr_mapq_filter or (r.flag & opts.sam_flag_filter):
+            continue
+        if r.pos < min_pos:
+            continue
+        codes = encode(r.seq)
+        quals = np.asarray(r.qual, dtype=np.int64)
+        n_codes = len(codes)
+        rp_parts: list[np.ndarray] = []
+        qp_parts: list[np.ndarray] = []
+        ref_offset = r.pos - region_begin
+        read_offset = 0
+        for op, cnt in r.cigar:
+            if op in (0, 7, 8):
+                # scalar semantics: rp < 0 skips the base; rp >= ref_size or
+                # qp >= len(codes) breaks the segment (ranges, since rp/qp
+                # ascend within a segment)
+                n = min(cnt, n_codes - read_offset)
+                if n > 0:
+                    k0 = max(0, -ref_offset)
+                    k1 = min(n, ref_size - ref_offset)
+                    if k1 > k0:
+                        rp_parts.append(np.arange(ref_offset + k0, ref_offset + k1))
+                        qp_parts.append(np.arange(read_offset + k0, read_offset + k1))
+                read_offset += cnt
+                ref_offset += cnt
+            elif op == 1:
+                read_offset += cnt
+            elif op in (2, 3):
+                ref_offset += cnt
+            elif op == 4:
+                read_offset += cnt
+        if not rp_parts:
+            continue
+        rp = np.concatenate(rp_parts) if len(rp_parts) > 1 else rp_parts[0]
+        qp = np.concatenate(qp_parts) if len(qp_parts) > 1 else qp_parts[0]
+        c = codes[qp].astype(np.int64)
+        q = quals[qp]
+        m = (c < 4) & (q > 0)
+        if not m.all():
+            rp = rp[m]
+            c = c[m]
+            q = q[m]
+        if len(rp) == 0:
+            continue
+        # rp values are unique within one read (each op advances), so plain
+        # fancy-index adds are exact
+        counts[rp, c] += 1
+        qualsums[rp, c] += _TR_QUAL[q]
+        rowsum[rp] += 1
+        if cov_filter > 0:
+            trig = np.nonzero(rowsum[rp] >= cov_filter)[0]
+            if len(trig):
+                min_pos = int(rp[trig[-1]]) + region_begin
+    return counts, qualsums
+
+
+def lr_pileup_scalar(reads, region_begin: int, ref_size: int, opts: Options) -> tuple[np.ndarray, np.ndarray]:
+    """The reference-shaped per-base loop — kept as the parity oracle."""
     counts = np.zeros((ref_size, 4), dtype=np.int64)
     qualsums = np.zeros((ref_size, 4), dtype=np.int64)
     cov_filter = opts.lr_coverage_filter
@@ -116,30 +190,40 @@ def streamlined_lr_genotyping(
             counts_by_sample.append(counts)
             qs_by_sample.append(qs)
 
-    # SNP candidates from merged qualsum gaps (caller.cpp:3246-3290)
-    total_counts = np.sum(counts_by_sample, axis=0)
-    total_qs = np.sum(qs_by_sample, axis=0)
+    # SNP candidates from merged qualsum gaps (caller.cpp:3246-3290),
+    # vectorized over positions (per-position stable argsort of the 4 bases)
+    total_counts = counts_by_sample[0].copy()
+    for a in counts_by_sample[1:]:
+        total_counts += a
+    total_qs = qs_by_sample[0].copy()
+    for a in qs_by_sample[1:]:
+        total_qs += a
+    order = np.argsort(total_qs, axis=1, kind="stable")  # [L, 4] ascending
+    first = order[:, 3]
+    second = order[:, 2]
+    third = order[:, 1]
+    rows = np.arange(ref_size)
+    qs_f = total_qs[rows, first]
+    qs_s = total_qs[rows, second]
+    qs_t = total_qs[rows, third]
+    bc_f = total_counts[rows, first]
+    bc_s = total_counts[rows, second]
+    qsum = total_qs.sum(axis=1)
+    ref_ok = ref_codes[:ref_size] < 4
+    ref_idx_arr = np.where(ref_ok, ref_codes[:ref_size], 255).astype(np.int64)
+    cond1 = ref_ok & (first != ref_idx_arr) & (bc_f >= 3) & (
+        ((qs_f - qs_s) >= 30) | ((qs_f - qs_t) >= 50)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(qsum > 0, qs_s / np.maximum(qsum, 1), 0.0)
+    cond2 = ref_ok & (second != ref_idx_arr) & (bc_s >= 4) & ((qs_s - qs_t) >= 50) & (
+        qsum > 0
+    ) & (ratio > 0.3)
     snp_events: set[tuple[int, int]] = set()  # (region-local pos, base code)
-    for p in range(ref_size):
-        ref_idx = int(ref_codes[p])
-        if ref_idx >= 4:
-            continue
-        qs = total_qs[p]
-        bc = total_counts[p]
-        order = np.argsort(qs, kind="stable")
-        first, second, third = int(order[3]), int(order[2]), int(order[1])
-        if first != ref_idx and bc[first] >= 3 and (
-            (qs[first] - qs[second]) >= 30 or (qs[first] - qs[third]) >= 50
-        ):
-            snp_events.add((p, first))
-        if (
-            second != ref_idx
-            and bc[second] >= 4
-            and (qs[second] - qs[third]) >= 50
-            and qs.sum() > 0
-            and (qs[second] / qs.sum()) > 0.3
-        ):
-            snp_events.add((p, second))
+    for p in np.nonzero(cond1)[0]:
+        snp_events.add((int(p), int(first[p])))
+    for p in np.nonzero(cond2)[0]:
+        snp_events.add((int(p), int(second[p])))
 
     vcf = VcfOutput(sample_names=sample_names)
     by_pos: dict[int, list[int]] = {}
