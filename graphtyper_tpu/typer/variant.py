@@ -466,24 +466,35 @@ class Variant:
             infos["END"] = str(end)
 
         pa = st.per_allele
-        infos["MaxAAS"] = ",".join(str(pa[e].maximum_alt_support) for e in range(1, num_seqs))
-        infos["MaxAASR"] = ",".join(fmt_g(pa[e].maximum_alt_support_ratio) for e in range(1, num_seqs))
-        infos["NHomRef"] = ",".join(str(pa[e].n_ref_ref) for e in range(1, num_seqs))
-        infos["NHet"] = ",".join(str(pa[e].n_ref_alt) for e in range(1, num_seqs))
-        infos["NHomAlt"] = ",".join(str(pa[e].n_alt_alt) for e in range(1, num_seqs))
-        infos["PexcessHet"] = ",".join(
-            fmt_g(p_hwe_excess_het(pa[e].n_ref_alt, pa[e].n_ref_ref, pa[e].n_alt_alt), 6)
-            for e in range(1, num_seqs)
+        # one pass over the alt alleles builds every per-allele column (the
+        # dozen separate generator joins were a measured hot spot)
+        maxaas, maxaasr, nhomref, nhet, nhomalt, pexc, acs, afs, pacs = (
+            [], [], [], [], [], [], [], [], []
         )
+        an2 = 2 * st.n_genotyped
+        for e in range(1, num_seqs):
+            p = pa[e]
+            maxaas.append(str(p.maximum_alt_support))
+            maxaasr.append(fmt_g(p.maximum_alt_support_ratio))
+            nhomref.append(str(p.n_ref_ref))
+            nhet.append(str(p.n_ref_alt))
+            nhomalt.append(str(p.n_alt_alt))
+            pexc.append(fmt_g(p_hwe_excess_het(p.n_ref_alt, p.n_ref_ref, p.n_alt_alt), 6))
+            acs.append(str(p.ac))
+            afs.append(fmt_g(p.ac / an2) if an2 > 0 else "0.0")
+            pacs.append(str(p.pass_ac))
+        infos["MaxAAS"] = ",".join(maxaas)
+        infos["MaxAASR"] = ",".join(maxaasr)
+        infos["NHomRef"] = ",".join(nhomref)
+        infos["NHet"] = ",".join(nhet)
+        infos["NHomAlt"] = ",".join(nhomalt)
+        infos["PexcessHet"] = ",".join(pexc)
         if self.is_sv():
             infos["MaxAltPP"] = str(st.n_max_alt_proper_pairs)
-        infos["AC"] = ",".join(str(pa[e].ac) for e in range(1, num_seqs))
-        infos["AN"] = str(2 * st.n_genotyped)
-        if st.n_genotyped > 0:
-            infos["AF"] = ",".join(fmt_g(pa[e].ac / (2 * st.n_genotyped)) for e in range(1, num_seqs))
-        else:
-            infos["AF"] = ",".join("0.0" for _ in range(1, num_seqs))
-        infos["PASS_AC"] = ",".join(str(pa[e].pass_ac) for e in range(1, num_seqs))
+        infos["AC"] = ",".join(acs)
+        infos["AN"] = str(an2)
+        infos["AF"] = ",".join(afs)
+        infos["PASS_AC"] = ",".join(pacs)
         infos["PASS_AN"] = str(2 * st.n_passed_calls)
         info_pass_ratio = 0.0
         if st.n_genotyped > 0:

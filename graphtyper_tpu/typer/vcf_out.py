@@ -193,14 +193,15 @@ class VcfOutput:
                 if is_sv:
                     filt = call.check_filter(gq)
                     fields.append("PASS" if filt == 0 else f"FAIL{filt}")
-                fields.append(",".join(str(int(x)) for x in call.coverage))
+                fields.append(",".join(map(str, np.asarray(call.coverage).tolist())))
                 fields.append(str(call.ambiguous_depth))
                 fields.append(str(call.get_depth()))
                 if is_sv:
                     fields.append(f"{call.ref_total_depth},{call.alt_total_depth}")
                     fields.append(str(call.alt_proper_pair_depth))
                 fields.append(str(min(99, int(BINNED_PL[min(gq, 255)]))))
-                fields.append(",".join(str(int(BINNED_PL[min(int(p), 255)])) for p in call.phred))
+                binned = BINNED_PL[np.minimum(np.asarray(call.phred, dtype=np.int64), 255)]
+                fields.append(",".join(map(str, binned.tolist())))
                 out.append(":".join(fields))
         return "\t".join(out)
 

@@ -1,0 +1,86 @@
+"""BASELINE configs 2 and 4 measured driver-style.
+
+config 2: 5Mb chr-scale 30x single-sample, full 3-iteration pipeline.
+config 4: 50-sample x 1Mb x 30x cohort.
+
+Simulated inputs cache under /tmp/gt_cfg{2,4}_cache (keyed by recipe in
+meta.json) so reruns skip the multi-minute simulation.
+
+Usage: python tools/bench_configs.py [2|4|both]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _cached_sim(cache: str, cfg):
+    from graphtyper_tpu.utils.simulate import simulate_cohort
+
+    meta_p = os.path.join(cache, "meta.json")
+    key = dict(region_length=cfg.region_length, coverage=cfg.coverage,
+               n_samples=cfg.n_samples, seed=cfg.seed)
+    if os.path.exists(meta_p):
+        meta = json.load(open(meta_p))
+        if meta.get("key") == key:
+            from types import SimpleNamespace
+
+            return SimpleNamespace(fasta=meta["fasta"], sams=meta["sams"],
+                                   n_reads=meta["n_reads"])
+    os.makedirs(cache, exist_ok=True)
+    t0 = time.perf_counter()
+    sim = simulate_cohort(os.path.join(cache, "m"), cfg)
+    print(f"sim: {time.perf_counter() - t0:.0f}s", flush=True)
+    json.dump({"key": key, "fasta": sim.fasta, "sams": list(sim.sams),
+               "n_reads": sim.n_reads}, open(meta_p, "w"))
+    return sim
+
+
+def config2():
+    from graphtyper_tpu.pipeline.genotype import genotype_regions
+    from graphtyper_tpu.utils.simulate import SimConfig
+
+    cfg = SimConfig(region_length=5_000_000, coverage=30.0, n_samples=1, seed=6,
+                    out_format="bam")
+    sim = _cached_sim("/tmp/gt_cfg2_cache", cfg)
+    out = "/tmp/gt_cfg2_out"
+    t0 = time.perf_counter()
+    genotype_regions(sim.fasta, sim.sams, f"{cfg.chrom}:1-5000000", out, processes=4)
+    wall = time.perf_counter() - t0
+    print(json.dumps({"config": 2, "wall_s": round(wall, 1),
+                      "reads_per_sec": round(sim.n_reads / wall, 1),
+                      "s_per_mb": round(wall / 5.0, 2)}), flush=True)
+
+
+def config4():
+    from graphtyper_tpu.pipeline.genotype import genotype_regions
+    from graphtyper_tpu.utils.simulate import SimConfig
+
+    cfg = SimConfig(region_length=1_000_000, coverage=30.0, n_samples=50, seed=8,
+                    out_format="bam")
+    sim = _cached_sim("/tmp/gt_cfg4_cache", cfg)
+    out = "/tmp/gt_cfg4_out"
+    t0 = time.perf_counter()
+    genotype_regions(sim.fasta, sim.sams, f"{cfg.chrom}:1-1000000", out, processes=4)
+    wall = time.perf_counter() - t0
+    print(json.dumps({"config": 4, "wall_s": round(wall, 1),
+                      "reads_per_sec": round(sim.n_reads / wall, 1)}), flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    from graphtyper_tpu.utils.simulate import SimConfig  # noqa: F401  (import check)
+
+    if which in ("2", "both"):
+        config2()
+    if which in ("4", "both"):
+        config4()
+
+
+if __name__ == "__main__":
+    main()
