@@ -165,7 +165,6 @@ def sv_workload(tmp: str) -> tuple[float, int]:
     """genotype_sv over a 300kb 4-sample 30x mixed DEL/DUP/INV cohort with
     the coverage filter active (the production configuration) — the fully
     native SV pooled loop (gt_call_finish_sv). Returns (reads/s, records)."""
-    import gzip
     import subprocess
 
     sv_dir = os.path.join(tmp, "sv")
@@ -174,11 +173,14 @@ def sv_workload(tmp: str) -> tuple[float, int]:
            "--kb", "300", "--samples", "4", "--keep", sv_dir]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
                          env=os.environ.copy())
+    if out.returncode != 0:
+        sys.stderr.write("bench_sv failed:\n" + out.stderr[-2000:])
+        raise RuntimeError(f"bench_sv exited {out.returncode}")
     for line in out.stdout.splitlines():
         if "reads_per_sec=" in line:
             parts = dict(kv.split("=") for kv in line.split())
             return float(parts["reads_per_sec"]), int(parts["records"])
-    return 0.0, 0
+    raise RuntimeError("bench_sv produced no result line")
 
 
 def kernel_secondary() -> float:

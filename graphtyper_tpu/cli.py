@@ -145,10 +145,8 @@ def cmd_genotype(args) -> int:
             regions = [l.strip() for l in f if l.strip()]
     avg_cov = None
     if args.avg_cov_by_readlen:
-        with open(args.avg_cov_by_readlen) as f:
-            avg_cov = [float(l.strip()) for l in f if l.strip()]
-        if len(avg_cov) != len(sams):
-            print("error: --avg_cov_by_readlen line count != number of SAM/BAM files", file=sys.stderr)
+        avg_cov = _read_avg_cov(args.avg_cov_by_readlen, len(sams))
+        if avg_cov is None:
             return 1
     # multi-host region sharding (parallel/distributed.py): each host
     # genotypes its deterministic share of the regions; the union of the
@@ -192,16 +190,29 @@ def cmd_genotype(args) -> int:
     return 0
 
 
+def _read_avg_cov(path: str, n_sams: int) -> list[float] | None:
+    """Parse --avg_cov_by_readlen (one value per SAM; main.cpp:147-184).
+    Returns None on error after printing the reason."""
+    try:
+        with open(path) as f:
+            avg_cov = [float(l.strip()) for l in f if l.strip()]
+    except (OSError, ValueError) as e:
+        print(f"error: could not read --avg_cov_by_readlen file: {e}", file=sys.stderr)
+        return None
+    if len(avg_cov) != n_sams:
+        print("error: --avg_cov_by_readlen line count != number of SAM/BAM files", file=sys.stderr)
+        return None
+    return avg_cov
+
+
 def cmd_genotype_sv(args) -> int:
     from graphtyper_tpu.pipeline.genotype import genotype_sv
 
     sams = _read_sams_arg(args)
     avg_cov = None
     if args.avg_cov_by_readlen:
-        with open(args.avg_cov_by_readlen) as f:
-            avg_cov = [float(l.strip()) for l in f if l.strip()]
-        if len(avg_cov) != len(sams):
-            print("error: --avg_cov_by_readlen line count != number of SAM/BAM files", file=sys.stderr)
+        avg_cov = _read_avg_cov(args.avg_cov_by_readlen, len(sams))
+        if avg_cov is None:
             return 1
     out = genotype_sv(args.ref, args.sv_vcf, sams, args.region, args.output,
                       avg_cov_by_readlen=avg_cov)

@@ -25,6 +25,20 @@ def _find_lib():
     return None
 
 
+def native_thread_count() -> int:
+    """Worker threads for the native loops: GT_NATIVE_THREADS if it parses
+    to a positive int, else min(8, cpu count). Malformed values fall back
+    rather than abort (they are a tuning knob, not a correctness input)."""
+    raw = os.environ.get("GT_NATIVE_THREADS", "")
+    try:
+        n = int(raw)
+    except ValueError:
+        n = 0
+    if n > 0:
+        return n
+    return min(8, os.cpu_count() or 1)
+
+
 def get_lib():
     global _LIB
     if _LIB is not None:

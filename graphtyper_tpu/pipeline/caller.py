@@ -348,7 +348,13 @@ def call_pool(
     ):
         from graphtyper_tpu.pipeline import native_caller as nc
 
-        if nc.available():
+        if nc.available() and not (
+            # avg_cov is per input FILE; with merged multi-sample files the
+            # sample count can exceed it — keep the Python loop's loud
+            # IndexError instead of native out-of-bounds reads
+            coverage_filter
+            and len(avg_cov_by_readlen) != len(sample_names)
+        ):
             sv_ctx = None
             if is_sv:
                 sv_ctx = {

@@ -354,9 +354,9 @@ def run_native_call_pool_bam(
         cand_words = _device_seed_words(index, entry, lib)
 
     if n_threads <= 0:
-        import os
+        from graphtyper_tpu.io.native import native_thread_count
 
-        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
+        n_threads = native_thread_count()
 
     n_obs = ctypes.c_int64()
     n_xvals = ctypes.c_int64()
@@ -393,6 +393,8 @@ def run_native_call_pool_bam(
     )
     reference_depth = None
     if is_sv:
+        if avg_cov is not None and len(avg_cov) != len(sample_names):
+            return None  # per-file list vs sample count mismatch: object path
         from graphtyper_tpu.pipeline.caller import ReferenceDepth
 
         reference_depth = ReferenceDepth(graph, len(sample_names))
@@ -494,9 +496,9 @@ def run_native_call_pool(
     quals = (np.concatenate(qual_arrays) if n else np.zeros(0, dtype=np.uint8)).astype(np.uint8)
 
     if n_threads <= 0:
-        import os
+        from graphtyper_tpu.io.native import native_thread_count
 
-        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
+        n_threads = native_thread_count()
 
     n_obs = ctypes.c_int64()
     n_xvals = ctypes.c_int64()
@@ -834,9 +836,9 @@ def run_native_call_pool_stream(
     site_is_snp = np.array([1 if graph.is_snp(s.gt) else 0 for s in sites], dtype=np.uint8)
 
     if n_threads <= 0:
-        import os
+        from graphtyper_tpu.io.native import native_thread_count
 
-        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
+        n_threads = native_thread_count()
 
     path_bytes = [p.encode() for p in hts_paths]
     path_arr = (ctypes.c_char_p * len(path_bytes))(*path_bytes)

@@ -101,9 +101,9 @@ def seed_filter_handle(index, lib, n_threads: int = 0):
                 sf = _adopt_donor_filter(index, keys, lib)
                 if sf is None:
                     if n_threads <= 0:
-                        import os
+                        from graphtyper_tpu.io.native import native_thread_count
 
-                        n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
+                        n_threads = native_thread_count()
                     handle = lib.gt_seed_filter_build(
                         keys.ctypes.data_as(ctypes.c_void_p), len(keys), n_threads
                     )
@@ -253,9 +253,9 @@ class NativeAligner:
         same_ref = np.array([1 if r.ref_id == r.mate_ref_id else 0 for r in reads], dtype=np.uint8)
 
         if n_threads <= 0:
-            import os
+            from graphtyper_tpu.io.native import native_thread_count
 
-            n_threads = int(os.environ.get("GT_NATIVE_THREADS", 0)) or min(8, os.cpu_count() or 1)
+            n_threads = native_thread_count()
 
         n_paths = ctypes.c_int64()
         n_sites = ctypes.c_int64()
