@@ -578,11 +578,9 @@ def call_pools(
     # every worker thread gets one, run concurrently (the native loop
     # releases the GIL); multi-pool output is byte-identical to single-pool
     threads = max(1, getattr(opts, "threads", 1))
-    if threads > 1 and len(hts_paths) > 1 and not graph.is_sv_graph:
+    if threads > 1 and len(hts_paths) > 1:
         pool_size = min(pool_size, max(1, -(-len(hts_paths) // threads)))
-    # SV mode keeps a single pool: its reformat pass derives records from
-    # per-pool ReferenceDepth state that is not mergeable across pools
-    if len(hts_paths) <= pool_size or graph.is_sv_graph:
+    if len(hts_paths) <= pool_size:
         return call_pool(graph, index, hts_paths, **kw)
 
     import os
@@ -592,10 +590,21 @@ def call_pools(
 
     own_tmp = tmp_dir is None
     tmp = tmp_dir or tempfile.mkdtemp(prefix="gt_pools_")
-    pools = [hts_paths[lo : lo + pool_size] for lo in range(0, len(hts_paths), pool_size)]
+    offsets = list(range(0, len(hts_paths), pool_size))
+    pools = [hts_paths[lo : lo + pool_size] for lo in offsets]
+    # per-pool slices of the per-file coverage list (SV bins index by the
+    # pool-local sample, which is the pool-local file here); SV reformat
+    # runs per pool against its own samples' ReferenceDepth — the
+    # reference's per-job behavior (hts_parallel_reader.cpp:1003-1005) —
+    # and the record sets are graph-derived, so the batch merge aligns
+    avg_cov = kw.get("avg_cov_by_readlen")
 
-    def run_one(pool):
-        return call_pool(graph, index, pool, **kw)
+    def run_one(lo_pool):
+        lo, pool = lo_pool
+        kw_pool = dict(kw)
+        if avg_cov is not None:
+            kw_pool["avg_cov_by_readlen"] = list(avg_cov[lo : lo + pool_size])
+        return call_pool(graph, index, pool, **kw_pool)
 
     import time as _time
 
@@ -604,9 +613,9 @@ def call_pools(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(threads, len(pools))) as ex:
-            results = list(ex.map(run_one, pools))
+            results = list(ex.map(run_one, zip(offsets, pools)))
     else:
-        results = [run_one(pool) for pool in pools]
+        results = [run_one(lp) for lp in zip(offsets, pools)]
 
     # DO NOT CHANGE THIS LOG LINE FORMAT (genotype.cpp:117 "we parse it
     # externally" — the Thread work summary is the de-facto metrics feed)
