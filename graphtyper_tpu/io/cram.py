@@ -1135,18 +1135,17 @@ class CramFile:
         self._ref_cache[ref_id] = got
         return got
 
-    def records(self, region: tuple[int, int, int] | None = None) -> list[_CramRec]:
-        """Decode records; `region=(ref_id, beg, end)` (0-based half-open)
-        skips every container whose header range does not overlap — the
-        container header carries (ref_id, start, span, length), so region
-        reads are O(matching slices) with no index file (htslib needs the
-        .crai only because it streams; we hold the byte buffer). Multi-ref
-        containers (ref_id == -2) are always decoded."""
-        out: list[_CramRec] = []
+    def _iter_slices(self, region: tuple[int, int, int] | None = None):
+        """Walk containers/slices; `region=(ref_id, beg, end)` (0-based
+        half-open) skips every container whose header range does not
+        overlap — the container header carries (ref_id, start, span,
+        length), so region reads are O(matching slices) with no index file
+        (htslib needs the .crai only because it streams; we hold the byte
+        buffer). Multi-ref containers (ref_id == -2) are always decoded.
+        Yields (ch, sh, core, ext, counter, ref_getter)."""
         br = self.br
         major = self.major
         while not br.eof():
-            start = br.pos
             hdr = read_container_header(br, major)
             payload_end = br.pos + hdr.length
             if hdr.ref_id == -1 and hdr.start == 4542278:
@@ -1179,13 +1178,19 @@ class CramFile:
                         core = BitReader(b.data)
                     else:
                         ext[b.content_id] = ByteReader(b.data)
+
                 def ref_getter(rid, _sh=sh):
                     return self._get_ref(rid, _sh.ref_md5, _sh.start, _sh.span)
 
-                recs = _decode_slice(ch, sh, core, ext, major, ref_getter, counter)
+                yield ch, sh, core, ext, counter, ref_getter
                 counter += sh.n_records
-                out.extend(recs)
             br.pos = payload_end
+
+    def records(self, region: tuple[int, int, int] | None = None) -> list[_CramRec]:
+        """Decode records via the Python slice decoder (parity oracle)."""
+        out: list[_CramRec] = []
+        for ch, sh, core, ext, counter, ref_getter in self._iter_slices(region):
+            out.extend(_decode_slice(ch, sh, core, ext, self.major, ref_getter, counter))
         return out
 
 
@@ -1232,6 +1237,12 @@ def _regenerate_nm_md(r: "_CramRec", ref: bytes) -> None:
     r.tags.setdefault("MD", "".join(md_parts))
 
 
+class _RegenShim:
+    """1-based-pos view of an AlignedRead for _regenerate_nm_md."""
+
+    __slots__ = ("pos", "cigar", "seq", "tags")
+
+
 def read_cram(
     path: str,
     ref_path: str | None = None,
@@ -1253,32 +1264,62 @@ def read_cram(
         except ValueError:
             rid = -9  # unknown contig: no container can match
         rid_region = (rid, max(0, beg), end)
+
+    def _regen_one(read: AlignedRead) -> None:
+        if read.flag & BAM_FUNMAP or read.ref_id < 0:
+            return
+        ref = cf._ref_cache.get(read.ref_id, b"")
+        if ref and not ref.startswith(b"NNNNNNNN"):
+            # _regenerate_nm_md consumes 1-based pos (duck-typed shim)
+            s = _RegenShim()
+            s.pos = read.pos + 1
+            s.cigar = read.cigar
+            s.seq = read.seq
+            s.tags = read.tags
+            _regenerate_nm_md(s, ref)
+
+    from graphtyper_tpu.io.cram_native import decode_slice_native
+
     reads: list[AlignedRead] = []
-    for r in cf.records(rid_region):
-        if (
-            parse_tags
-            and ref_path is not None
-            and not (r.bf & BAM_FUNMAP)
-            and r.ref_id >= 0
-        ):
-            ref = cf._ref_cache.get(r.ref_id, b"")
-            if ref and not ref.startswith(b"NNNNNNNN"):
-                _regenerate_nm_md(r, ref)
-        qual = r.qual if r.qual is not None else np.full(len(r.seq), 0xFF, dtype=np.uint8)
-        reads.append(
-            AlignedRead(
-                name=r.name.decode("latin1"),
-                flag=r.bf,
-                ref_id=r.ref_id,
-                pos=r.pos - 1,
-                mapq=r.mapq,
-                cigar=r.cigar,
-                mate_ref_id=r.mate_ref_id,
-                mate_pos=r.mate_pos - 1,
-                tlen=r.tlen,
-                seq=bytes(r.seq),
-                qual=qual,
-                tags=r.tags if parse_tags else {},
+    for ch, sh, core, ext, counter, ref_getter in cf._iter_slices(rid_region):
+        native = None
+        if sh.ref_id != -2:  # multi-ref slices need per-record references
+            ref = ref_getter(sh.ref_id) if sh.ref_id >= 0 else b""
+            native = decode_slice_native(ch, sh, ext, counter, ref)
+        if native is not None:
+            if parse_tags and ref_path is not None:
+                for read in native:
+                    _regen_one(read)
+            elif not parse_tags:
+                for read in native:
+                    read.tags = {}
+            reads.extend(native)
+            continue
+        for r in _decode_slice(ch, sh, core, ext, cf.major, ref_getter, counter):
+            if (
+                parse_tags
+                and ref_path is not None
+                and not (r.bf & BAM_FUNMAP)
+                and r.ref_id >= 0
+            ):
+                ref = cf._ref_cache.get(r.ref_id, b"")
+                if ref and not ref.startswith(b"NNNNNNNN"):
+                    _regenerate_nm_md(r, ref)
+            qual = r.qual if r.qual is not None else np.full(len(r.seq), 0xFF, dtype=np.uint8)
+            reads.append(
+                AlignedRead(
+                    name=r.name.decode("latin1"),
+                    flag=r.bf,
+                    ref_id=r.ref_id,
+                    pos=r.pos - 1,
+                    mapq=r.mapq,
+                    cigar=r.cigar,
+                    mate_ref_id=r.mate_ref_id,
+                    mate_pos=r.mate_pos - 1,
+                    tlen=r.tlen,
+                    seq=bytes(r.seq),
+                    qual=qual,
+                    tags=r.tags if parse_tags else {},
+                )
             )
-        )
     return cf.header, reads

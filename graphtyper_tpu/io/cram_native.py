@@ -1,0 +1,235 @@
+"""Marshaling for the native CRAM slice decoder (native/gt_cram.cpp).
+
+The native path covers the codec subset production files use (EXTERNAL
+ITF8/raw, constant HUFFMAN, BYTE_ARRAY_STOP, BYTE_ARRAY_LEN with
+EXTERNAL/constant length and EXTERNAL values). Any other codec — or any
+stream irregularity the C++ detects — returns None and the caller uses the
+Python decoder, which remains the parity oracle
+(tests/io/test_cram_native.py)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from graphtyper_tpu.io.native import get_lib
+
+SERIES = [
+    "BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "NF", "TL",
+    "FN", "FC", "FP", "DL", "BA", "BS", "QS", "MQ", "RS", "PD", "HC",
+    "RN", "IN", "SC", "BB", "QQ",
+]
+
+
+def _setup(lib) -> None:
+    if getattr(lib, "_cram_ready", False):
+        return
+    lib.gt_cram_decode_slice.restype = ctypes.c_void_p
+    lib.gt_cram_decode_slice.argtypes = (
+        [ctypes.c_void_p] * 2 + [ctypes.c_void_p] * 3 + [ctypes.c_int64] * 2  # descs/tags
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int64]  # ext blocks
+        + [ctypes.c_int64] * 3 + [ctypes.c_int32] * 2 + [ctypes.c_int64]  # slice meta
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]  # ref + subs
+        + [ctypes.POINTER(ctypes.c_int64)] * 7
+    )
+    lib.gt_cram_fetch.restype = ctypes.c_int32
+    lib.gt_cram_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 19
+    lib.gt_cram_free.restype = None
+    lib.gt_cram_free.argtypes = [ctypes.c_void_p]
+    lib._cram_ready = True
+
+
+def _desc_of(codec, cid_idx: dict) -> tuple[int, int, int, int] | None:
+    from graphtyper_tpu.io.cram import (
+        ByteArrayLenCodec,
+        ByteArrayStopCodec,
+        ExternalCodec,
+        HuffmanCodec,
+    )
+
+    def idx(cid: int) -> int:
+        return cid_idx.setdefault(cid, len(cid_idx))
+
+    if isinstance(codec, ExternalCodec):
+        return (1, idx(codec._cid), 0, 0)
+    if isinstance(codec, HuffmanCodec) and codec.constant is not None:
+        return (2, int(codec.constant), 0, 0)
+    if isinstance(codec, ByteArrayStopCodec):
+        return (3, int(codec.stop), idx(codec._cid), 0)
+    if isinstance(codec, ByteArrayLenCodec):
+        ld = _desc_of(codec.len_codec, cid_idx)
+        if ld is None or ld[0] not in (1, 2):
+            return None
+        if not isinstance(codec.val_codec, ExternalCodec):
+            return None
+        return (4, ld[0], ld[1], idx(codec.val_codec._cid))
+    return None
+
+
+def decode_slice_native(ch, sh, ext: dict, counter: int, ref: bytes):
+    """Native decode of one slice -> list[AlignedRead], or None to fall
+    back (unsupported codec / native lib missing / C++ bailed)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup(lib)
+
+    cid_idx: dict[int, int] = {}
+    built = {k: v.build(ext, 3) for k, v in ch.data_series.items()}
+    ds = np.zeros((len(SERIES), 4), dtype=np.int64)
+    for i, key in enumerate(SERIES):
+        codec = built.get(key)
+        if codec is None:
+            continue
+        d = _desc_of(codec, cid_idx)
+        if d is None:
+            return None
+        ds[i] = d
+
+    # global tag table: ordered list of (tag, ttype, desc)
+    tag_keys: list[tuple[str, str]] = []
+    tag_pos: dict[int, int] = {}
+    tag_desc_rows: list[tuple[int, int, int, int]] = []
+    for key, enc in ch.tag_encodings.items():
+        codec = enc.build(ext, 3)
+        d = _desc_of(codec, cid_idx)
+        if d is None:
+            return None
+        tag_pos[key] = len(tag_keys)
+        tag_keys.append((chr((key >> 16) & 0xFF) + chr((key >> 8) & 0xFF), chr(key & 0xFF)))
+        tag_desc_rows.append(d)
+    n_tags = len(tag_keys)
+    tag_desc = np.array(tag_desc_rows, dtype=np.int64).reshape(n_tags, 4) if n_tags else np.zeros((0, 4), np.int64)
+    tag_types = np.array([ord(t[1]) for t in tag_keys], dtype=np.uint8)
+
+    # TL -> tag index lists
+    tl_tags_l: list[int] = []
+    tl_off = np.zeros(len(ch.tag_dict) + 1, dtype=np.int64)
+    for tl, entries in enumerate(ch.tag_dict):
+        for tag, ttype in entries:
+            key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ttype)
+            gi = tag_pos.get(key)
+            if gi is None:
+                return None  # tag dict references an undeclared encoding
+            tl_tags_l.append(gi)
+        tl_off[tl + 1] = len(tl_tags_l)
+    tl_tags = np.array(tl_tags_l, dtype=np.int32)
+
+    # ext blocks CSR, in cid_idx order (absent blocks become empty streams —
+    # reads from them error out in C++ and trigger the Python fallback)
+    bufs = []
+    for cid, i in sorted(cid_idx.items(), key=lambda kv: kv[1]):
+        br = ext.get(cid)
+        bufs.append(bytes(br.data[br.pos :]) if br is not None else b"")
+    ext_off = np.zeros(len(bufs), dtype=np.int64)
+    ext_len = np.array([len(b) for b in bufs], dtype=np.int64)
+    if len(bufs) > 1:
+        np.cumsum(ext_len[:-1], out=ext_off[1:])
+    ext_buf = np.frombuffer(b"".join(bufs), dtype=np.uint8) if bufs else np.zeros(0, np.uint8)
+
+    from graphtyper_tpu.io.cram import _SUB_BASES, _build_sub_matrix
+
+    subs_map = _build_sub_matrix(ch.substitution_matrix)
+    subs = np.zeros(20, dtype=np.uint8)
+    for i, rb in enumerate(_SUB_BASES):
+        subs[i * 4 : (i + 1) * 4] = np.frombuffer(subs_map[rb], dtype=np.uint8)
+
+    ref_arr = np.frombuffer(ref, dtype=np.uint8) if ref else np.zeros(0, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    o = [ctypes.c_int64() for _ in range(7)]
+    handle = lib.gt_cram_decode_slice(
+        ptr(np.ascontiguousarray(ds)), ptr(np.ascontiguousarray(tag_desc)),
+        ptr(tag_types), ptr(tl_off), ptr(tl_tags),
+        len(ch.tag_dict), n_tags,
+        ptr(ext_buf), ptr(ext_off), ptr(ext_len), len(bufs),
+        sh.n_records, sh.ref_id, sh.start,
+        1 if ch.ap_delta else 0, 1 if ch.preserve_read_names else 0, counter,
+        ptr(ref_arr), len(ref_arr), ptr(subs),
+        *[ctypes.byref(x) for x in o],
+    )
+    if not handle:
+        return None
+    n, n_names, n_seq, n_qual, n_cig, n_ts, n_blob = (x.value for x in o)
+    bf = np.zeros(n, np.int64)
+    ref_id = np.zeros(n, np.int64)
+    pos = np.zeros(n, np.int64)
+    mapq = np.zeros(n, np.int64)
+    mrid = np.zeros(n, np.int64)
+    mpos = np.zeros(n, np.int64)
+    tlen = np.zeros(n, np.int64)
+    names = np.zeros(n_names, np.uint8)
+    name_off = np.zeros(n + 1, np.int64)
+    seqs = np.zeros(n_seq, np.uint8)
+    seq_off = np.zeros(n + 1, np.int64)
+    quals = np.zeros(n_qual, np.uint8)
+    qual_off = np.zeros(n + 1, np.int64)
+    cig = np.zeros(n_cig, np.uint32)
+    cig_off = np.zeros(n + 1, np.int64)
+    tag_idx = np.zeros(n_ts, np.int32)
+    tag_cnt = np.zeros(n, np.int64)
+    blobs = np.zeros(n_blob, np.uint8)
+    blob_off = np.zeros(n_ts + 1, np.int64)
+    try:
+        rc = lib.gt_cram_fetch(
+            handle, ptr(bf), ptr(ref_id), ptr(pos), ptr(mapq), ptr(mrid), ptr(mpos), ptr(tlen),
+            ptr(names), ptr(name_off), ptr(seqs), ptr(seq_off), ptr(quals), ptr(qual_off),
+            ptr(cig), ptr(cig_off), ptr(tag_idx), ptr(tag_cnt), ptr(blobs), ptr(blob_off),
+        )
+        if rc != 0:
+            return None
+    finally:
+        lib.gt_cram_free(handle)
+
+    from graphtyper_tpu.io.bam import AlignedRead
+    from graphtyper_tpu.io.cram import _TagValueReader
+
+    readers = [_TagValueReader(t[1]) for t in tag_keys]
+    tag_names = [t[0] for t in tag_keys]
+    names_b = names.tobytes()
+    seqs_b = seqs.tobytes()
+    blobs_b = blobs.tobytes()
+    name_off_l = name_off.tolist()
+    seq_off_l = seq_off.tolist()
+    qual_off_l = qual_off.tolist()
+    cig_off_l = cig_off.tolist()
+    tag_cnt_l = tag_cnt.tolist()
+    blob_off_l = blob_off.tolist()
+    bf_l = bf.tolist()
+    pos_l = pos.tolist()
+    rid_l = ref_id.tolist()
+    mapq_l = mapq.tolist()
+    mrid_l = mrid.tolist()
+    mpos_l = mpos.tolist()
+    tlen_l = tlen.tolist()
+    cig_l = cig.tolist()
+    tag_idx_l = tag_idx.tolist()
+
+    reads: list[AlignedRead] = []
+    ap = reads.append
+    ti = 0
+    for i in range(n):
+        tags = {}
+        for _ in range(tag_cnt_l[i]):
+            gi = tag_idx_l[ti]
+            tags[tag_names[gi]] = readers[gi].read(blobs_b[blob_off_l[ti] : blob_off_l[ti + 1]])
+            ti += 1
+        cigar = [(v & 0xF, v >> 4) for v in cig_l[cig_off_l[i] : cig_off_l[i + 1]]]
+        ap(AlignedRead(
+            name=names_b[name_off_l[i] : name_off_l[i + 1]].decode("latin1"),
+            flag=bf_l[i],
+            ref_id=rid_l[i],
+            pos=pos_l[i] - 1,
+            mapq=mapq_l[i],
+            cigar=cigar,
+            mate_ref_id=mrid_l[i],
+            mate_pos=mpos_l[i] - 1,
+            tlen=tlen_l[i],
+            seq=seqs_b[seq_off_l[i] : seq_off_l[i + 1]],
+            qual=quals[qual_off_l[i] : qual_off_l[i + 1]],
+            tags=tags,
+        ))
+    return reads
