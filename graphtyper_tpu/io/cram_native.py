@@ -25,18 +25,24 @@ SERIES = [
 def _setup(lib) -> None:
     if getattr(lib, "_cram_ready", False):
         return
-    lib.gt_cram_decode_slice.restype = ctypes.c_void_p
-    lib.gt_cram_decode_slice.argtypes = (
+    slice_args = (
         [ctypes.c_void_p] * 2 + [ctypes.c_void_p] * 3 + [ctypes.c_int64] * 2  # descs/tags
         + [ctypes.c_void_p] * 3 + [ctypes.c_int64]  # ext blocks
         + [ctypes.c_int64] * 3 + [ctypes.c_int32] * 2 + [ctypes.c_int64]  # slice meta
         + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]  # ref + subs
-        + [ctypes.POINTER(ctypes.c_int64)] * 7
     )
+    lib.gt_cram_decode_slice.restype = ctypes.c_void_p
+    lib.gt_cram_decode_slice.argtypes = slice_args + [ctypes.POINTER(ctypes.c_int64)] * 7
     lib.gt_cram_fetch.restype = ctypes.c_int32
     lib.gt_cram_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 19
     lib.gt_cram_free.restype = None
     lib.gt_cram_free.argtypes = [ctypes.c_void_p]
+    lib.gt_cram_slice_to_bam.restype = ctypes.c_void_p
+    lib.gt_cram_slice_to_bam.argtypes = slice_args + [ctypes.POINTER(ctypes.c_int64)]
+    lib.gt_cram_bam_fetch.restype = ctypes.c_int32
+    lib.gt_cram_bam_fetch.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.gt_cram_bam_free.restype = None
+    lib.gt_cram_bam_free.argtypes = [ctypes.c_void_p]
     lib._cram_ready = True
 
 
@@ -67,14 +73,14 @@ def _desc_of(codec, cid_idx: dict) -> tuple[int, int, int, int] | None:
     return None
 
 
-def decode_slice_native(ch, sh, ext: dict, counter: int, ref: bytes):
-    """Native decode of one slice -> list[AlignedRead], or None to fall
-    back (unsupported codec / native lib missing / C++ bailed)."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    _setup(lib)
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
 
+
+def _marshal(ch, ext: dict):
+    """Pack the slice's codec table / tag table / ext blocks / substitution
+    matrix into the flat layout gt_cram.cpp consumes. Returns None when any
+    codec falls outside the supported subset."""
     cid_idx: dict[int, int] = {}
     built = {k: v.build(ext, 3) for k, v in ch.data_series.items()}
     ds = np.zeros((len(SERIES), 4), dtype=np.int64)
@@ -101,7 +107,11 @@ def decode_slice_native(ch, sh, ext: dict, counter: int, ref: bytes):
         tag_desc_rows.append(d)
     n_tags = len(tag_keys)
     tag_desc = np.array(tag_desc_rows, dtype=np.int64).reshape(n_tags, 4) if n_tags else np.zeros((0, 4), np.int64)
-    tag_types = np.array([ord(t[1]) for t in tag_keys], dtype=np.uint8)
+    keys3 = np.zeros(n_tags * 3, dtype=np.uint8)
+    for i, (tag, ttype) in enumerate(tag_keys):
+        keys3[i * 3] = ord(tag[0])
+        keys3[i * 3 + 1] = ord(tag[1])
+        keys3[i * 3 + 2] = ord(ttype)
 
     # TL -> tag index lists
     tl_tags_l: list[int] = []
@@ -135,17 +145,30 @@ def decode_slice_native(ch, sh, ext: dict, counter: int, ref: bytes):
     for i, rb in enumerate(_SUB_BASES):
         subs[i * 4 : (i + 1) * 4] = np.frombuffer(subs_map[rb], dtype=np.uint8)
 
-    ref_arr = np.frombuffer(ref, dtype=np.uint8) if ref else np.zeros(0, np.uint8)
+    return ds, tag_desc, keys3, tag_keys, tl_off, tl_tags, ext_buf, ext_off, ext_len, len(bufs), subs
 
-    def ptr(a):
-        return a.ctypes.data_as(ctypes.c_void_p)
+
+def decode_slice_native(ch, sh, ext: dict, counter: int, ref: bytes):
+    """Native decode of one slice -> list[AlignedRead], or None to fall
+    back (unsupported codec / native lib missing / C++ bailed)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup(lib)
+    m = _marshal(ch, ext)
+    if m is None:
+        return None
+    ds, tag_desc, keys3, tag_keys, tl_off, tl_tags, ext_buf, ext_off, ext_len, n_bufs, subs = m
+    n_tags = len(tag_keys)
+    ref_arr = np.frombuffer(ref, dtype=np.uint8) if ref else np.zeros(0, np.uint8)
+    ptr = _ptr
 
     o = [ctypes.c_int64() for _ in range(7)]
     handle = lib.gt_cram_decode_slice(
         ptr(np.ascontiguousarray(ds)), ptr(np.ascontiguousarray(tag_desc)),
-        ptr(tag_types), ptr(tl_off), ptr(tl_tags),
+        ptr(keys3), ptr(tl_off), ptr(tl_tags),
         len(ch.tag_dict), n_tags,
-        ptr(ext_buf), ptr(ext_off), ptr(ext_len), len(bufs),
+        ptr(ext_buf), ptr(ext_off), ptr(ext_len), n_bufs,
         sh.n_records, sh.ref_id, sh.start,
         1 if ch.ap_delta else 0, 1 if ch.preserve_read_names else 0, counter,
         ptr(ref_arr), len(ref_arr), ptr(subs),
@@ -233,3 +256,82 @@ def decode_slice_native(ch, sh, ext: dict, counter: int, ref: bytes):
             tags=tags,
         ))
     return reads
+
+
+def slice_to_bam_native(ch, sh, ext: dict, counter: int, ref: bytes) -> bytes | None:
+    """Native decode of one slice straight to concatenated BAM record bytes
+    (io/bam_writer.py conventions, full tag-type fidelity), or None to fall
+    back."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup(lib)
+    m = _marshal(ch, ext)
+    if m is None:
+        return None
+    ds, tag_desc, keys3, tag_keys, tl_off, tl_tags, ext_buf, ext_off, ext_len, n_bufs, subs = m
+    ref_arr = np.frombuffer(ref, dtype=np.uint8) if ref else np.zeros(0, np.uint8)
+    ptr = _ptr
+    size = ctypes.c_int64()
+    handle = lib.gt_cram_slice_to_bam(
+        ptr(np.ascontiguousarray(ds)), ptr(np.ascontiguousarray(tag_desc)),
+        ptr(keys3), ptr(tl_off), ptr(tl_tags),
+        len(ch.tag_dict), len(tag_keys),
+        ptr(ext_buf), ptr(ext_off), ptr(ext_len), n_bufs,
+        sh.n_records, sh.ref_id, sh.start,
+        1 if ch.ap_delta else 0, 1 if ch.preserve_read_names else 0, counter,
+        ptr(ref_arr), len(ref_arr), ptr(subs),
+        ctypes.byref(size),
+    )
+    if not handle:
+        return None
+    out = np.zeros(size.value, dtype=np.uint8)
+    try:
+        lib.gt_cram_bam_fetch(handle, ptr(out))
+    finally:
+        lib.gt_cram_bam_free(handle)
+    return out.tobytes()
+
+
+def cram_to_bam_bytes(path: str, region: tuple[str, int, int] | None = None) -> bytes | None:
+    """Decode a whole CRAM file (optionally container-filtered to a region)
+    into decompressed-BAM bytes (header + records) entirely natively — the
+    bridge that lets CRAM inputs ride the native bamshrink and pooled-caller
+    BAM paths with no Python record objects. Returns None to fall back
+    (lib missing, unsupported codec anywhere, or multi-ref slices)."""
+    import struct
+
+    from graphtyper_tpu.io.cram import CramFile
+
+    if get_lib() is None:
+        return None
+    cf = CramFile(path, None)
+    rid_region = None
+    if region is not None:
+        chrom, beg, end = region
+        try:
+            rid = cf.header.ref_names.index(chrom)
+        except ValueError:
+            rid = -9
+        rid_region = (rid, max(0, beg), end)
+
+    parts: list[bytes] = []
+    for ch, sh, core, ext, counter, ref_getter in cf._iter_slices(rid_region):
+        if sh.ref_id == -2:
+            return None  # multi-ref slices need per-record references
+        ref = ref_getter(sh.ref_id) if sh.ref_id >= 0 else b""
+        blob = slice_to_bam_native(ch, sh, ext, counter, ref)
+        if blob is None:
+            return None
+        parts.append(blob)
+
+    text = cf.header.text or "@HD\tVN:1.6\tSO:coordinate\n"
+    if not text.endswith("\n"):
+        text += "\n"  # io/bam_writer.py:74-76 convention
+    text = text.encode()
+    hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text
+    hdr += struct.pack("<i", len(cf.header.ref_names))
+    for name, ln in zip(cf.header.ref_names, cf.header.ref_lengths):
+        nb = name.encode() + b"\x00"
+        hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+    return hdr + b"".join(parts)

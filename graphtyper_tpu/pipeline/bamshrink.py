@@ -294,7 +294,7 @@ def _bamshrink_native(
 ) -> str | None:
     """Run the whole shrink (decode + filter + trim + rename + encode) in the
     native runtime (native/gt_bamshrink.cpp); returns None to fall back."""
-    if not (path.endswith(".bam") and out_path.endswith(".bam")):
+    if not (path.endswith(".bam") or path.endswith(".cram")) or not out_path.endswith(".bam"):
         return None
     from graphtyper_tpu.io.native import get_lib
 
@@ -306,24 +306,32 @@ def _bamshrink_native(
 
     from graphtyper_tpu.io.bgzf import BGZF_EOF, bgzf_compress_bulk, decompress_all
 
-    # indexed input: decode only the BGZF chunks overlapping the intervals
-    # (htslib-iterator analog, io/bai.py) — O(slice) instead of O(file) per
-    # region, which is what keeps the 50kb region fan-out linear at
-    # chromosome scale
+    # the shrink keeps reads with pos in [begin-pad, end+pad]
+    # (pad = bamshrink_max_fraglen - 100, _shrink_region above); query a
+    # superset of that window so the filters reproduce the full output
+    pad = opts.bamshrink_max_fraglen - 100 + 1
+    padded = [(c, max(0, b - pad), e + pad) for c, b, e in intervals]
     data = None
-    try:
-        from graphtyper_tpu.io.bai import read_region_bam_bytes
+    if path.endswith(".cram"):
+        # CRAM -> decompressed-BAM bytes natively (container-granular region
+        # decode; io/cram_native.py), then the same native shrink
+        from graphtyper_tpu.io.cram_native import cram_to_bam_bytes
 
-        # the shrink keeps reads with pos in [begin-pad, end+pad]
-        # (pad = bamshrink_max_fraglen - 100, _shrink_region above); query
-        # the index over that padded window so the slice is a superset of
-        # every keepable record — the filters then reproduce the full-scan
-        # output exactly
-        pad = opts.bamshrink_max_fraglen - 100 + 1
-        padded = [(c, max(0, b - pad), e + pad) for c, b, e in intervals]
-        data = read_region_bam_bytes(path, padded)
-    except Exception:
-        data = None
+        region = padded[0] if len(padded) == 1 else None
+        data = cram_to_bam_bytes(path, region=region)
+        if data is None:
+            return None
+    if data is None:
+        # indexed input: decode only the BGZF chunks overlapping the
+        # intervals (htslib-iterator analog, io/bai.py) — O(slice) instead
+        # of O(file) per region, which is what keeps the 50kb region
+        # fan-out linear at chromosome scale
+        try:
+            from graphtyper_tpu.io.bai import read_region_bam_bytes
+
+            data = read_region_bam_bytes(path, padded)
+        except Exception:
+            data = None
     if data is None:
         data = decompress_all(path)
     if data[:4] != b"BAM\x01":

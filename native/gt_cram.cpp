@@ -203,13 +203,7 @@ struct Feature {
   int64_t bn;
 };
 
-}  // namespace
-
-extern "C" {
-
-// Decode one slice. Returns a CramOut handle, or nullptr when the slice
-// needs the Python decoder (unsupported codec / malformed stream).
-void * gt_cram_decode_slice(
+static CramOut * decode_core(
   const int64_t * ds_desc_flat,   // [N_SERIES * 4]
   const int64_t * tag_desc_flat,  // [n_tags * 4]
   const uint8_t * tag_types,      // [n_tags] BAM type char per tag
@@ -220,10 +214,7 @@ void * gt_cram_decode_slice(
   int64_t n_records, int64_t slice_ref_id, int64_t slice_start,
   int32_t ap_delta, int32_t preserve_read_names, int64_t record_counter_start,
   const uint8_t * ref, int64_t ref_len,
-  const uint8_t * subs_flat,  // [5*4] substitution table rows for A,C,G,T,N
-  // out sizes
-  int64_t * out_n, int64_t * out_names, int64_t * out_seq, int64_t * out_qual,
-  int64_t * out_cig, int64_t * out_ntags, int64_t * out_tag_blob)
+  const uint8_t * subs_flat)  // [5*4] substitution table rows for A,C,G,T,N
 {
   Ctx C;
   C.ds = (const Desc *)ds_desc_flat;
@@ -590,6 +581,31 @@ void * gt_cram_decode_slice(
         R->bf[i] |= BAM_FMUNMAP;
     }
 
+  return R;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one slice. Returns a CramOut handle, or nullptr when the slice
+// needs the Python decoder (unsupported codec / malformed stream).
+void * gt_cram_decode_slice(
+  const int64_t * ds_desc_flat, const int64_t * tag_desc_flat, const uint8_t * tag_types,
+  const int64_t * tl_off, const int32_t * tl_tags, int64_t n_tl, int64_t n_tags,
+  const uint8_t * ext_buf, const int64_t * ext_off, const int64_t * ext_len, int64_t n_ext,
+  int64_t n_records, int64_t slice_ref_id, int64_t slice_start,
+  int32_t ap_delta, int32_t preserve_read_names, int64_t record_counter_start,
+  const uint8_t * ref, int64_t ref_len, const uint8_t * subs_flat,
+  int64_t * out_n, int64_t * out_names, int64_t * out_seq, int64_t * out_qual,
+  int64_t * out_cig, int64_t * out_ntags, int64_t * out_tag_blob)
+{
+  CramOut * R = decode_core(ds_desc_flat, tag_desc_flat, tag_types, tl_off, tl_tags, n_tl,
+                            n_tags, ext_buf, ext_off, ext_len, n_ext, n_records, slice_ref_id,
+                            slice_start, ap_delta, preserve_read_names, record_counter_start,
+                            ref, ref_len, subs_flat);
+  if (!R)
+    return nullptr;
   *out_n = n_records;
   *out_names = (int64_t)R->names.size();
   *out_seq = (int64_t)R->seqs.size();
@@ -598,6 +614,134 @@ void * gt_cram_decode_slice(
   *out_ntags = (int64_t)R->tag_idx.size();
   *out_tag_blob = (int64_t)R->tag_blobs.size();
   return R;
+}
+
+// Decode one slice straight to concatenated BAM record bytes (no BGZF, no
+// BAM header — the caller prepends one), following io/bam_writer.py
+// conventions (bin = 0) with full tag-type fidelity: the CRAM tag blob IS
+// the BAM value encoding (Z/H get their NUL terminator back). Feeds the
+// native bamshrink/caller paths so CRAM inputs skip Python records
+// entirely. Returns a std::vector<uint8_t> handle or nullptr (fallback).
+void * gt_cram_slice_to_bam(
+  const int64_t * ds_desc_flat, const int64_t * tag_desc_flat,
+  const uint8_t * tag_keys3,  // [n_tags * 3] c1,c2,ttype
+  const int64_t * tl_off, const int32_t * tl_tags, int64_t n_tl, int64_t n_tags,
+  const uint8_t * ext_buf, const int64_t * ext_off, const int64_t * ext_len, int64_t n_ext,
+  int64_t n_records, int64_t slice_ref_id, int64_t slice_start,
+  int32_t ap_delta, int32_t preserve_read_names, int64_t record_counter_start,
+  const uint8_t * ref, int64_t ref_len, const uint8_t * subs_flat,
+  int64_t * out_size)
+{
+  CramOut * R = decode_core(ds_desc_flat, tag_desc_flat, nullptr, tl_off, tl_tags, n_tl,
+                            n_tags, ext_buf, ext_off, ext_len, n_ext, n_records, slice_ref_id,
+                            slice_start, ap_delta, preserve_read_names, record_counter_start,
+                            ref, ref_len, subs_flat);
+  if (!R)
+    return nullptr;
+
+  static uint8_t NIB[256];
+  static bool nib_init = false;
+  if (!nib_init)
+  {
+    const char * order = "=ACMGRSVTWYHKDBN";
+    for (int i = 0; i < 256; ++i)
+      NIB[i] = 15;
+    for (int i = 0; i < 16; ++i)
+      NIB[(uint8_t)order[i]] = (uint8_t)i;
+    nib_init = true;
+  }
+
+  auto * out = new std::vector<uint8_t>();
+  out->reserve((size_t)(R->seqs.size() * 2 + R->names.size() + 48 * n_records));
+  auto put_i32 = [&](int32_t v) {
+    out->insert(out->end(), (uint8_t *)&v, (uint8_t *)&v + 4);
+  };
+  auto put_u16 = [&](uint16_t v) {
+    out->insert(out->end(), (uint8_t *)&v, (uint8_t *)&v + 2);
+  };
+  int64_t ti = 0;
+  bool bad = false;
+  for (int64_t i = 0; i < n_records && !bad; ++i)
+  {
+    int64_t name_len = R->name_off[i + 1] - R->name_off[i];
+    int64_t n_cig = R->cig_off[i + 1] - R->cig_off[i];
+    int64_t l_seq = R->seq_off[i + 1] - R->seq_off[i];
+    int64_t l_qual = R->qual_off[i + 1] - R->qual_off[i];
+    if (name_len + 1 > 255 || n_cig > 0xFFFF || l_qual != l_seq)
+    {
+      bad = true;  // out-of-format record: let the Python path handle it
+      break;
+    }
+    int64_t tag_bytes = 0;
+    int64_t t0 = ti;
+    for (int64_t t = 0; t < R->tag_cnt[i]; ++t, ++ti)
+    {
+      char tt = (char)tag_keys3[R->tag_idx[ti] * 3 + 2];
+      int64_t bn = R->tag_blob_off[ti + 1] - R->tag_blob_off[ti];
+      tag_bytes += 3 + bn + ((tt == 'Z' || tt == 'H') ? 1 : 0);
+    }
+    int32_t block_size =
+      (int32_t)(32 + (name_len + 1) + 4 * n_cig + (l_seq + 1) / 2 + l_seq + tag_bytes);
+    put_i32(block_size);
+    put_i32((int32_t)R->ref_id[i]);
+    put_i32((int32_t)(R->pos[i] - 1));
+    out->push_back((uint8_t)(name_len + 1));
+    out->push_back((uint8_t)R->mapq[i]);
+    put_u16(0);  // bin (unused by our readers, io/bam_writer.py:54)
+    put_u16((uint16_t)n_cig);
+    put_u16((uint16_t)R->bf[i]);
+    put_i32((int32_t)l_seq);
+    put_i32((int32_t)R->mate_ref_id[i]);
+    put_i32((int32_t)(R->mate_pos[i] - 1));
+    put_i32((int32_t)R->tlen[i]);
+    out->insert(out->end(), R->names.begin() + R->name_off[i],
+                R->names.begin() + R->name_off[i + 1]);
+    out->push_back(0);
+    const uint32_t * cg = R->cig.data() + R->cig_off[i];
+    out->insert(out->end(), (const uint8_t *)cg, (const uint8_t *)(cg + n_cig));
+    const uint8_t * sq = R->seqs.data() + R->seq_off[i];
+    for (int64_t k = 0; k + 1 < l_seq; k += 2)
+      out->push_back((uint8_t)((NIB[sq[k]] << 4) | NIB[sq[k + 1]]));
+    if (l_seq % 2)
+      out->push_back((uint8_t)(NIB[sq[l_seq - 1]] << 4));
+    out->insert(out->end(), R->quals.begin() + R->qual_off[i],
+                R->quals.begin() + R->qual_off[i + 1]);
+    for (int64_t t = 0; t < R->tag_cnt[i]; ++t)
+    {
+      int64_t tj = t0 + t;
+      const uint8_t * k3 = tag_keys3 + R->tag_idx[tj] * 3;
+      out->push_back(k3[0]);
+      out->push_back(k3[1]);
+      out->push_back(k3[2]);
+      out->insert(out->end(), R->tag_blobs.begin() + R->tag_blob_off[tj],
+                  R->tag_blobs.begin() + R->tag_blob_off[tj + 1]);
+      if (k3[2] == 'Z' || k3[2] == 'H')
+        out->push_back(0);
+    }
+  }
+  delete R;
+  if (bad)
+  {
+    delete out;
+    return nullptr;
+  }
+  *out_size = (int64_t)out->size();
+  return out;
+}
+
+int32_t gt_cram_bam_fetch(void * handle, uint8_t * dst)
+{
+  auto * v = (std::vector<uint8_t> *)handle;
+  if (!v)
+    return -1;
+  if (!v->empty())
+    memcpy(dst, v->data(), v->size());
+  return 0;
+}
+
+void gt_cram_bam_free(void * handle)
+{
+  delete (std::vector<uint8_t> *)handle;
 }
 
 int32_t gt_cram_fetch(void * handle, int64_t * bf, int64_t * ref_id, int64_t * pos,

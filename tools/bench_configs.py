@@ -89,6 +89,10 @@ def config4():
 
 
 def main():
+    if os.environ.get("GT_BENCH_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     _warm()
     if which in ("2", "both"):
