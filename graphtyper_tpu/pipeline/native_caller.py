@@ -125,7 +125,7 @@ _BYTES_CACHE: dict = {}
 _BYTES_CACHE_MAX = 6
 
 
-def _bam_bytes(path: str) -> bytes:
+def _bam_bytes(path: str) -> bytes | None:
     import os
 
     from graphtyper_tpu.io.bgzf import decompress_all
@@ -135,7 +135,15 @@ def _bam_bytes(path: str) -> bytes:
     hit = _BYTES_CACHE.get(key)
     if hit is not None:
         return hit
-    data = decompress_all(path)
+    if path.endswith(".cram"):
+        # CRAM rides the same path through the native CRAM->BAM bridge
+        from graphtyper_tpu.io.cram_native import cram_to_bam_bytes
+
+        data = cram_to_bam_bytes(path)
+        if data is None:
+            return None  # unsupported codec: caller uses the object path
+    else:
+        data = decompress_all(path)
     if len(_BYTES_CACHE) >= _BYTES_CACHE_MAX:
         _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
     _BYTES_CACHE[key] = data
@@ -229,7 +237,7 @@ def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both):
     sample_names: list[str] = []
     for path in hts_paths:
         data = _bam_bytes(path)
-        meta = _parse_bam_header_meta(data)
+        meta = _parse_bam_header_meta(data) if data is not None else None
         if meta is None:
             return None
         ref_names, samples, _text = meta
@@ -321,7 +329,7 @@ def run_native_call_pool_bam(
     natively. Returns (sample_names, scorer, num_records, num_duplicated,
     reference_depth) or None when the pool needs the object path (non-BAM
     input, multi-sample files, no region)."""
-    if region is None or not all(p.endswith(".bam") for p in hts_paths):
+    if region is None or not all(p.endswith((".bam", ".cram")) for p in hts_paths):
         return None
     lib = get_lib()
     if lib is None:
