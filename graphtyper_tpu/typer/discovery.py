@@ -935,7 +935,8 @@ def streamlined_discovery(
                 ref_names, _samples, _text = meta
                 target = ref_names.index(region.chr) if region.chr in ref_names else -2
                 out = native_discovery.read_reads_into_buckets_native(
-                    data, target, indel_events, num_buckets, region_begin, reference
+                    data, target, indel_events, num_buckets, region_begin, reference,
+                    realign_events=indels,
                 )
                 if out is not None:
                     buckets2, max_read_size = out

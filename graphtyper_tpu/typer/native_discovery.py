@@ -174,14 +174,23 @@ def _setup_sp(lib) -> None:
 
 def read_reads_into_buckets_native(
     bam_bytes: bytes, target_ref: int, events_map: dict, num_buckets: int,
-    region_begin: int, reference: bytes
+    region_begin: int, reference: bytes, realign_events=None,
 ):
     """Native twin of discovery.read_reads_into_buckets straight from BAM
     bytes: C++ parses + scores every read's CIGAR against the reference and
     emits flat arrays; Python replays the sparse event registrations into
     the shared EventSupport state and builds the Bucket2/Read2 structures
     that realign_to_indels consumes. Returns (buckets, max_read_size) or
-    None to fall back (reference semantics: caller.cpp:2232-2510)."""
+    None to fall back (reference semantics: caller.cpp:2232-2510).
+
+    `realign_events` (the indels this file will realign to, discovery.py's
+    indel_to_realign list): when given, Read2 objects materialize only for
+    buckets realign_to_indels can actually scan — its candidate window per
+    indel plus the 60bp nearby-event margin — and for bookkeeping the
+    per-bucket max_pos_end/global_max_pos_end derive from the flat arrays.
+    Event support replay is array-driven either way, so the shared
+    EventSupport state is identical; buckets outside every window keep
+    empty read lists that realign_to_indels never touches."""
     lib = get_lib()
     if lib is None:
         return None
@@ -263,31 +272,69 @@ def read_reads_into_buckets_native(
         seq = nev_seq[nev_seq_off[i] : nev_seq_off[i + 1]].tobytes()
         all_events.append(Event(int(nev_pos[i]), "I" if nev_type[i] == 0 else "D", seq))
 
-    # bulk Read2 construction (objects only; scoring already done in C++)
-    seq_all = r_seq.tobytes()
-    seq_off_l = r_seq_off.tolist()
-    reads: list[Read2] = []
-    ap = reads.append
+    # per-bucket bookkeeping from the flat arrays (reads arrive
+    # coordinate-sorted, so bucket indices are nondecreasing and each
+    # bucket's final max/global values equal the order-faithful walk's)
     pos_l = r_pos.tolist()
     pos_end_l = r_pos_end.tolist()
-    score_l = r_score.tolist()
-    cb_l = r_clip_b.tolist()
     ce_l = r_clip_e.tolist()
     fl_l = r_flags.tolist()
     mq_l = r_mapq.tolist()
-    for i in range(N):
-        a = Alignment2(
-            pos=pos_l[i], pos_end=pos_end_l[i], score=score_l[i],
-            num_clipped_begin=cb_l[i], num_clipped_end=ce_l[i],
-        )
-        r = Read2(
-            flags=fl_l[i], mapq=mq_l[i],
-            sequence=seq_all[seq_off_l[i] : seq_off_l[i + 1]], alignment=a,
-        )
-        ap(r)
+    b_idx = (r_pos - region_begin) // BUCKET_SIZE
+    ewc = r_pos_end + r_clip_e
+    nb = max(num_buckets, int(b_idx.max()) + 1 if N else 0)
+    bmax = np.full(nb, -1, dtype=np.int64)
+    if N:
+        np.maximum.at(bmax, b_idx, ewc)
+    gmax_run = np.maximum.accumulate(np.maximum(bmax, 0)) if nb else bmax
+    buckets = [Bucket2() for _ in range(nb)]
+    has_reads = np.zeros(nb, dtype=bool)
+    if N:
+        has_reads[b_idx] = True
+    for b in range(nb):
+        if has_reads[b]:
+            buckets[b].max_pos_end = int(bmax[b])
+            buckets[b].global_max_pos_end = int(gmax_run[b])
+
+    # which buckets can realign_to_indels scan? (discovery.py
+    # realign_to_indels: walk left while global_max_pos_end > pos - PAD,
+    # right bound end_padded // BUCKET_SIZE; widened by the 60bp
+    # nearby-event margin)
+    if realign_events is None:
+        need = np.ones(nb, dtype=bool)
+    else:
+        need = np.zeros(nb, dtype=bool)
+        PAD = 50
+        NEARBY_BP = 60
+        mrs = int(max_read_size.value)
+        for ev in realign_events:
+            begin_padded = max(0, ev.pos - NEARBY_BP - mrs - 2 * PAD - region_begin)
+            end_padded = ev.pos + NEARBY_BP + mrs + 2 * PAD - region_begin
+            b = begin_padded // BUCKET_SIZE
+            while b > 0 and b < nb and buckets[b].global_max_pos_end > (ev.pos - NEARBY_BP - PAD):
+                b -= 1
+            b_end = min(nb - 1, end_padded // BUCKET_SIZE)
+            if b < nb:
+                need[b : b_end + 1] = True
+
+    # Read2 objects only where needed; event support replays from arrays
+    seq_all = r_seq.tobytes()
+    seq_off_l = r_seq_off.tolist()
+    score_l = r_score.tolist()
+    cb_l = r_clip_b.tolist()
+    reads: dict[int, Read2] = {}
+    if N:
+        for i in np.nonzero(need[b_idx])[0].tolist():
+            a = Alignment2(
+                pos=pos_l[i], pos_end=pos_end_l[i], score=score_l[i],
+                num_clipped_begin=cb_l[i], num_clipped_end=ce_l[i],
+            )
+            reads[i] = Read2(
+                flags=fl_l[i], mapq=mq_l[i],
+                sequence=seq_all[seq_off_l[i] : seq_off_l[i + 1]], alignment=a,
+            )
 
     # replay registrations: event creation/support + per-read indel lists
-    buckets = [Bucket2() for _ in range(num_buckets)]
     for i in range(n_regs.value):
         ev = all_events[int(reg_ev[i])]
         info = events_map.get(ev)
@@ -296,23 +343,14 @@ def read_reads_into_buckets_native(
             info.span = compute_indel_span(ev, reference, ev.pos - region_begin)
             events_map[ev] = info
         _bucket_for_event(buckets, ev, region_begin).events[ev] = info
-        read = reads[int(reg_read[i])]
-        _add_indel_support(info, int(reg_off[i]), read.flags, read.mapq)
-        read.alignment.indel_events.append(ReadIndelEvent(int(reg_off[i]), ev))
+        ri = int(reg_read[i])
+        _add_indel_support(info, int(reg_off[i]), fl_l[ri], mq_l[ri])
+        read = reads.get(ri)
+        if read is not None:
+            read.alignment.indel_events.append(ReadIndelEvent(int(reg_off[i]), ev))
 
-    # bucket assignment + max_pos_end bookkeeping (order-faithful)
-    global_max_pos_end = 0
-    for i in range(N):
-        bucket_index = (pos_l[i] - region_begin) // BUCKET_SIZE
-        while bucket_index >= len(buckets):
-            buckets.append(Bucket2())
-        bucket = buckets[bucket_index]
-        end_with_clip = pos_end_l[i] + ce_l[i]
-        if end_with_clip > bucket.max_pos_end:
-            bucket.max_pos_end = end_with_clip
-            if end_with_clip > global_max_pos_end:
-                global_max_pos_end = end_with_clip
-        bucket.global_max_pos_end = global_max_pos_end
-        bucket.reads.append(reads[i])
+    # bucket read lists (order preserved; only scannable buckets filled)
+    for i, r in reads.items():
+        buckets[int(b_idx[i])].reads.append(r)
 
     return buckets, int(max_read_size.value)
