@@ -27,9 +27,19 @@ class KmerIndex:
     def build(cls, kmers: np.ndarray, starts: np.ndarray, ends: np.ndarray, var_ids: np.ndarray) -> "KmerIndex":
         order = np.argsort(kmers, kind="stable")  # stable: preserve emission order per key
         kmers = kmers[order]
-        keys, first_idx, counts = np.unique(kmers, return_index=True, return_counts=True)
-        offsets = np.zeros(len(keys) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
+        # run boundaries on the sorted array (np.unique would sort again)
+        if len(kmers):
+            new_run = np.empty(len(kmers), dtype=bool)
+            new_run[0] = True
+            np.not_equal(kmers[1:], kmers[:-1], out=new_run[1:])
+            keys = kmers[new_run]
+            first_idx = np.nonzero(new_run)[0]
+            offsets = np.empty(len(keys) + 1, dtype=np.int64)
+            offsets[:-1] = first_idx
+            offsets[-1] = len(kmers)
+        else:
+            keys = kmers
+            offsets = np.zeros(1, dtype=np.int64)
         return cls(
             keys=keys,
             offsets=offsets,

@@ -142,7 +142,10 @@ def prebuild_reference_seed_filter(ref_codes: np.ndarray):
         from graphtyper_tpu.utils.dna import pack_kmers
 
         kmers, valid = pack_kmers(np.asarray(ref_codes, dtype=np.uint8), 32)
-        keys = np.ascontiguousarray(np.unique(kmers[valid]))
+        # sorted-with-duplicates suffices: the filter is a bitset (dup keys
+        # set the same bits) and the adopt step only needs sorted order —
+        # np.sort skips unique's mask+copy passes
+        keys = np.ascontiguousarray(np.sort(kmers[valid]))
         _setup_lib(lib)
         handle = lib.gt_seed_filter_build(
             keys.ctypes.data_as(ctypes.c_void_p), len(keys), min(8, _os.cpu_count() or 1)
