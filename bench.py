@@ -235,7 +235,9 @@ def main() -> None:
     env = dict(os.environ)
     raw = None
     backend = "tpu"
-    for force_cpu, child_timeout in ((False, 1500), (True, 1500)):
+    # a healthy TPU run takes ~6-10 min; a hung axon tunnel would otherwise
+    # eat the whole budget before the CPU fallback gets its turn
+    for force_cpu, child_timeout in ((False, 1200), (True, 1800)):
         e = dict(env)
         if force_cpu:
             e["GT_BENCH_FORCE_CPU"] = "1"
