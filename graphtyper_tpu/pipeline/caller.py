@@ -103,11 +103,24 @@ class PoolResult:
     num_duplicated: int = 0
 
 
+def _ref_span(cigar) -> int:
+    """Reference bases consumed by a cigar (M/D/N/=/X); empty cigars span one
+    base like htslib's bam_endpos."""
+    span = 0
+    for op, cnt in cigar:
+        if op in (0, 2, 3, 7, 8):
+            span += cnt
+    return span if span > 0 else 1
+
+
 def read_pool_records(
-    hts_paths: list[str], region=None, ref_path: str | None = None
+    hts_paths: list[str], region=None, ref_path: str | None = None,
+    position_filter: bool = False,
 ) -> tuple[list[str], list[tuple[AlignedRead, int, int]]]:
     """Load and pool-merge reads: returns (sample_names, [(read, sample_i,
-    rg_i)] sorted by (ref_id, pos, seq))."""
+    rg_i)] sorted by (ref_id, pos, seq)). position_filter additionally keeps
+    only reads overlapping [region.begin, region.end) — must match the
+    native prep's filter exactly (native/gt_align.cpp parse_bam_pool)."""
     sample_names: list[str] = []
     pooled: list[tuple[AlignedRead, int, int]] = []
     for path in hts_paths:
@@ -130,6 +143,10 @@ def read_pool_records(
                 if r.ref_id < 0:
                     continue
                 if header.ref_names[r.ref_id] != region.chr:
+                    continue
+                if position_filter and not (
+                    r.pos < region.end and r.pos + _ref_span(r.cigar) > region.begin
+                ):
                     continue
             if multi:
                 sm = header.rg_to_sample.get(r.tags.get("RG"))
@@ -284,7 +301,9 @@ def call_pool(
                     num_duplicated,
                 )
 
-    sample_names, pooled = read_pool_records(hts_paths, region, ref_path=ref_path)
+    sample_names, pooled = read_pool_records(
+        hts_paths, region, ref_path=ref_path, position_filter=graph.is_sv_graph
+    )
     scorer = SiteScorer(
         graph,
         sample_names,

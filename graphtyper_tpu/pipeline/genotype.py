@@ -97,6 +97,18 @@ def genotype_sv(
     padded.pad(1000)
 
     os.makedirs(output_dir, exist_ok=True)
+    # SV pools position-filter to the padded region (reference iterator
+    # semantics); an index lets the native parse byte-slice instead of
+    # decompressing whole inputs (io/bai.py) — CRAM needs none (container
+    # headers carry ranges)
+    bams = [p for p in sams if p.endswith(".bam")]
+    if bams:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from graphtyper_tpu.io.bai import ensure_bai
+
+        with ThreadPoolExecutor(max_workers=min(8, len(bams))) as ex:
+            list(ex.map(ensure_bai, bams))
     graph = construct_graph(ref_path, sv_vcf, padded.to_string(), is_sv_graph=True, use_index=True)
     index = index_graph(graph)
 

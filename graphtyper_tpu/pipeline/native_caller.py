@@ -78,6 +78,7 @@ def _setup_lib(lib) -> None:
     lib.gt_call_prepare_bam.argtypes = (
         [ctypes.c_void_p] * 4 + [ctypes.c_int64]  # files
         + [ctypes.c_int32] * 2  # sam_flag_filter force_both
+        + [ctypes.c_int64] * 2  # position filter begin/end (-1 = off)
         + [_p64] * 2 + [ctypes.POINTER(ctypes.c_int32)]
     )
     lib.gt_prep_fetch_seqs.restype = None
@@ -125,25 +126,37 @@ _BYTES_CACHE: dict = {}
 _BYTES_CACHE_MAX = 6
 
 
-def _bam_bytes(path: str) -> bytes | None:
+def _bam_bytes(path: str, interval: tuple[str, int, int] | None = None) -> bytes | None:
+    """Decompressed BAM bytes for the whole file, or — when `interval` is
+    given and an index (.bai) / container headers (CRAM) allow it — a record
+    SUPERSET of the interval's overlaps. Consumers apply the exact position
+    filter themselves, so the slice is purely an IO optimization."""
     import os
 
     from graphtyper_tpu.io.bgzf import decompress_all
 
     st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, interval)
     hit = _BYTES_CACHE.get(key)
     if hit is not None:
         return hit
     if path.endswith(".cram"):
-        # CRAM rides the same path through the native CRAM->BAM bridge
+        # CRAM rides the same path through the native CRAM->BAM bridge;
+        # container headers carry (ref, start, span) so region decode needs
+        # no index file
         from graphtyper_tpu.io.cram_native import cram_to_bam_bytes
 
-        data = cram_to_bam_bytes(path)
+        data = cram_to_bam_bytes(path, region=interval)
         if data is None:
             return None  # unsupported codec: caller uses the object path
     else:
-        data = decompress_all(path)
+        data = None
+        if interval is not None:
+            from graphtyper_tpu.io.bai import read_region_bam_bytes
+
+            data = read_region_bam_bytes(path, [interval])
+        if data is None:
+            data = decompress_all(path)
     if len(_BYTES_CACHE) >= _BYTES_CACHE_MAX:
         _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
     _BYTES_CACHE[key] = data
@@ -219,24 +232,33 @@ _PREP_CACHE: dict = {}
 _PREP_CACHE_MAX = 4
 
 
-def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both):
-    """Prepared pool for (files, region, filters): parse + sort + dedup once."""
+def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both, position_filter=False):
+    """Prepared pool for (files, region, filters): parse + sort + dedup once.
+
+    position_filter restricts the record set to reads overlapping
+    [region.begin, region.end) — the reference's index-iterator semantics
+    (genotype_sv.cpp reads regions, not contigs). The exact filter runs in
+    the C++ parse; when a .bai exists (or the input is CRAM) the byte slice
+    is also index-gated so population-scale inputs never decompress whole."""
     import os
 
+    fb = int(region.begin) if position_filter else -1
+    fe = int(region.end) if position_filter else -1
     ids = []
     for p in hts_paths:
         st = os.stat(p)
         ids.append((os.path.abspath(p), st.st_mtime_ns, st.st_size))
-    key = (tuple(ids), region.chr, sam_flag_filter, force_both)
+    key = (tuple(ids), region.chr, sam_flag_filter, force_both, fb, fe)
     hit = _PREP_CACHE.get(key)
     if hit is not None:
         return hit
 
+    interval = (region.chr, fb, fe) if position_filter else None
     datas = []
     targets = []
     sample_names: list[str] = []
     for path in hts_paths:
-        data = _bam_bytes(path)
+        data = _bam_bytes(path, interval)
         meta = _parse_bam_header_meta(data) if data is not None else None
         if meta is None:
             return None
@@ -267,6 +289,8 @@ def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both):
         len(bufs),
         sam_flag_filter,
         1 if force_both else 0,
+        fb,
+        fe,
         ctypes.byref(n_reads),
         ctypes.byref(n_rows),
         ctypes.byref(row_len),
@@ -336,7 +360,12 @@ def run_native_call_pool_bam(
         return None
     _setup_lib(lib)
 
-    entry = _get_prep(lib, hts_paths, region, sam_flag_filter, force_both)
+    # SV pools read only the region's overlaps (the reference's iterator
+    # semantics); SNP pools run on bamshrink output that is already sliced
+    entry = _get_prep(
+        lib, hts_paths, region, sam_flag_filter, force_both,
+        position_filter=graph.is_sv_graph,
+    )
     if entry is None:
         return None
     sample_names = entry.sample_names

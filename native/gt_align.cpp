@@ -2809,7 +2809,15 @@ static void compute_reps_rows(PrepPool & P)
 static void parse_bam_pool(
   const uint8_t ** file_data, const int64_t * file_size,
   const int64_t * file_target_ref, const int32_t * file_sample_idx, int64_t n_files,
-  PrepPool & P)
+  PrepPool & P,
+  // optional position filter: keep only records overlapping [begin, end) on
+  // the target contig (htslib bam_endpos semantics: empty-cigar records span
+  // one base). begin < 0 disables (keep every target-contig record). This is
+  // the record-set definition for SV pools — the reference reads SV regions
+  // through index iterators (genotype_sv.cpp) instead of whole contigs, and
+  // the BAI/CRAI slice in native_caller._bam_bytes is just an IO shortcut to
+  // the same set.
+  int64_t filter_begin = -1, int64_t filter_end = -1)
 {
   // ASCII -> code, matching utils/dna.py _CODE (BAM nibble chars only need
   // "=ACMGRSVTWYHKDBN", but cover the full IUPAC set like the table)
@@ -2875,6 +2883,29 @@ static void parse_bam_pool(
       memcpy(&pos, p + 4, 4);
       if (ref_id >= 0 && ref_id == file_target_ref[f])
       {
+        if (filter_begin >= 0)
+        {
+          uint8_t l_rn = p[8];
+          uint16_t nc;
+          memcpy(&nc, p + 12, 2);
+          int64_t span = 0;
+          const uint8_t * cg = p + 32 + l_rn;
+          for (uint16_t ci = 0; ci < nc; ++ci)
+          {
+            uint32_t c;
+            memcpy(&c, cg + 4 * ci, 4);
+            uint32_t op = c & 0xF;
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)  // M D N = X
+              span += c >> 4;
+          }
+          if (span == 0)
+            span = 1;  // bam_endpos: unmapped/cigarless records span 1 base
+          if (!(pos < filter_end && pos + span > filter_begin))
+          {
+            off += 4 + block_size;
+            continue;
+          }
+        }
         PRead pr;
         pr.ref_id = ref_id;
         pr.pos = pos;
@@ -3139,12 +3170,15 @@ void * gt_call_prepare_bam(
   const uint8_t ** file_data, const int64_t * file_size,
   const int64_t * file_target_ref, const int32_t * file_sample_idx, int64_t n_files,
   int32_t sam_flag_filter, int32_t force_both,
+  // position filter: keep records overlapping [begin, end); begin < 0 = off
+  int64_t filter_begin, int64_t filter_end,
   int64_t * out_n_reads, int64_t * out_n_rows, int32_t * out_row_len)
 {
   PrepPool * P = new PrepPool();
   P->sam_flag_filter = sam_flag_filter;
   P->force_both = force_both;
-  parse_bam_pool(file_data, file_size, file_target_ref, file_sample_idx, n_files, *P);
+  parse_bam_pool(file_data, file_size, file_target_ref, file_sample_idx, n_files, *P,
+                 filter_begin, filter_end);
   compute_reps_rows(*P);
   *out_n_reads = P->n_reads;
   *out_n_rows = (int64_t)P->row_rep.size();
