@@ -111,7 +111,7 @@ def vcf_merge_and_break(
     """vcf_operations.cpp:480-731."""
     vcf = vcf_merge(pool_vcfs)
     region = GenomicRegion.parse(region_str)
-    broken: list[Variant] = []
+    candidates: list[Variant] = []
     for var in vcf.variants:
         if len(var.calls) != len(vcf.sample_names):
             raise ValueError("calls / sample_names mismatch")
@@ -125,16 +125,29 @@ def vcf_merge_and_break(
                 is_all_biallelic,
                 no_decompose=no_decompose,
             )
-        kept = []
         for nv in new_variants:
             dist = nv.normalize(graph)
             if dist > 200:
                 continue
+            candidates.append(nv)
+
+    # scan + INFO/FILTER/FORMAT generation: one batched native pass over the
+    # eligible (non-SV) records; the rest run the Python path
+    if not graph.is_sv_graph:
+        from graphtyper_tpu.typer import native_finisher
+
+        if native_finisher.available():
+            native_finisher.finish_variants(candidates, len(vcf.sample_names))
+    broken: list[Variant] = []
+    for nv in candidates:
+        fin = getattr(nv, "_fin", None)
+        if fin is not None:
+            is_good_alt = fin[0]
+        else:
             is_good_alt = nv.generate_infos(graph, is_sv_graph=graph.is_sv_graph)
-            if not force_no_filter_bad_alts and all(g == 0 for g in is_good_alt):
-                continue
-            kept.append(nv)
-        broken.extend(kept)
+        if not force_no_filter_bad_alts and all(g == 0 for g in is_good_alt):
+            continue
+        broken.append(nv)
 
     out = VcfOutput(sample_names=vcf.sample_names, variants=broken)
     out.write(
@@ -162,6 +175,13 @@ def vcf_merge_and_break(
         write_index_for(output_path, use_csi=getattr(current_options(), "is_csi", False))
 
 
+def _group_by_call_count(variants: list) -> dict[int, list]:
+    groups: dict[int, list] = {}
+    for v in variants:
+        groups.setdefault(len(v.calls), []).append(v)
+    return groups
+
+
 def vcf_merge_and_filter(
     pool_vcfs: list[VcfOutput],
     output_path: str,
@@ -181,9 +201,20 @@ def vcf_merge_and_filter(
         var_id += len(var.seqs) - 1
 
     out = VcfOutput(sample_names=[])
+    # only the is_good_alt verdicts are needed here — the batched native
+    # finisher skips string building entirely (want_strings=False)
+    from graphtyper_tpu.typer import native_finisher
+
+    if native_finisher.available():
+        for S, group in _group_by_call_count(vcf.variants).items():
+            native_finisher.finish_variants(group, S, want_strings=False)
     var_id = 0
     for var in vcf.variants:
-        is_good_alt = var.generate_infos(graph, is_sv_graph=False)
+        fin = getattr(var, "_fin", None)
+        if fin is not None:
+            is_good_alt = fin[0]
+        else:
+            is_good_alt = var.generate_infos(graph, is_sv_graph=False)
         for a in range(len(var.seqs) - 1):
             var_id += 1
             if is_good_alt[a] == 0:

@@ -152,6 +152,34 @@ class VcfOutput:
                 return None
             if sum(len(s) for s in var.seqs) > 16000:
                 return None
+
+        # native finisher output (typer/native_finisher.py): the INFO/FILTER/
+        # FORMAT columns and QUAL/VarType were computed in C++; assemble the
+        # line without touching the Python INFO path (byte-identical — the
+        # differential test is tests/typer/test_native_finisher.py)
+        fin = getattr(var, "_fin", None)
+        if fin is not None and fin[3]:
+            _good, qual, vartype, info_str, filter_str, fmt_str = fin
+            if filter_zero_qual and self.sample_names and qual == 0:
+                return None
+            vid = f"{chrom}:{pos}:{vartype}"
+            if var.suffix_id:
+                vid += f"[{var.suffix_id}]"
+            vid += suffix
+            out = [
+                chrom,
+                str(pos),
+                vid,
+                var.seqs[0].decode(),
+                ",".join(s.decode() for s in var.seqs[1:]),
+                str(qual),
+                filter_str,
+                info_str,
+            ]
+            if not is_dropping_genotypes and fmt_str:
+                out.append(fmt_str)
+            return "\t".join(out)
+
         qual = var.get_qual()
         if filter_zero_qual and self.sample_names and qual == 0:
             return None
@@ -230,7 +258,8 @@ class VcfOutput:
             if "AN" in infos and int(infos["AN"]) >= 6 and "QD" in infos and float(infos["QD"]) < 6.0:
                 filters.append("LowQD")
             if "AN" in infos and int(infos["AN"]) >= 6 and "AAScore" in infos:
-                if not any(float(x) > 0.15 for x in infos["AAScore"].split(",")):
+                # `if x` guards the alt-free edge (A==1 emits an empty list)
+                if not any(float(x) > 0.15 for x in infos["AAScore"].split(",") if x):
                     filters.append("LowAAScore")
             if qual < 10:
                 filters.append("LowQUAL")
