@@ -131,6 +131,42 @@ def add_var_record(
         var_records.append(var)
 
 
+def records_from_vcf_output(vcf_out, abs_pos) -> list:
+    """In-memory handoff between pipeline iterations: the VcfTextRecords that
+    writing `vcf_out` and reading the file back would produce (same sort,
+    same record skips, same INFO text — construct_graph re-sorts and
+    position-filters, so this is drop-in for VcfReader.read_region's
+    superset). tests/pipeline/test_inmem_handoff.py asserts output parity
+    against the file round-trip."""
+    from graphtyper_tpu.io.vcf_io import VcfTextRecord
+
+    recs = []
+    for var in sorted(vcf_out.variants, key=lambda v: (v.abs_pos, v.seqs)):
+        # write-side skips (vcf_out.py format_record)
+        if var.calls and len(var.seqs) > 80:
+            continue
+        if sum(len(s) for s in var.seqs) > 16000:
+            continue
+        chrom, pos = abs_pos.get_contig_position(var.abs_pos)
+        info = (
+            ";".join(
+                f"{k}={var.infos[k]}" if var.infos[k] else k for k in sorted(var.infos)
+            )
+            or "."
+        )
+        recs.append(
+            VcfTextRecord(
+                chrom=chrom,
+                pos=pos - 1,
+                id=".",
+                ref=var.seqs[0].decode(),
+                alts=[s.decode() for s in var.seqs[1:]],
+                info=info,
+            )
+        )
+    return recs
+
+
 def construct_graph(
     reference_filename: str,
     vcf_filename: str,
@@ -138,9 +174,13 @@ def construct_graph(
     is_sv_graph: bool = False,
     use_index: bool = True,
     add_all_variants: bool = False,
+    records: list | None = None,
 ) -> Graph:
     """constructor.cpp construct_graph (:1597-1772). Returns the graph (no
-    global mutable state, unlike the reference's gyper::graph singleton)."""
+    global mutable state, unlike the reference's gyper::graph singleton).
+
+    `records` (optional, from records_from_vcf_output) skips the VCF file
+    read-back when the previous iteration's sites are still in memory."""
     graph = Graph()
     graph.is_sv_graph = is_sv_graph
     region = GenomicRegion.parse(region_str)
@@ -161,9 +201,12 @@ def construct_graph(
         raise ValueError("Non-uppercase character in input FASTA reference")
 
     var_records: list[VarRecord] = []
-    if vcf_filename:
-        reader = VcfReader(vcf_filename)
-        recs = reader.read_region(region.chr, region.begin, region.end)
+    if vcf_filename or records is not None:
+        if records is not None:
+            recs = [r for r in records if r.chrom == region.chr]
+        else:
+            reader = VcfReader(vcf_filename)
+            recs = reader.read_region(region.chr, region.begin, region.end)
         for rec in recs:
             if rec.pos >= region.begin and rec.pos + len(rec.ref) <= region.end:
                 for split in split_multi_allelic(rec):

@@ -236,6 +236,11 @@ def genotype(
             sites_vcf.variants.append(v)
     it1_final = os.path.join(it1, "final.vcf.gz")
     sites_vcf.write(it1_final, contigs, abs_pos, filter_zero_qual=False, is_dropping_genotypes=True)
+    # in-memory sites handoff: the file is the checkpoint, the records feed
+    # the next iteration's graph directly (skips bgzf+tabix read-back)
+    from graphtyper_tpu.graph.build import records_from_vcf_output
+
+    prev_records = records_from_vcf_output(sites_vcf, abs_pos)
 
     # ---- iterations 2..LAST ----
     FIRST_CALLONLY_ITERATION = 2
@@ -251,7 +256,8 @@ def genotype(
         out_dir = os.path.join(tmp, f"it{i}")
         os.makedirs(out_dir, exist_ok=True)
         graph = construct_graph(
-            ref_path, prev_vcf, padded.to_string(), is_sv_graph=False, use_index=True, add_all_variants=True
+            ref_path, prev_vcf, padded.to_string(), is_sv_graph=False, use_index=True,
+            add_all_variants=True, records=prev_records,
         )
         # successive iterations share almost every k-mer (the reference
         # backbone), so the seed filter carries over with a small additive
@@ -271,7 +277,8 @@ def genotype(
         )
         if not is_last:
             next_vcf = os.path.join(out_dir, "final.vcf.gz")
-            vcf_merge_and_filter([result.vcf], next_vcf, result.ph, graph)
+            filtered = vcf_merge_and_filter([result.vcf], next_vcf, result.ph, graph)
+            prev_records = records_from_vcf_output(filtered, abs_pos)
             prev_vcf = next_vcf
         else:
             final_result = result

@@ -252,6 +252,9 @@ def vcf_merge_and_filter(
         filter_zero_qual=False,
         is_dropping_genotypes=True,
     )
+    # returned so the next iteration can take the sites in memory
+    # (graph/build.records_from_vcf_output) instead of re-reading the file
+    return out
 
 
 def vcf_concatenate(vcf_paths: list[str], output_path: str, contigs=None) -> None:
