@@ -296,6 +296,10 @@ def _index_graph_native(graph: Graph) -> KmerIndex | None:
         )
         lib.gt_index_fetch.restype = ctypes.c_int32
         lib.gt_index_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+        lib.gt_index_sort.restype = ctypes.c_int64
+        lib.gt_index_sort.argtypes = [ctypes.c_void_p]
+        lib.gt_index_fetch_sorted.restype = ctypes.c_int32
+        lib.gt_index_fetch_sorted.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
         lib.gt_index_free.restype = None
         lib.gt_index_free.argtypes = [ctypes.c_void_p]
         lib._index_ready = True
@@ -345,16 +349,30 @@ def _index_graph_native(graph: Graph) -> KmerIndex | None:
         ctypes.byref(n_labels),
     )
     try:
-        kmers = np.zeros(n_labels.value, dtype=np.uint64)
-        starts = np.zeros(n_labels.value, dtype=np.int64)
-        ends = np.zeros(n_labels.value, dtype=np.int64)
-        var_ids = np.zeros(n_labels.value, dtype=np.int64)
-        rc = lib.gt_index_fetch(handle, ptr(kmers), ptr(starts), ptr(ends), ptr(var_ids))
+        # sort + CSR layout in C++ (stable radix by key — the exact
+        # permutation of the stable numpy argsort in KmerIndex.build)
+        n_keys = lib.gt_index_sort(handle)
+        if n_keys < 0:
+            return None
+        keys = np.zeros(max(1, n_keys), dtype=np.uint64)
+        offsets = np.zeros(n_keys + 1, dtype=np.int64)
+        starts = np.zeros(max(1, n_labels.value), dtype=np.int64)
+        ends = np.zeros(max(1, n_labels.value), dtype=np.int64)
+        var_ids = np.zeros(max(1, n_labels.value), dtype=np.int64)
+        rc = lib.gt_index_fetch_sorted(
+            handle, ptr(keys), ptr(offsets), ptr(starts), ptr(ends), ptr(var_ids)
+        )
         if rc != 0:
             return None
     finally:
         lib.gt_index_free(handle)
-    return KmerIndex.build(kmers, starts, ends, var_ids)
+    return KmerIndex(
+        keys=keys[:n_keys],
+        offsets=offsets,
+        label_start=starts[: n_labels.value],
+        label_end=ends[: n_labels.value],
+        label_var_id=var_ids[: n_labels.value],
+    )
 
 
 def index_graph_py(graph: Graph) -> KmerIndex:

@@ -3871,6 +3871,85 @@ int32_t gt_index_fetch(void * handle, uint64_t * kmers, int64_t * starts, int64_
   return 0;
 }
 
+// Sort the emitted labels by kmer key (stable LSD radix — the exact
+// permutation of numpy's stable argsort in index/kmer_index.py build) and
+// count the distinct keys. Call after gt_index_graph, then fetch the
+// finished CSR layout with gt_index_fetch_sorted.
+int64_t gt_index_sort(void * handle)
+{
+  IdxResult * R = static_cast<IdxResult *>(handle);
+  if (!R)
+    return -1;
+  int64_t n = (int64_t)R->kmers.size();
+  std::vector<int64_t> perm(n), tmp(n);
+  for (int64_t i = 0; i < n; ++i)
+    perm[i] = i;
+  // only bytes that actually vary need passes (kmers are 2K-bit packed)
+  for (int shift = 0; shift < 64; shift += 8)
+  {
+    int64_t count[257] = {0};
+    bool varies = false;
+    uint8_t first = (uint8_t)(n ? (R->kmers[perm[0]] >> shift) : 0);
+    for (int64_t i = 0; i < n; ++i)
+    {
+      uint8_t b = (uint8_t)(R->kmers[perm[i]] >> shift);
+      varies |= b != first;
+      ++count[b + 1];
+    }
+    if (!varies)
+      continue;
+    for (int k = 0; k < 256; ++k)
+      count[k + 1] += count[k];
+    for (int64_t i = 0; i < n; ++i)
+      tmp[count[(uint8_t)(R->kmers[perm[i]] >> shift)]++] = perm[i];
+    perm.swap(tmp);
+  }
+  // apply the permutation
+  IdxResult sorted;
+  sorted.kmers.resize(n);
+  sorted.starts.resize(n);
+  sorted.ends.resize(n);
+  sorted.var_ids.resize(n);
+  int64_t n_keys = 0;
+  for (int64_t i = 0; i < n; ++i)
+  {
+    int64_t p = perm[i];
+    sorted.kmers[i] = R->kmers[p];
+    sorted.starts[i] = R->starts[p];
+    sorted.ends[i] = R->ends[p];
+    sorted.var_ids[i] = R->var_ids[p];
+    if (i == 0 || sorted.kmers[i] != sorted.kmers[i - 1])
+      ++n_keys;
+  }
+  *R = std::move(sorted);
+  return n_keys;
+}
+
+// CSR fetch after gt_index_sort: unique keys + offsets, labels permuted.
+int32_t gt_index_fetch_sorted(void * handle, uint64_t * keys, int64_t * offsets,
+                              int64_t * starts, int64_t * ends, int64_t * var_ids)
+{
+  IdxResult * R = static_cast<IdxResult *>(handle);
+  if (!R)
+    return -1;
+  int64_t n = (int64_t)R->kmers.size();
+  memcpy(starts, R->starts.data(), n * sizeof(int64_t));
+  memcpy(ends, R->ends.data(), n * sizeof(int64_t));
+  memcpy(var_ids, R->var_ids.data(), n * sizeof(int64_t));
+  int64_t u = 0;
+  for (int64_t i = 0; i < n; ++i)
+  {
+    if (i == 0 || R->kmers[i] != R->kmers[i - 1])
+    {
+      keys[u] = R->kmers[i];
+      offsets[u] = i;
+      ++u;
+    }
+  }
+  offsets[u] = n;
+  return 0;
+}
+
 void gt_index_free(void * handle)
 {
   delete static_cast<IdxResult *>(handle);
