@@ -406,10 +406,26 @@ def _bamshrink_native(
             return None
     finally:
         lib.gt_bamshrink_free(handle)
-    compressed = bgzf_compress_bulk(out.tobytes())
+    out_bytes = out.tobytes()
+    compressed = bgzf_compress_bulk(out_bytes)
     with open(out_path, "wb") as f:
         f.write(compressed)
         f.write(BGZF_EOF)
+    # seed the caller's decompressed-bytes cache: the pooled caller and the
+    # discovery first pass read this exact file next, and decompress_all of
+    # what was just written is identically `out_bytes`
+    try:
+        import os as _os
+
+        from graphtyper_tpu.pipeline import native_caller as _nc
+
+        st = _os.stat(out_path)
+        key = (_os.path.abspath(out_path), st.st_mtime_ns, st.st_size, None)
+        if len(_nc._BYTES_CACHE) >= _nc._BYTES_CACHE_MAX:
+            _nc._BYTES_CACHE.pop(next(iter(_nc._BYTES_CACHE)))
+        _nc._BYTES_CACHE[key] = out_bytes
+    except Exception:
+        pass
     return out_path
 
 
