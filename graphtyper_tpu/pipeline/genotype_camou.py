@@ -82,8 +82,21 @@ def genotype_camou(
         raise ValueError("No intervals in BED file")
     ploidy = 2 * len(intervals)
     opts = replace(opts, ploidy=ploidy, filter_on_mapq=False, force_align_both_orientations=True)
+    # ploidy > 2 must reach the record writer: the FILTER column is "."
+    # for polyploid calling (vcf.cpp:860)
+    from graphtyper_tpu.config import current_options, set_options
+
+    _prev_opts = current_options()
+    set_options(replace(_prev_opts, ploidy=ploidy))
 
     tmp = tempfile.mkdtemp(prefix="graphtyper_tpu_camou_")
+    try:
+        return _genotype_camou_body(ref_path, sams, output_path, opts, intervals, ploidy, tmp)
+    finally:
+        set_options(_prev_opts)
+
+
+def _genotype_camou_body(ref_path, sams, output_path, opts, intervals, ploidy, tmp):
     outs = []
     for interval in intervals:
         region = GenomicRegion.parse(interval)

@@ -22,20 +22,32 @@ def genotype_lr(
     output_path: str,
     opts: Options | None = None,
 ) -> str:
-    opts = opts or Options()
-    region = GenomicRegion.parse(region_str)
-    fasta = FastaFile(ref_path)
-    if fasta.has_contig(region.chr):
-        region.end = min(region.end, fasta.contig_length(region.chr))
-    contigs = list(fasta.contigs)
-    fasta.close()
-    padded = GenomicRegion(region.chr, region.begin, region.end)
-    padded.pad(1000)
+    from dataclasses import replace
 
-    tmp = tempfile.mkdtemp(prefix="graphtyper_tpu_lr_")
-    vcf = streamlined_lr_genotyping(sams, ref_path, padded.to_string(), opts)
-    out_tmp = os.path.join(tmp, "graphtyper.vcf.gz")
-    vcf.write(out_tmp, vcf._contigs, vcf._abs_pos, region=region)
+    from graphtyper_tpu.config import current_options, set_options
+
+    # the reference's genotype_lr subcommand sets is_lr_calling
+    # (main.cpp:1066): scan_calls bumps GQ by 10 (variant.cpp:334) and the
+    # FILTER column is "." (vcf.cpp:860)
+    opts = replace(opts or Options(), is_lr_calling=True)
+    prev_opts = current_options()
+    set_options(replace(prev_opts, is_lr_calling=True))
+    try:
+        region = GenomicRegion.parse(region_str)
+        fasta = FastaFile(ref_path)
+        if fasta.has_contig(region.chr):
+            region.end = min(region.end, fasta.contig_length(region.chr))
+        contigs = list(fasta.contigs)
+        fasta.close()
+        padded = GenomicRegion(region.chr, region.begin, region.end)
+        padded.pad(1000)
+
+        tmp = tempfile.mkdtemp(prefix="graphtyper_tpu_lr_")
+        vcf = streamlined_lr_genotyping(sams, ref_path, padded.to_string(), opts)
+        out_tmp = os.path.join(tmp, "graphtyper.vcf.gz")
+        vcf.write(out_tmp, vcf._contigs, vcf._abs_pos, region=region)
+    finally:
+        set_options(prev_opts)
 
     os.makedirs(os.path.join(output_path, region.chr), exist_ok=True)
     dst = os.path.join(output_path, region.chr, f"{region.begin + 1:09d}-{region.end:09d}.vcf.gz")

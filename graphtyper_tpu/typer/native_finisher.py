@@ -53,7 +53,12 @@ def _setup(lib) -> None:
 def available() -> bool:
     from graphtyper_tpu.config import current_options
 
-    if getattr(current_options(), "native_caller", "auto") == "off":
+    o = current_options()
+    if getattr(o, "native_caller", "auto") == "off":
+        return False
+    # modes with special FILTER/GQ semantics stay on the Python path
+    # (vcf.cpp:860 "." FILTER; variant.cpp:334 LR GQ bump)
+    if o.ploidy > 2 or o.is_segment_calling or o.is_lr_calling:
         return False
     return get_lib() is not None
 

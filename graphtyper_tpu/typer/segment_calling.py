@@ -253,11 +253,21 @@ def segment_calling(
             var.calls.append(SampleCall(phred=phred, coverage=np.zeros(n, dtype=np.int64)))
         out.variants.append(var)
 
-    out.write(
-        out_path,
-        graph.contigs,
-        graph.abs_pos,
-        filter_zero_qual=False,
-        output_all_variants=True,
-        write_tbi=True,
-    )
+    # segment records carry a "." FILTER (vcf.cpp:860 is_segment_calling)
+    from dataclasses import replace
+
+    from graphtyper_tpu.config import current_options, set_options
+
+    prev = current_options()
+    set_options(replace(prev, is_segment_calling=True))
+    try:
+        out.write(
+            out_path,
+            graph.contigs,
+            graph.abs_pos,
+            filter_zero_qual=False,
+            output_all_variants=True,
+            write_tbi=True,
+        )
+    finally:
+        set_options(prev)

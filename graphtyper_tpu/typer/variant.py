@@ -185,7 +185,13 @@ class Variant:
     # INFO generation (variant.cpp scan_calls + generate_infos)
     # ------------------------------------------------------------------
 
-    def scan_calls(self, is_sv_graph: bool = False, is_lr_calling: bool = False) -> None:
+    def scan_calls(self, is_sv_graph: bool = False, is_lr_calling: bool | None = None) -> None:
+        if is_lr_calling is None:
+            # the reference reads the global option inside scan_calls
+            # (variant.cpp:334 copts.is_lr_calling); genotype_lr sets it
+            from graphtyper_tpu.config import current_options
+
+            is_lr_calling = current_options().is_lr_calling
         st = self.stats
         if st.seqdepth > 0 or st.n_calls > 0:
             return

@@ -235,6 +235,13 @@ class VcfOutput:
 
     @staticmethod
     def _filter_field(var: Variant, qual: int, is_sv: bool) -> str:
+        # vcf.cpp:860: FILTER is "." without samples and for ploidy>2 /
+        # segment / long-read calling modes
+        from graphtyper_tpu.config import current_options
+
+        o = current_options()
+        if not var.calls or o.ploidy > 2 or o.is_segment_calling or o.is_lr_calling:
+            return "."
         infos = var.infos
         filters: list[str] = []
         if is_sv:
@@ -270,8 +277,6 @@ class VcfOutput:
                 and float(infos["PASS_ratio"]) < 0.05
             ):
                 filters.append("LowPratio")
-        if not var.calls:
-            return "."
         return ";".join(filters) if filters else "PASS"
 
     def write(

@@ -60,6 +60,8 @@ def test_camou_two_intervals_ploidy4(tmp_path):
     for out in outs:
         body = [l for l in gzip.open(out, "rt").read().splitlines() if not l.startswith("#")]
         assert body, f"no records in {out}"
+        # ploidy > 2 drops the FILTER column (vcf.cpp:860)
+        assert all(l.split("\t")[6] == "." for l in body), out
 
 
 def test_update_camou_phred_ploidy4():
@@ -255,6 +257,7 @@ def test_segment_calling(tmp_path):
     body = [l for l in txt.splitlines() if not l.startswith("#")]
     assert body, "no segment record"
     rec = body[0].split("\t")
+    assert rec[6] == "."  # segment calling drops the FILTER column (vcf.cpp:860)
     assert "SEGMENT_ALLELES=" in rec[7]
     names = rec[7].split("SEGMENT_ALLELES=")[1].split(";")[0].split(",")
     gt = rec[9].split(":")[0]

@@ -72,6 +72,7 @@ def test_lr_genotyping(tmp_path):
     f = body[0].split("\t")
     assert f[1] == "151"
     assert f[4] == alt_base
+    assert f[6] == "."  # is_lr_calling drops the FILTER column (vcf.cpp:860)
     assert f[9].split(":")[0] == "0/1"
 
 
