@@ -557,8 +557,13 @@ def _build_pool_result(
             for var in vcf.variants:
                 var.stats = type(var.stats)()  # clear
         else:
-            for var in vcf.variants:
-                var.scan_calls()
+            # segment calling skips the pool-save scan
+            # (hts_parallel_reader.cpp:1022)
+            from graphtyper_tpu.config import current_options as _co
+
+            if not _co().is_segment_calling:
+                for var in vcf.variants:
+                    var.scan_calls()
     else:
         # sites-only VCF for haplotype extraction between iterations
         for ps, site in enumerate(scorer.sites):

@@ -32,6 +32,30 @@ def genotype_hla(
     preprocessing over a BED file (:106-107), allele-level <H> record from
     the panel VCF, and — when segment FASTAs are given — whole-panel segment
     calling (segment_calling.cpp) into a sibling .segments.vcf.gz."""
+    from dataclasses import replace
+
+    from graphtyper_tpu.config import current_options, set_options
+    from graphtyper_tpu.io.fasta import FastaFile
+
+    # the reference's genotype_hla subcommand option block (main.cpp:837-844):
+    # segment-calling output semantics ("." FILTER, GT:GQ:PL on <...> records,
+    # no pool-save scan), HQ-read filtering, no decomposition
+    prev_opts = current_options()
+    set_options(
+        replace(prev_opts, is_segment_calling=True, hq_reads=True, no_decompose=True)
+    )
+    try:
+        return _genotype_hla_body(
+            ref_path, hla_vcf_fn, sams, region_str, output_path, interval_fn,
+            segment_fasta_files,
+        )
+    finally:
+        set_options(prev_opts)
+
+
+def _genotype_hla_body(
+    ref_path, hla_vcf_fn, sams, region_str, output_path, interval_fn, segment_fasta_files
+) -> str:
     from graphtyper_tpu.io.fasta import FastaFile
 
     region = GenomicRegion.parse(region_str)

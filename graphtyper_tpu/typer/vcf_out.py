@@ -206,8 +206,21 @@ class VcfOutput:
             out.append(";".join(parts))
 
         if not is_dropping_genotypes and var.calls:
+            # segment-calling <...> records carry no depth fields
+            # (vcf.cpp:1027-1036 GT:GQ:PL when is_segment_calling/
+            # force_ignore_segment and REF starts with '<')
+            from graphtyper_tpu.config import current_options as _copts
+
+            _o = _copts()
+            seg_mode = (
+                (_o.is_segment_calling or _o.force_ignore_segment)
+                and len(var.seqs[0]) > 0
+                and var.seqs[0][0:1] == b"<"
+            )
             if is_sv:
                 out.append("GT:FT:AD:MD:DP:RA:PP:GQ:PL")
+            elif seg_mode:
+                out.append("GT:GQ:PL")
             else:
                 out.append("GT:AD:MD:DP:GQ:PL")
             for call in var.calls:
@@ -221,9 +234,10 @@ class VcfOutput:
                 if is_sv:
                     filt = call.check_filter(gq)
                     fields.append("PASS" if filt == 0 else f"FAIL{filt}")
-                fields.append(",".join(map(str, np.asarray(call.coverage).tolist())))
-                fields.append(str(call.ambiguous_depth))
-                fields.append(str(call.get_depth()))
+                if not seg_mode:
+                    fields.append(",".join(map(str, np.asarray(call.coverage).tolist())))
+                    fields.append(str(call.ambiguous_depth))
+                    fields.append(str(call.get_depth()))
                 if is_sv:
                     fields.append(f"{call.ref_total_depth},{call.alt_total_depth}")
                     fields.append(str(call.alt_proper_pair_depth))

@@ -160,6 +160,10 @@ def test_genotype_hla(tmp_path):
     assert body, "no HLA record emitted"
     rec = body[0].split("\t")
     assert "HLA_ALLELES=A1,A2" in rec[7]
+    # segment-calling <...> records: "." FILTER and depth-free FORMAT
+    # (vcf.cpp:860, :1027-1036)
+    assert rec[6] == "."
+    assert rec[8] == "GT:GQ:PL", rec
     gt = rec[9].split(":")[0]
     assert gt in ("0/1", "1/0"), rec  # heterozygous A1/A2
 
