@@ -73,6 +73,15 @@ def _options_from_args(args):
 
     opts = DEFAULT_OPTIONS
     over = {}
+    # subcommand default pool widths (main.cpp:900 genotype_sv, :1065
+    # genotype_lr, :722 genotype_hla); an explicit --max_files_open wins
+    fn = getattr(args, "fn", None)
+    sub = getattr(fn, "__name__", "")
+    if getattr(args, "max_files_open", None) is None:
+        if sub in ("cmd_genotype_sv", "cmd_genotype_lr"):
+            over["max_files_open"] = 128
+        elif sub == "cmd_genotype_hla":
+            over["max_files_open"] = 1024
     for store_true in (
         "no_asterisks", "no_filter_on_begin_pos", "no_filter_on_coverage",
         "force_no_filter_zero_qual", "get_sample_names_from_filename",

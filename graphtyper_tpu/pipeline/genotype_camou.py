@@ -120,7 +120,11 @@ def _genotype_camou_body(ref_path, sams, output_path, opts, intervals, ploidy, t
         )
         update_camou_phred_all(result.vcf.variants, ploidy)
         out_vcf = os.path.join(tmp, f"camou_{region.chr}_{region.begin}.vcf.gz")
-        vcf_merge_and_break([result.vcf], out_vcf, region.to_string(), graph, filter_zero_qual=True)
+        # camou keeps bad alts (main.cpp:1247 force_no_filter_bad_alts)
+        vcf_merge_and_break(
+            [result.vcf], out_vcf, region.to_string(), graph,
+            filter_zero_qual=True, force_no_filter_bad_alts=True,
+        )
         outs.append((region, out_vcf))
 
     os.makedirs(output_path, exist_ok=True)

@@ -29,9 +29,23 @@ def genotype_lr(
     # the reference's genotype_lr subcommand sets is_lr_calling
     # (main.cpp:1066): scan_calls bumps GQ by 10 (variant.cpp:334) and the
     # FILTER column is "." (vcf.cpp:860)
-    opts = replace(opts or Options(), is_lr_calling=True)
+    # subcommand defaults (main.cpp:1065-1066, :1181-1182): LR calling mode,
+    # read-bias / proper-pair filters off
+    opts = replace(
+        opts or Options(),
+        is_lr_calling=True,
+        filter_on_read_bias=False,
+        filter_on_proper_pairs=False,
+    )
     prev_opts = current_options()
-    set_options(replace(prev_opts, is_lr_calling=True))
+    set_options(
+        replace(
+            prev_opts,
+            is_lr_calling=True,
+            filter_on_read_bias=False,
+            filter_on_proper_pairs=False,
+        )
+    )
     try:
         region = GenomicRegion.parse(region_str)
         fasta = FastaFile(ref_path)
