@@ -109,6 +109,14 @@ def vcf_merge_and_break(
     force_no_filter_bad_alts: bool = False,
 ) -> None:
     """vcf_operations.cpp:480-731."""
+    from graphtyper_tpu.config import current_options as _gopts
+
+    # the reference reads the global flag (vcf_operations.cpp:648); the
+    # zero-qual force implies it (main.cpp:664-665)
+    _o = _gopts()
+    force_no_filter_bad_alts = (
+        force_no_filter_bad_alts or _o.force_no_filter_bad_alts or _o.force_no_filter_zero_qual
+    )
     vcf = vcf_merge(pool_vcfs)
     region = GenomicRegion.parse(region_str)
     candidates: list[Variant] = []

@@ -146,6 +146,12 @@ class VcfOutput:
         output_all_variants: bool = False,
     ) -> str | None:
         """One VCF line (or None if the record is skipped)."""
+        from graphtyper_tpu.config import current_options as _gopts
+
+        # the global force flag overrides the write-time zero-qual filter
+        # (vcf.cpp:813)
+        if _gopts().force_no_filter_zero_qual:
+            filter_zero_qual = False
         chrom, pos = abs_pos.get_contig_position(var.abs_pos)
         if not output_all_variants:
             if len(var.calls) > 0 and len(var.seqs) > 80:
