@@ -59,6 +59,9 @@ def _add_advanced(p: argparse.ArgumentParser) -> None:
     g.add_argument("--bamshrink_is_not_filtering_mapq0", action="store_true")
     g.add_argument("--primer_bedpe", default=None)
     g.add_argument("--encoding", choices=["vcf", "popvcf"], default=None)
+    g.add_argument("--bgzf_compression_level", type=int, default=None,
+                   help="BGZF output compression level (-1 = zlib default; "
+                        "popvcf encoding defaults to 9)")
     g.add_argument("--stats", default=None, help="Directory for debug stats dumps (per-read/per-path TSVs)")
     g.add_argument("--force_device_sw", action="store_true",
                    help="Route large realignment batches to the Pallas TPU Smith-Waterman kernel")
@@ -112,6 +115,11 @@ def _options_from_args(args):
             over[value_opt] = v
     if getattr(args, "encoding", None):
         over["encoding"] = "p" if args.encoding == "popvcf" else "v"
+        # level 9 is already fast in popvcf encoding mode (main.cpp:442-444)
+        if args.encoding == "popvcf" and getattr(args, "bgzf_compression_level", None) is None:
+            over["bgzf_compression_level"] = 9
+    if getattr(args, "bgzf_compression_level", None) is not None:
+        over["bgzf_compression_level"] = args.bgzf_compression_level
     if getattr(args, "threads", None):
         over["threads"] = args.threads
     if getattr(args, "output", None):

@@ -231,7 +231,13 @@ class ThreadedBgzfWriter:
 
     FLUSH_BLOCKS = 256  # compress in ~16MB batches
 
-    def __init__(self, path: str, level: int = -1, n_threads: int = 0):
+    def __init__(self, path: str, level: int | None = None, n_threads: int = 0):
+        if level is None:
+            # --bgzf_compression_level (options.hpp:90; popvcf encoding
+            # defaults it to 9, main.cpp:444)
+            from graphtyper_tpu.config import current_options
+
+            level = getattr(current_options(), "bgzf_compression_level", -1)
         self._f = open(path, "wb")
         self._level = level
         self._threads = n_threads
@@ -300,7 +306,11 @@ class BgzfWriter(io.RawIOBase):
     (zlib default, options.hpp:40).
     """
 
-    def __init__(self, path_or_file, compresslevel: int = -1):
+    def __init__(self, path_or_file, compresslevel: int | None = None):
+        if compresslevel is None:
+            from graphtyper_tpu.config import current_options
+
+            compresslevel = getattr(current_options(), "bgzf_compression_level", -1)
         if isinstance(path_or_file, (str, os.PathLike)):
             self._f = open(path_or_file, "wb")
             self._owns = True
