@@ -703,6 +703,44 @@ def _remap_call(old_call: SampleCall, n_old: int, n_new: int, old2new: list[int]
     )
 
 
+def _remap_calls_batch(calls: list, n_old: int, n_new: int, old2new: list[int]) -> list:
+    """All samples' calls projected through one allele mapping in a single
+    vectorized pass — cohort-scale twin of the per-call loop above (exact:
+    the per-step 0xFFFF AD ceiling equals clip-of-sum for non-negative
+    addends, and min-PL is order-free). Falls back per call on ragged
+    shapes."""
+    P_old = n_old * (n_old + 1) // 2
+    if not calls or any(len(c.phred) != P_old or len(c.coverage) != n_old for c in calls):
+        return [_remap_call(c, n_old, n_new, old2new) for c in calls]
+    # old pair index -> new pair index (same for every sample)
+    nidx = np.empty(P_old, dtype=np.int64)
+    for y in range(n_old):
+        ny = old2new[y]
+        for x in range(y + 1):
+            nidx[to_index(x, y)] = to_index_safe(old2new[x], ny)
+    phred = np.stack([c.phred for c in calls]).astype(np.int64)  # [S, P_old]
+    cov = np.stack([c.coverage for c in calls]).astype(np.int64)  # [S, n_old]
+    S = len(calls)
+    P_new = n_new * (n_new + 1) // 2
+    new_phred = np.full((S, P_new), 255, dtype=np.int64)
+    np.minimum.at(new_phred, (np.arange(S)[:, None], nidx[None, :]), phred)
+    new_cov = np.zeros((S, n_new), dtype=np.int64)
+    o2n = np.asarray(old2new, dtype=np.int64)
+    np.add.at(new_cov, (np.arange(S)[:, None], o2n[None, :]), cov)
+    np.minimum(new_cov, 0xFFFF, out=new_cov)
+    return [
+        SampleCall(
+            phred=new_phred[s],
+            coverage=new_cov[s],
+            ambiguous_depth=c.ambiguous_depth,
+            alt_proper_pair_depth=c.alt_proper_pair_depth,
+            ref_total_depth=c.ref_total_depth,
+            alt_total_depth=c.alt_total_depth,
+        )
+        for s, c in enumerate(calls)
+    ]
+
+
 def _update_per_allele_stats(n_old: int, n_new: int, old2new: list[int], old_var: Variant, new_var: Variant) -> None:
     """Project per-allele read-strand stats through an allele mapping
     (variant.cpp update_per_allele_stats semantics: sums strand counts)."""
@@ -729,8 +767,7 @@ def make_biallelic(var: Variant) -> list[Variant]:
         )
         old2new = [0] * len(var.seqs)
         old2new[a] = 1
-        for call in var.calls:
-            nv.calls.append(_remap_call(call, len(var.seqs), 2, old2new))
+        nv.calls.extend(_remap_calls_batch(var.calls, len(var.seqs), 2, old2new))
         _update_per_allele_stats(len(var.seqs), 2, old2new, var, nv)
         out.append(nv)
     return out
@@ -767,8 +804,7 @@ def break_multi_snps(var: Variant) -> list[Variant]:
             infos=dict(var.infos),
             suffix_id=var.suffix_id,
         )
-        for call in var.calls:
-            nv.calls.append(_remap_call(call, len(seqs), len(new_bases), old2new))
+        nv.calls.extend(_remap_calls_batch(var.calls, len(seqs), len(new_bases), old2new))
         _update_per_allele_stats(len(seqs), len(new_bases), old2new, var, nv)
         new_vars.append(nv)
     return new_vars
@@ -840,8 +876,7 @@ def break_down_alignment(var: Variant, graph) -> list[Variant]:
         )
         if not nv.is_snp_or_snps():
             nv.add_base_in_front(graph, add_N=True)
-        for call in var.calls:
-            nv.calls.append(_remap_call(call, len(var.seqs), len(ev_seqs), old2new))
+        nv.calls.extend(_remap_calls_batch(var.calls, len(var.seqs), len(ev_seqs), old2new))
         _update_per_allele_stats(len(var.seqs), len(ev_seqs), old2new, var, nv)
         new_vars.append(nv)
     return new_vars
