@@ -710,7 +710,8 @@ def _remap_calls_batch(calls: list, n_old: int, n_new: int, old2new: list[int]) 
     addends, and min-PL is order-free). Falls back per call on ragged
     shapes."""
     P_old = n_old * (n_old + 1) // 2
-    if not calls or any(len(c.phred) != P_old or len(c.coverage) != n_old for c in calls):
+    # small cohorts: the scalar loop beats the ufunc.at dispatch overhead
+    if len(calls) < 4 or any(len(c.phred) != P_old or len(c.coverage) != n_old for c in calls):
         return [_remap_call(c, n_old, n_new, old2new) for c in calls]
     # old pair index -> new pair index (same for every sample)
     nidx = np.empty(P_old, dtype=np.int64)
