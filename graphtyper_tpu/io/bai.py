@@ -393,8 +393,54 @@ def read_region_bam_bytes(
                     merged[-1] = (merged[-1][0], v1)
             else:
                 merged.append((v0, v1))
-        out = bytearray(hdr)
-        for v0, v1 in merged:
-            r.seek_virtual(v0)
-            out += r.read_until_voffset(v1)
+        body = _extract_ranges_native(bam_path, merged)
+        if body is None:
+            # Python fallback (and the differential oracle,
+            # tests/io/test_bai_ranges.py)
+            body = bytearray()
+            for v0, v1 in merged:
+                r.seek_virtual(v0)
+                body += r.read_until_voffset(v1)
+    return bytes(hdr) + bytes(body)
+
+
+def _extract_ranges_native(path: str, merged: list[tuple[int, int]]) -> bytes | None:
+    """Decompress the records covered by merged virtual-offset ranges through
+    the threaded native BGZF inflater: one contiguous compressed span read +
+    one multi-threaded inflate per range, sliced at the within-block offsets
+    (the partial last block's cut point comes from its ISIZE trailer)."""
+    from graphtyper_tpu.io.native import bgzf_decompress, get_lib
+
+    if os.environ.get("GT_BAI_RANGES") == "off" or get_lib() is None:
+        return None
+    out = bytearray()
+    try:
+        with open(path, "rb") as f:
+            for v0, v1 in merged:
+                c0, w0 = v0 >> 16, v0 & 0xFFFF
+                c1, w1 = v1 >> 16, v1 & 0xFFFF
+                if w1 > 0:
+                    f.seek(c1 + 16)
+                    bs = f.read(2)
+                    if len(bs) < 2:
+                        return None
+                    span_end = c1 + int.from_bytes(bs, "little") + 1
+                    f.seek(span_end - 4)
+                    isize = int.from_bytes(f.read(4), "little")
+                else:
+                    span_end = c1
+                    isize = 0
+                if span_end <= c0:
+                    continue
+                f.seek(c0)
+                span = f.read(span_end - c0)
+                if len(span) != span_end - c0:
+                    return None
+                dec = bgzf_decompress(span)
+                if dec is None:
+                    return None
+                end_cut = len(dec) - isize + w1 if w1 > 0 else len(dec)
+                out += dec[w0:end_cut]
+    except OSError:
+        return None
     return bytes(out)
