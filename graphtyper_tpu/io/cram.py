@@ -616,7 +616,7 @@ class Block:
     data: bytes
 
 
-def read_block(br: ByteReader, major: int) -> Block:
+def _read_block_raw(br: ByteReader, major: int):
     method = br.u8()
     content_type = br.u8()
     content_id = br.itf8()
@@ -625,21 +625,60 @@ def read_block(br: ByteReader, major: int) -> Block:
     payload = br.bytes(comp_size)
     if major >= 3:
         br.bytes(4)  # crc32
+    return method, content_type, content_id, raw_size, payload
+
+
+def _decompress_block(method: int, payload: bytes) -> bytes:
     if method == RAW:
-        data = payload
-    elif method == GZIP:
-        data = gzip.decompress(payload)
-    elif method == BZIP2:
-        data = bz2.decompress(payload)
-    elif method == LZMA:
-        data = lzma.decompress(payload)
-    elif method == RANS:
-        data = rans_decode(payload)
-    else:
-        raise CramError(f"unknown compression method {method}")
+        return payload
+    if method == GZIP:
+        return gzip.decompress(payload)
+    if method == BZIP2:
+        return bz2.decompress(payload)
+    if method == LZMA:
+        return lzma.decompress(payload)
+    if method == RANS:
+        return rans_decode(payload)
+    raise CramError(f"unknown compression method {method}")
+
+
+def _make_block(method, content_type, content_id, raw_size, data) -> Block:
     if len(data) != raw_size:
         raise CramError(f"block size mismatch: {len(data)} != {raw_size}")
     return Block(method, content_type, content_id, data)
+
+
+def read_block(br: ByteReader, major: int) -> Block:
+    method, content_type, content_id, raw_size, payload = _read_block_raw(br, major)
+    return _make_block(method, content_type, content_id, raw_size, _decompress_block(method, payload))
+
+
+def finish_slice_blocks(raws) -> tuple:
+    """Decompress one slice's raw blocks (from _iter_slices_raw) into
+    (core BitReader | None, {content_id: ByteReader}). The heavy blocks
+    decompress concurrently — the rANS/zlib work runs in native code that
+    releases the GIL, and a slice's blocks are independent (one per data
+    series)."""
+    heavy = [i for i, r in enumerate(raws) if r[0] != RAW and len(r[4]) > 16384]
+    datas: list[bytes | None] = [None] * len(raws)
+    if len(heavy) >= 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(heavy))) as ex:
+            for i, data in zip(
+                heavy, ex.map(lambda i: _decompress_block(raws[i][0], raws[i][4]), heavy)
+            ):
+                datas[i] = data
+    core = None
+    ext: dict[int, ByteReader] = {}
+    for i, (method, ctype, cid, raw_size, payload) in enumerate(raws):
+        data = datas[i] if datas[i] is not None else _decompress_block(method, payload)
+        b = _make_block(method, ctype, cid, raw_size, data)
+        if b.content_type == CORE_DATA:
+            core = BitReader(b.data)
+        else:
+            ext[b.content_id] = ByteReader(b.data)
+    return core, ext
 
 
 @dataclass
@@ -1135,14 +1174,16 @@ class CramFile:
         self._ref_cache[ref_id] = got
         return got
 
-    def _iter_slices(self, region: tuple[int, int, int] | None = None):
-        """Walk containers/slices; `region=(ref_id, beg, end)` (0-based
-        half-open) skips every container whose header range does not
-        overlap — the container header carries (ref_id, start, span,
-        length), so region reads are O(matching slices) with no index file
-        (htslib needs the .crai only because it streams; we hold the byte
-        buffer). Multi-ref containers (ref_id == -2) are always decoded.
-        Yields (ch, sh, core, ext, counter, ref_getter)."""
+    def _iter_slices_raw(self, region: tuple[int, int, int] | None = None):
+        """Walk containers/slices WITHOUT decompressing the data blocks;
+        `region=(ref_id, beg, end)` (0-based half-open) skips every container
+        whose header range does not overlap — the container header carries
+        (ref_id, start, span, length), so region reads are O(matching
+        slices) with no index file (htslib needs the .crai only because it
+        streams; we hold the byte buffer). Multi-ref containers
+        (ref_id == -2) are always yielded. Yields (ch, sh, raw_blocks,
+        counter, ref_getter); finish with finish_slice_blocks — consumers
+        can do that concurrently per slice (io/cram_native.cram_to_bam_bytes)."""
         br = self.br
         major = self.major
         while not br.eof():
@@ -1170,21 +1211,20 @@ class CramFile:
                 if slice_block.content_type != MAPPED_SLICE:
                     raise CramError(f"expected slice header, got {slice_block.content_type}")
                 sh = read_slice_header(slice_block.data, major)
-                core = None
-                ext: dict[int, ByteReader] = {}
-                for _ in range(sh.n_blocks):
-                    b = read_block(br, major)
-                    if b.content_type == CORE_DATA:
-                        core = BitReader(b.data)
-                    else:
-                        ext[b.content_id] = ByteReader(b.data)
+                raws = [_read_block_raw(br, major) for _ in range(sh.n_blocks)]
 
                 def ref_getter(rid, _sh=sh):
                     return self._get_ref(rid, _sh.ref_md5, _sh.start, _sh.span)
 
-                yield ch, sh, core, ext, counter, ref_getter
+                yield ch, sh, raws, counter, ref_getter
                 counter += sh.n_records
             br.pos = payload_end
+
+    def _iter_slices(self, region: tuple[int, int, int] | None = None):
+        """Decompressed-slice walk: (ch, sh, core, ext, counter, ref_getter)."""
+        for ch, sh, raws, counter, ref_getter in self._iter_slices_raw(region):
+            core, ext = finish_slice_blocks(raws)
+            yield ch, sh, core, ext, counter, ref_getter
 
     def records(self, region: tuple[int, int, int] | None = None) -> list[_CramRec]:
         """Decode records via the Python slice decoder (parity oracle)."""

@@ -315,15 +315,33 @@ def cram_to_bam_bytes(path: str, region: tuple[str, int, int] | None = None) -> 
             rid = -9
         rid_region = (rid, max(0, beg), end)
 
-    parts: list[bytes] = []
-    for ch, sh, core, ext, counter, ref_getter in cf._iter_slices(rid_region):
+    from graphtyper_tpu.io.cram import finish_slice_blocks
+
+    # materialize slices raw (cheap byte walks), prefetch references
+    # serially (the ref cache is not thread-safe to fill), then decompress +
+    # decode each slice concurrently — the rANS and record loops run in
+    # native code that releases the GIL
+    items = []
+    for ch, sh, raws, counter, ref_getter in cf._iter_slices_raw(rid_region):
         if sh.ref_id == -2:
             return None  # multi-ref slices need per-record references
         ref = ref_getter(sh.ref_id) if sh.ref_id >= 0 else b""
-        blob = slice_to_bam_native(ch, sh, ext, counter, ref)
-        if blob is None:
-            return None
-        parts.append(blob)
+        items.append((ch, sh, raws, counter, ref))
+
+    def _one(item):
+        ch, sh, raws, counter, ref = item
+        _core, ext = finish_slice_blocks(raws)
+        return slice_to_bam_native(ch, sh, ext, counter, ref)
+
+    if len(items) >= 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(items))) as ex:
+            parts = list(ex.map(_one, items))
+    else:
+        parts = [_one(it) for it in items]
+    if any(p is None for p in parts):
+        return None
 
     text = cf.header.text or "@HD\tVN:1.6\tSO:coordinate\n"
     if not text.endswith("\n"):
