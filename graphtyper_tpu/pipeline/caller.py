@@ -534,6 +534,16 @@ def call_pool(
     )
 
 
+def _scan_pool_variants(variants: list, sample_names: list[str]) -> list:
+    """Pool-save scan: the batched native path handles eligible variants and
+    returns the rest for the Python scan_calls."""
+    from graphtyper_tpu.typer import native_finisher
+
+    if native_finisher.available():
+        return native_finisher.scan_variants(variants, len(sample_names))
+    return variants
+
+
 def _build_pool_result(
     graph,
     scorer: SiteScorer,
@@ -562,14 +572,15 @@ def _build_pool_result(
             from graphtyper_tpu.config import current_options as _co
 
             if not _co().is_segment_calling:
-                for var in vcf.variants:
+                for var in _scan_pool_variants(vcf.variants, sample_names):
                     var.scan_calls()
     else:
         # sites-only VCF for haplotype extraction between iterations
         for ps, site in enumerate(scorer.sites):
             vcf.add_haplotype(site, ps, graph)
-        for var in vcf.variants:
+        for var in _scan_pool_variants(vcf.variants, sample_names):
             var.scan_calls()
+        for var in vcf.variants:
             var.calls = []
 
     return PoolResult(

@@ -45,6 +45,8 @@ def _setup(lib) -> None:
     )
     lib.gt_finish_fetch.restype = ctypes.c_int32
     lib.gt_finish_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 9
+    lib.gt_finish_fetch_stats.restype = ctypes.c_int32
+    lib.gt_finish_fetch_stats.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
     lib.gt_finish_free.restype = None
     lib.gt_finish_free.argtypes = [ctypes.c_void_p]
     lib._finish_ready = True
@@ -100,9 +102,14 @@ def finish_variants(variants: list, n_samples: int, want_strings: bool = True) -
     todo = [v for v in variants if _eligible(v, n_samples)]
     if not todo:
         return True
-    V = len(todo)
-    S = n_samples
+    m = _marshal(todo, n_samples)
+    return _fetch_strings(lib, todo, n_samples, m, want_strings)
 
+
+def _marshal(todo: list, S: int) -> dict:
+    """Flatten the variants' calls + stats into the gt_finish_variants
+    argument arrays."""
+    V = len(todo)
     A = np.array([len(v.seqs) for v in todo], dtype=np.int64)
     sumA = int(A.sum())
     seq_off = np.zeros(sumA + 1, dtype=np.int64)
@@ -184,22 +191,46 @@ def finish_variants(variants: list, n_samples: int, want_strings: bool = True) -
         sc_vals[o + 10] = st.hom_allele_depth[1]
         a_base += int(A[i])
 
-    def ptr(a):
-        return a.ctypes.data_as(ctypes.c_void_p)
+    return dict(
+        V=V, S=S, A=A, seq_arena=seq_arena, seq_off=seq_off,
+        phred=phred, phred_off=phred_off, cov=cov, cov_off=cov_off,
+        amb=amb, app=app, filt=filt,
+        has_pa=has_pa, pa_vals=pa_vals, pa_ratio=pa_ratio, rs_vals=rs_vals,
+        sc_vals=sc_vals, sumA=sumA,
+    )
 
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def _invoke(lib, m: dict, want_strings: bool):
+    """Run gt_finish_variants over marshaled arrays; returns (handle, sizes)."""
     n_info = ctypes.c_int64()
     n_fmt = ctypes.c_int64()
     n_filter = ctypes.c_int64()
     handle = lib.gt_finish_variants(
-        V, S,
-        ptr(A), ptr(seq_arena), ptr(seq_off),
-        ptr(phred), ptr(phred_off),
-        ptr(cov), ptr(cov_off),
-        ptr(amb), ptr(app), ptr(filt),
-        ptr(has_pa), ptr(pa_vals), ptr(pa_ratio), ptr(rs_vals), ptr(sc_vals),
+        m["V"], m["S"],
+        _ptr(m["A"]), _ptr(m["seq_arena"]), _ptr(m["seq_off"]),
+        _ptr(m["phred"]), _ptr(m["phred_off"]),
+        _ptr(m["cov"]), _ptr(m["cov_off"]),
+        _ptr(m["amb"]), _ptr(m["app"]), _ptr(m["filt"]),
+        _ptr(m["has_pa"]), _ptr(m["pa_vals"]), _ptr(m["pa_ratio"]), _ptr(m["rs_vals"]),
+        _ptr(m["sc_vals"]),
         1 if want_strings else 0,
         ctypes.byref(n_info), ctypes.byref(n_fmt), ctypes.byref(n_filter),
     )
+    return handle, n_info, n_fmt, n_filter
+
+
+def _fetch_strings(lib, todo: list, S: int, m: dict, want_strings: bool) -> bool:
+    handle, n_info, n_fmt, n_filter = _invoke(lib, m, want_strings)
+    V = m["V"]
+    A = m["A"]
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
     n_good = int((A - 1).sum())
     good = np.zeros(max(1, n_good), dtype=np.uint8)
     qual = np.zeros(V, dtype=np.int64)
@@ -238,3 +269,80 @@ def finish_variants(variants: list, n_samples: int, want_strings: bool = True) -
         )
         gi += na
     return True
+
+
+def scan_variants(variants: list, n_samples: int) -> list:
+    """Run the scan_calls accumulation natively for every eligible variant
+    (the pool-save scan, hts_parallel_reader.cpp:1022-1026) and write the
+    post-scan stats + filter memos back into the Python objects. Returns the
+    variants the native path did NOT handle (caller runs var.scan_calls()
+    on those). Parity: tests/typer/test_native_finisher.py
+    test_scan_writeback."""
+    lib = get_lib()
+    if lib is None:
+        return list(variants)
+    _setup(lib)
+    todo, rest = [], []
+    for v in variants:
+        (todo if _eligible(v, n_samples) else rest).append(v)
+    if not todo:
+        return rest
+    m = _marshal(todo, n_samples)
+    handle, _ni, _nf, _nl = _invoke(lib, m, want_strings=False)
+    sumA = m["sumA"]
+    V = m["V"]
+    pa_out = np.zeros(max(1, sumA * PA_N), dtype=np.int64)
+    ratio_out = np.zeros(max(1, sumA), dtype=np.float64)
+    sc_out = np.zeros(max(1, V * SC_N), dtype=np.int64)
+    try:
+        lib.gt_finish_fetch_stats(handle, _ptr(pa_out), _ptr(ratio_out), _ptr(sc_out))
+    finally:
+        lib.gt_finish_free(handle)
+
+    from graphtyper_tpu.models.genotype_model import VarStats
+
+    filt = m["filt"]  # mutated in place by the native check_filter memo
+    S = n_samples
+    a_base = 0
+    pa_l = pa_out.tolist()
+    sc_l = sc_out.tolist()
+    ratio_l = ratio_out.tolist()
+    for i, v in enumerate(todo):
+        st = v.stats
+        Ai = len(v.seqs)
+        if not st.per_allele:
+            sized = VarStats.sized(Ai)
+            st.per_allele = sized.per_allele
+            st.read_strand = sized.read_strand
+        for a, p in enumerate(st.per_allele):
+            o = (a_base + a) * PA_N
+            p.clipped_bp = pa_l[o + 0]
+            p.mapq_squared = pa_l[o + 1]
+            p.score_diff = pa_l[o + 2]
+            p.mismatches = pa_l[o + 3]
+            p.qd_qual = pa_l[o + 4]
+            p.qd_depth = pa_l[o + 5]
+            p.total_depth = pa_l[o + 6]
+            p.ac = pa_l[o + 7]
+            p.pass_ac = pa_l[o + 8]
+            p.n_ref_ref = pa_l[o + 9]
+            p.n_ref_alt = pa_l[o + 10]
+            p.n_alt_alt = pa_l[o + 11]
+            p.maximum_alt_support = pa_l[o + 12]
+            p.het_multi_allele_depth = (pa_l[o + 13], pa_l[o + 14])
+            p.hom_multi_allele_depth = (pa_l[o + 15], pa_l[o + 16])
+            p.maximum_alt_support_ratio = ratio_l[a_base + a]
+        o = i * SC_N
+        st.clipped_reads = sc_l[o + 0]
+        st.mapq_squared = sc_l[o + 1]
+        st.n_genotyped = sc_l[o + 2]
+        st.n_calls = sc_l[o + 3]
+        st.n_passed_calls = sc_l[o + 4]
+        st.n_max_alt_proper_pairs = sc_l[o + 5]
+        st.seqdepth = sc_l[o + 6]
+        st.het_allele_depth = [sc_l[o + 7], sc_l[o + 8]]
+        st.hom_allele_depth = [sc_l[o + 9], sc_l[o + 10]]
+        for s, c in enumerate(v.calls):
+            c.filter = int(filt[i * S + s])
+        a_base += Ai
+    return rest

@@ -1031,4 +1031,26 @@ void gt_finish_free(void * handle)
   delete (FinishResult *)handle;
 }
 
+// Post-scan stats write-back (the pool-save scan in _build_pool_result,
+// hts_parallel_reader.cpp:1022-1026): per-allele int columns (PA_N wide),
+// max-alt-support ratios, variant scalars. read_strand is untouched by the
+// scan. filt memos were already written in place through the filt_memo
+// array passed to gt_finish_variants.
+int32_t gt_finish_fetch_stats(void * handle, int64_t * pa_out, double * ratio_out,
+                              int64_t * sc_out)
+{
+  FinishResult * res = (FinishResult *)handle;
+  int64_t a_base = 0;
+  for (size_t v = 0; v < res->work.size(); ++v)
+  {
+    VariantWork & w = res->work[v];
+    memcpy(pa_out + a_base * PA_N, w.pa.data(), (size_t)w.A * PA_N * sizeof(int64_t));
+    for (int a = 0; a < w.A; ++a)
+      ratio_out[a_base + a] = w.pa_ratio[a];
+    memcpy(sc_out + v * SC_N, w.sc, sizeof w.sc);
+    a_base += w.A;
+  }
+  return 0;
+}
+
 }  // extern "C"

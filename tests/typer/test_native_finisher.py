@@ -126,3 +126,21 @@ def test_ineligible_variants_untouched():
     v = Variant(abs_pos=100, seqs=[b"A", b"<DEL:SVSIZE=99>AAAA"])
     assert native_finisher.finish_variants([v], 0)
     assert not hasattr(v, "_fin")  # SV alleles stay on the Python path
+
+
+def test_scan_writeback():
+    """scan_variants must leave every stats field and filter memo exactly as
+    Variant.scan_calls would (the pool-save scan)."""
+    from dataclasses import asdict
+
+    rng = np.random.default_rng(99)
+    for S in (1, 3, 6):
+        variants = [_random_variant(rng, S) for _ in range(80)]
+        py_vars = copy.deepcopy(variants)
+        rest = native_finisher.scan_variants(variants, S)
+        assert not rest, "all random variants should be scan-eligible"
+        for v_nat, v_py in zip(variants, py_vars):
+            v_py.scan_calls()
+            assert asdict(v_nat.stats) == asdict(v_py.stats), (v_py.seqs,)
+            for c_nat, c_py in zip(v_nat.calls, v_py.calls):
+                assert c_nat.filter == c_py.filter
