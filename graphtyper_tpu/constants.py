@@ -30,6 +30,9 @@ AS_LONG_AS_POSSIBLE = 0xFFFFFFFF
 
 # Alignment constraints (constants.hpp.in:40-46)
 MAX_UNIQUE_KMER_POSITIONS = 512
+# multi-key index lookups (IUPAC forks; Hamming-1 probe sets) drop entirely
+# past this label budget (ph_index.cpp:49-57, options.hpp max_index_labels=75)
+MAX_INDEX_LABELS = 75
 OPTIMAL_INSERT_SIZE = 300
 MAX_SEED_NUMBER_ALLOWING_MISMATCHES = 64
 MAX_SEED_NUMBER_FOR_WALKING = 256

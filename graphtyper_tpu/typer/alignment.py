@@ -22,6 +22,7 @@ from graphtyper_tpu.constants import (
     IS_REVERSED,
     IS_UNMAPPED,
     K,
+    MAX_INDEX_LABELS,
     MAX_UNIQUE_KMER_POSITIONS,
 )
 from graphtyper_tpu.index.kmer_index import KmerIndex, hamming1_keys
@@ -107,7 +108,13 @@ def query_index(codes: np.ndarray, index: KmerIndex, keys_per_pos=None) -> list[
     if not flat:
         return [[] for _ in keys_per_pos]
     begin, end = index.multi_get(np.array(flat, dtype=np.uint64))
-    return _expand_spans(index, begin, end, np.array(rows), len(keys_per_pos))
+    out = _expand_spans(index, begin, end, np.array(rows), len(keys_per_pos))
+    # IUPAC-forked (multi-key) lookups give up past the label budget
+    # (ph_index.cpp:49-57 max_index_labels)
+    for i, keys in enumerate(keys_per_pos):
+        if len(keys) > 1 and len(out[i]) > MAX_INDEX_LABELS:
+            out[i] = []
+    return out
 
 
 def query_index_hamming1(codes: np.ndarray, index: KmerIndex, keys_per_pos=None) -> list[list[tuple[int, int, int]]]:
@@ -124,7 +131,13 @@ def query_index_hamming1(codes: np.ndarray, index: KmerIndex, keys_per_pos=None)
     muts = hamming1_keys(base)  # [Q, 96] in reference probe order
     begin, end = index.multi_get(muts.reshape(-1))
     rows = np.repeat(np.array(base_rows), muts.shape[1])
-    return _expand_spans(index, begin, end, rows, len(keys_per_pos))
+    out = _expand_spans(index, begin, end, rows, len(keys_per_pos))
+    # every Hamming-1 probe set is a multi-key lookup: give up past the
+    # label budget (ph_index.cpp:49-57 max_index_labels)
+    for i in base_rows:
+        if len(out[i]) > MAX_INDEX_LABELS:
+            out[i] = []
+    return out
 
 
 def find_genotype_paths(graph, index: KmerIndex, codes: np.ndarray, geno: GenotypePaths) -> None:

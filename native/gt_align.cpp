@@ -46,6 +46,9 @@ constexpr int64_t INVALID_ID = 0xFFFFFFFFLL;
 constexpr int MAX_VAR_AND_REFS = 128;
 constexpr int MAX_LOCATIONS = 1024;
 constexpr int MAX_UNIQUE_KMER_POSITIONS = 512;
+// ph_index.cpp:49-57 / options.hpp max_index_labels: multi-key lookups give
+// up on a kmer past this many labels
+constexpr int MAX_INDEX_LABELS = 75;
 constexpr int MAX_SEED_NUMBER_FOR_WALKING = 256;
 constexpr int MAX_SEED_NUMBER_ALLOWING_MISMATCHES = 64;
 constexpr int MAX_NUM_LOCATIONS_PER_PATH = 256;
@@ -1318,6 +1321,18 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
         }
       }
     }
+  }
+
+  // max_index_labels cap (ph_index.cpp:49-57): IUPAC-forked exact lookups
+  // and every Hamming-1 probe set drop entirely past the label budget (the
+  // seed filter / device candidate pruning is false-negative-free, so the
+  // surviving label totals equal the reference's full-probe totals)
+  for (int i = 0; i < nk; ++i)
+  {
+    if (keys_per_pos[i].size() > 1 && (int)h0[i].size() > MAX_INDEX_LABELS)
+      h0[i].clear();
+    if ((int)h1[i].size() > MAX_INDEX_LABELS)
+      h1[i].clear();
   }
 
   // stop if all kmers are extremely common
