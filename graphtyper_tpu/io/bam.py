@@ -62,6 +62,13 @@ class BamHeader:
 
     def parse_read_groups(self) -> None:
         """RG line SM: mapping (hts_reader.cpp RG->sample handling)."""
+        from graphtyper_tpu.config import current_options
+
+        if getattr(current_options(), "get_sample_names_from_filename", False):
+            # hts_reader.cpp:32: skip RG parsing so every consumer falls back
+            # to the input filename as the sample name
+            self.sample_names = []
+            return
         samples: list[str] = []
         for line in self.text.split("\n"):
             if line.startswith("@RG"):

@@ -586,4 +586,14 @@ def run_bamshrink(
         min(threads, len(sams)),
         time.monotonic() - t0,
     )
+    # the reference names shrunk files <basename_wo_ext>.bam and sorts the
+    # list (genotype.cpp:394), so the output sample order is lexicographic
+    # by input basename unless --no_sample_name_reordering
+    if not getattr(opts or current_options(), "no_sample_name_reordering", False):
+        def _key(i_dst):
+            base = os.path.basename(sams[i_dst[0]])
+            stem = base.rsplit(".", 1)[0] if "." in base else base
+            return stem + ".bam"
+
+        out = [dst for _i, dst in sorted(enumerate(out), key=_key)]
     return out

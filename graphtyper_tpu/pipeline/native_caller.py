@@ -181,12 +181,20 @@ def _parse_bam_header_meta(data: bytes):
         ref_names.append(data[off : off + l_name - 1].decode())
         off += l_name + 4
     samples = []
-    for line in text.split("\n"):
-        if line.startswith("@RG"):
-            for fld in line.split("\t")[1:]:
-                if fld.startswith("SM:") and fld[3:] not in samples:
-                    samples.append(fld[3:])
+    if not _names_from_filename():
+        for line in text.split("\n"):
+            if line.startswith("@RG"):
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("SM:") and fld[3:] not in samples:
+                        samples.append(fld[3:])
     return ref_names, samples, text
+
+
+def _names_from_filename() -> bool:
+    # hts_reader.cpp:32 get_sample_names_from_filename: skip RG parsing
+    from graphtyper_tpu.config import current_options
+
+    return getattr(current_options(), "get_sample_names_from_filename", False)
 
 
 class _PrepEntry:
@@ -814,11 +822,12 @@ def _bam_header_streaming(path: str):
             ref_names.append(f.read(l_name)[:-1].decode())
             f.read(4)
         samples = []
-        for line in text.split("\n"):
-            if line.startswith("@RG"):
-                for fld in line.split("\t")[1:]:
-                    if fld.startswith("SM:") and fld[3:] not in samples:
-                        samples.append(fld[3:])
+        if not _names_from_filename():
+            for line in text.split("\n"):
+                if line.startswith("@RG"):
+                    for fld in line.split("\t")[1:]:
+                        if fld.startswith("SM:") and fld[3:] not in samples:
+                            samples.append(fld[3:])
         return ref_names, samples
 
 

@@ -48,6 +48,12 @@ class VcfOutput:
         # (vcf.cpp:1510 via genomic_region.get_absolute_position)
         var.abs_pos = graph.abs_pos.get_absolute_position(graph.genomic_region.chr, site.gt.id)
         var.hap_id = phase_set
+        # --suffix_id tag on every record ID (vcf.cpp:1602-1607)
+        from graphtyper_tpu.config import current_options as _vopts
+
+        suffix_id = getattr(_vopts(), "variant_suffix_id", "")
+        if suffix_id:
+            var.suffix_id = suffix_id
         var.stats = site.var_stats
         for hap_sample in site.hap_samples:
             phred = get_haplotype_phred(hap_sample)
