@@ -293,19 +293,27 @@ def slice_to_bam_native(ch, sh, ext: dict, counter: int, ref: bytes) -> bytes | 
     return out.tobytes()
 
 
-def cram_to_bam_bytes(path: str, region: tuple[str, int, int] | None = None) -> bytes | None:
+def cram_to_bam_bytes(
+    path: str,
+    region: tuple[str, int, int] | None = None,
+    ref_path: str | None = None,
+) -> bytes | None:
     """Decode a whole CRAM file (optionally container-filtered to a region)
     into decompressed-BAM bytes (header + records) entirely natively — the
     bridge that lets CRAM inputs ride the native bamshrink and pooled-caller
     BAM paths with no Python record objects. Returns None to fall back
-    (lib missing, unsupported codec anywhere, or multi-ref slices)."""
+    (lib missing, unsupported codec anywhere, multi-ref slices, or a
+    reference-based slice whose MD5 cannot be satisfied by `ref_path` — the
+    object path then reports the missing reference properly instead of
+    silently decoding against Ns)."""
+    import hashlib
     import struct
 
     from graphtyper_tpu.io.cram import CramFile
 
     if get_lib() is None:
         return None
-    cf = CramFile(path, None)
+    cf = CramFile(path, ref_path)
     rid_region = None
     if region is not None:
         chrom, beg, end = region
@@ -326,6 +334,12 @@ def cram_to_bam_bytes(path: str, region: tuple[str, int, int] | None = None) -> 
         if sh.ref_id == -2:
             return None  # multi-ref slices need per-record references
         ref = ref_getter(sh.ref_id) if sh.ref_id >= 0 else b""
+        # reference-based slice: the fragment MD5 must verify
+        md5 = getattr(sh, "ref_md5", None)
+        if md5 is not None and md5 != b"\x00" * 16:
+            frag = ref[max(0, sh.start - 1) : max(0, sh.start - 1) + sh.span]
+            if hashlib.md5(frag).digest() != md5:
+                return None
         items.append((ch, sh, raws, counter, ref))
 
     def _one(item):

@@ -291,6 +291,7 @@ def _bamshrink_native(
     out_path: str,
     avg_cov_by_readlen: float,
     opts: Options,
+    ref_path: str | None = None,
 ) -> str | None:
     """Run the whole shrink (decode + filter + trim + rename + encode) in the
     native runtime (native/gt_bamshrink.cpp); returns None to fall back."""
@@ -318,7 +319,7 @@ def _bamshrink_native(
         from graphtyper_tpu.io.cram_native import cram_to_bam_bytes
 
         region = padded[0] if len(padded) == 1 else None
-        data = cram_to_bam_bytes(path, region=region)
+        data = cram_to_bam_bytes(path, region=region, ref_path=ref_path)
         if data is None:
             return None
     if data is None:
@@ -437,6 +438,7 @@ def bamshrink(
     out_path: str,
     avg_cov_by_readlen: float = -1.0,
     opts: Options | None = None,
+    ref_path: str | None = None,
 ) -> str:
     """Filter + trim + rename reads of one sample over one region; writes the
     kept reads sorted by position as BAM (.bam suffix — the reference writes
@@ -446,7 +448,8 @@ def bamshrink(
 
     if current_options().native_aligner != "off":
         native = _bamshrink_native(
-            sam_path, [(chrom, region_begin, region_end)], out_path, avg_cov_by_readlen, opts
+            sam_path, [(chrom, region_begin, region_end)], out_path, avg_cov_by_readlen,
+            opts, ref_path=ref_path,
         )
         if native is not None:
             return native
@@ -461,6 +464,7 @@ def bamshrink(
             sam_path,
             parse_tags=True,
             region=(chrom, max(0, region_begin - pad), region_end + pad),
+            ref_path=ref_path,
         )
     else:
         header, reads = read_alignments(sam_path, parse_tags=True)
@@ -475,6 +479,7 @@ def bamshrink_multi(
     out_path: str,
     avg_cov_by_readlen: float = -1.0,
     opts: Options | None = None,
+    ref_path: str | None = None,
 ) -> str:
     """Multi-interval slice of one sample into a single temp BAM
     (bamshrink.cpp:1352 bamshrink_multi, used by HLA genotyping over BED
@@ -483,7 +488,8 @@ def bamshrink_multi(
     from graphtyper_tpu.config import current_options
 
     if current_options().native_aligner != "off":
-        native = _bamshrink_native(sam_path, intervals, out_path, avg_cov_by_readlen, opts)
+        native = _bamshrink_native(sam_path, intervals, out_path, avg_cov_by_readlen, opts,
+                                   ref_path=ref_path)
         if native is not None:
             return native
     header, reads = read_alignments(sam_path, parse_tags=True)
@@ -549,6 +555,7 @@ def run_bamshrink(
     tmp_dir: str,
     avg_cov_by_readlen: list[float] | None = None,
     opts: Options | None = None,
+    ref_path: str | None = None,
 ) -> list[str]:
     """genotype.cpp:48-121 — fan out bamshrink per sample into tmp files
     over worker threads (the native shrink releases the GIL, so threads give
@@ -566,7 +573,7 @@ def run_bamshrink(
         i, sam = i_sam
         cov = avg_cov_by_readlen[i] if avg_cov_by_readlen else -1.0
         dst = os.path.join(tmp_dir, "bams", f"{i:04d}.bam")
-        bamshrink(sam, region.chr, region.begin, region.end, dst, cov, opts)
+        bamshrink(sam, region.chr, region.begin, region.end, dst, cov, opts, ref_path=ref_path)
         return dst
 
     threads = max(1, getattr(opts or current_options(), "threads", 1))

@@ -285,6 +285,7 @@ def call_pool(
                     force_both=force_align_both_orientations,
                     hq_reads=getattr(_copts(), "hq_reads", False),
                     avg_cov=sv_avg_cov,
+                    ref_path=ref_path,
                 )
             if fast is not None:
                 sample_names, scorer, num_records, num_duplicated, fast_depth = fast

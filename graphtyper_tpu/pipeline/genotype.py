@@ -194,7 +194,8 @@ def genotype(
         from graphtyper_tpu.pipeline.bamshrink import run_bamshrink
 
         sams = run_bamshrink(
-            list(sams), padded, tmp, avg_cov_by_readlen, current_options()
+            list(sams), padded, tmp, avg_cov_by_readlen, current_options(),
+            ref_path=ref_path,
         )
 
     # very large cohorts: merge per-sample inputs in chunks so pool readers
@@ -299,7 +300,8 @@ def genotype(
     for ext in (".tbi", ".csi"):
         if os.path.exists(out_vcf_path + ext):
             shutil.copyfile(out_vcf_path + ext, dst + ext)
-    if not keep_tmp:
+    # --no_cleanup keeps the temporary iteration folders (genotype.cpp:664)
+    if not keep_tmp and not current_options().no_cleanup:
         shutil.rmtree(tmp, ignore_errors=True)
     return dst
 

@@ -126,7 +126,11 @@ _BYTES_CACHE: dict = {}
 _BYTES_CACHE_MAX = 6
 
 
-def _bam_bytes(path: str, interval: tuple[str, int, int] | None = None) -> bytes | None:
+def _bam_bytes(
+    path: str,
+    interval: tuple[str, int, int] | None = None,
+    ref_path: str | None = None,
+) -> bytes | None:
     """Decompressed BAM bytes for the whole file, or — when `interval` is
     given and an index (.bai) / container headers (CRAM) allow it — a record
     SUPERSET of the interval's overlaps. Consumers apply the exact position
@@ -136,7 +140,7 @@ def _bam_bytes(path: str, interval: tuple[str, int, int] | None = None) -> bytes
     from graphtyper_tpu.io.bgzf import decompress_all
 
     st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, interval)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, interval, ref_path)
     hit = _BYTES_CACHE.get(key)
     if hit is not None:
         return hit
@@ -146,7 +150,7 @@ def _bam_bytes(path: str, interval: tuple[str, int, int] | None = None) -> bytes
         # no index file
         from graphtyper_tpu.io.cram_native import cram_to_bam_bytes
 
-        data = cram_to_bam_bytes(path, region=interval)
+        data = cram_to_bam_bytes(path, region=interval, ref_path=ref_path)
         if data is None:
             return None  # unsupported codec: caller uses the object path
     else:
@@ -240,7 +244,8 @@ _PREP_CACHE: dict = {}
 _PREP_CACHE_MAX = 4
 
 
-def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both, position_filter=False):
+def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both, position_filter=False,
+              ref_path=None):
     """Prepared pool for (files, region, filters): parse + sort + dedup once.
 
     position_filter restricts the record set to reads overlapping
@@ -256,7 +261,7 @@ def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both, position_filt
     for p in hts_paths:
         st = os.stat(p)
         ids.append((os.path.abspath(p), st.st_mtime_ns, st.st_size))
-    key = (tuple(ids), region.chr, sam_flag_filter, force_both, fb, fe)
+    key = (tuple(ids), region.chr, sam_flag_filter, force_both, fb, fe, ref_path)
     hit = _PREP_CACHE.get(key)
     if hit is not None:
         return hit
@@ -266,7 +271,7 @@ def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both, position_filt
     targets = []
     sample_names: list[str] = []
     for path in hts_paths:
-        data = _bam_bytes(path, interval)
+        data = _bam_bytes(path, interval, ref_path=ref_path)
         meta = _parse_bam_header_meta(data) if data is not None else None
         if meta is None:
             return None
@@ -348,6 +353,7 @@ def run_native_call_pool_bam(
     hq_reads: bool = False,
     n_threads: int = 0,
     avg_cov: list | None = None,
+    ref_path: str | None = None,
 ):
     """Fully array-native pool call: BAM bytes go straight into C++ (decode +
     pool sort + dedup + pairing + extraction); no AlignedRead objects are
@@ -372,7 +378,7 @@ def run_native_call_pool_bam(
     # semantics); SNP pools run on bamshrink output that is already sliced
     entry = _get_prep(
         lib, hts_paths, region, sam_flag_filter, force_both,
-        position_filter=graph.is_sv_graph,
+        position_filter=graph.is_sv_graph, ref_path=ref_path,
     )
     if entry is None:
         return None
