@@ -62,6 +62,9 @@ def _add_advanced(p: argparse.ArgumentParser) -> None:
     g.add_argument("--bgzf_compression_level", type=int, default=None,
                    help="BGZF output compression level (-1 = zlib default; "
                         "popvcf encoding defaults to 9)")
+    g.add_argument("--uncompressed_sample_names", action="store_true",
+                   help="Write sample names as 0-level BGZF blocks and emit "
+                        "their byte range to <prefix>.samples_byte_range")
     g.add_argument("--stats", default=None, help="Directory for debug stats dumps (per-read/per-path TSVs)")
     g.add_argument("--force_device_sw", action="store_true",
                    help="Route large realignment batches to the Pallas TPU Smith-Waterman kernel")
@@ -92,6 +95,7 @@ def _options_from_args(args):
         "normal_and_no_variant_overlapping", "is_all_biallelic",
         "is_sam_merging_allowed", "bamshrink_is_not_filtering_mapq0", "force_device_sw",
         "no_decompose", "no_cleanup", "no_bamshrink", "output_all_variants",
+        "uncompressed_sample_names",
     ):
         if getattr(args, store_true, False):
             over[store_true] = True

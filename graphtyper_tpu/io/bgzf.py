@@ -243,8 +243,10 @@ class ThreadedBgzfWriter:
         self._threads = n_threads
         self._buf = bytearray()
         self._coffsets: list[int] = []
+        self._block_us: list[int] = []  # uncompressed start per block
         self._compressed_total = 0
         self._u_total = 0
+        self._flushed_u = 0
         self.closed = False
 
     @property
@@ -259,6 +261,18 @@ class ThreadedBgzfWriter:
         while len(self._buf) >= limit:
             self._flush(limit)
         return len(data)
+
+    def hard_boundary(self, new_level: int | None = None) -> int:
+        """Flush everything buffered so the next byte starts a fresh BGZF
+        block (vcf.cpp:700-749 uncompressed_sample_names mode needs the
+        sample-name bytes as standalone blocks at a chosen level). Returns
+        the compressed size so far; optionally switches the compression
+        level for subsequent blocks."""
+        if self._buf:
+            self._flush(len(self._buf))
+        if new_level is not None:
+            self._level = new_level
+        return self._compressed_total
 
     def _flush(self, n_bytes: int) -> None:
         chunk = bytes(self._buf[:n_bytes])
@@ -278,16 +292,22 @@ class ThreadedBgzfWriter:
                     + struct.pack("<II", zlib.crc32(blk) & 0xFFFFFFFF, len(blk) & 0xFFFFFFFF)
                 )
             compressed = bytes(out)
-        for off in bgzf_block_coffsets(compressed):
+        for i_block, off in enumerate(bgzf_block_coffsets(compressed)):
             self._coffsets.append(self._compressed_total + off)
+            self._block_us.append(self._flushed_u + i_block * 0xFF00)
+        self._flushed_u += n_bytes
         self._compressed_total += len(compressed)
         self._f.write(compressed)
 
     def virtual_offset_of(self, u_offset: int) -> int:
-        b = u_offset // 0xFF00
-        if b < len(self._coffsets):
-            return (self._coffsets[b] << 16) | (u_offset % 0xFF00)
-        return self._compressed_total << 16
+        # blocks are 0xFF00-aligned between hard boundaries; bisect handles
+        # the short blocks a boundary leaves behind
+        import bisect
+
+        if not self._block_us or u_offset >= self._flushed_u:
+            return self._compressed_total << 16
+        b = bisect.bisect_right(self._block_us, u_offset) - 1
+        return (self._coffsets[b] << 16) | (u_offset - self._block_us[b])
 
     def close(self) -> None:
         if self.closed:

@@ -300,6 +300,10 @@ def genotype(
     for ext in (".tbi", ".csi"):
         if os.path.exists(out_vcf_path + ext):
             shutil.copyfile(out_vcf_path + ext, dst + ext)
+    # --uncompressed_sample_names byte-range sidecar (genotype.cpp:645)
+    br_src = os.path.join(tmp, "graphtyper.samples_byte_range")
+    if os.path.exists(br_src):
+        shutil.copyfile(br_src, dst[: -len(".vcf.gz")] + ".samples_byte_range")
     # --no_cleanup keeps the temporary iteration folders (genotype.cpp:664)
     if not keep_tmp and not current_options().no_cleanup:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -338,8 +338,33 @@ class VcfOutput:
 
         w = ThreadedBgzfWriter(path)
         record_spans: list[tuple[str, int, int, int, int]] = []  # chrom,beg,end,u0,u1
-        for line in self.header_lines(contigs, is_dropping_genotypes):
-            w.write(line.encode() + b"\n")
+        lines = self.header_lines(contigs, is_dropping_genotypes)
+        if (
+            getattr(_opts(), "uncompressed_sample_names", False)
+            and self.sample_names
+            and not is_dropping_genotypes
+        ):
+            # --uncompressed_sample_names (vcf.cpp:700-749): the sample-name
+            # span of the #CHROM line lands in standalone 0-level BGZF
+            # blocks, with its byte range written to <prefix>.samples_byte_range
+            # so external tools can patch sample names without re-encoding
+            for line in lines[:-1]:
+                w.write(line.encode() + b"\n")
+            w.write(b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t")
+            level = w._level
+            begin = w.hard_boundary(new_level=0) + 1
+            w.write(("\t".join(self.sample_names) + "\n").encode())
+            end = w.hard_boundary(new_level=level)
+            import os as _os
+
+            base = _os.path.basename(path)
+            stem = base.split(".", 1)[0]
+            prefix = _os.path.join(_os.path.dirname(path), stem)
+            with open(prefix + ".samples_byte_range", "w") as brf:
+                brf.write(f"{begin} {end}\n")
+        else:
+            for line in lines:
+                w.write(line.encode() + b"\n")
         variants = sorted(self.variants, key=lambda v: (v.abs_pos, v.seqs))
         if region is not None:
             lo = abs_pos.get_absolute_position(region.chr, region.begin) + 1
