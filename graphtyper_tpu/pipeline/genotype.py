@@ -290,6 +290,17 @@ def genotype(
                 graph,
                 filter_zero_qual=output_all_variants,
             )
+            if current_options().normal_and_no_variant_overlapping:
+                # a second, non-overlapping decomposition of the same calls
+                # (genotype.cpp:594-603)
+                vcf_merge_and_break(
+                    [result.vcf],
+                    os.path.join(tmp, "graphtyper_no_variant_overlapping.vcf.gz"),
+                    region.to_string(),
+                    graph,
+                    filter_zero_qual=output_all_variants,
+                    force_no_variant_overlapping=True,
+                )
 
     # ---- copy results ----
     sites_dst = os.path.join(output_path, "input_sites", region.to_file_string() + ".vcf.gz")
@@ -304,6 +315,17 @@ def genotype(
     br_src = os.path.join(tmp, "graphtyper.samples_byte_range")
     if os.path.exists(br_src):
         shutil.copyfile(br_src, dst[: -len(".vcf.gz")] + ".samples_byte_range")
+    # the second (non-overlapping) decomposition output (genotype.cpp:648-658)
+    novl_src = os.path.join(tmp, "graphtyper_no_variant_overlapping.vcf.gz")
+    if os.path.exists(novl_src):
+        novl_dst = dst[: -len(".vcf.gz")] + ".no_variant_overlapping.vcf.gz"
+        shutil.copyfile(novl_src, novl_dst)
+        for ext in (".tbi", ".csi"):
+            if os.path.exists(novl_src + ext):
+                shutil.copyfile(novl_src + ext, novl_dst + ext)
+        br2 = os.path.join(tmp, "graphtyper_no_variant_overlapping.samples_byte_range")
+        if os.path.exists(br2):
+            shutil.copyfile(br2, novl_dst[: -len(".vcf.gz")] + ".samples_byte_range")
     # --no_cleanup keeps the temporary iteration folders (genotype.cpp:664)
     if not keep_tmp and not current_options().no_cleanup:
         shutil.rmtree(tmp, ignore_errors=True)

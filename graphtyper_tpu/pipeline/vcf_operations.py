@@ -117,6 +117,9 @@ def vcf_merge_and_break(
     force_no_filter_bad_alts = (
         force_no_filter_bad_alts or _o.force_no_filter_bad_alts or _o.force_no_filter_zero_qual
     )
+    # the global --no_variant_overlapping feeds the decomposition mode
+    # (vcf_operations.cpp:618)
+    no_variant_overlapping = no_variant_overlapping or _o.no_variant_overlapping
     vcf = vcf_merge(pool_vcfs)
     region = GenomicRegion.parse(region_str)
     candidates: list[Variant] = []

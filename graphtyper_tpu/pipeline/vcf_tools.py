@@ -83,8 +83,16 @@ def vcf_break_down_file(graph_path: str, vcf_path: str, output_path: str, region
     vcf, contigs = read_vcf_with_calls(vcf_path)
     ref = graph if graph is not None else _RefProxy(contigs)
     out = VcfOutput(sample_names=vcf.sample_names)
+    # vcf_operations.cpp:963-964: the standalone tool reads the globals
+    from graphtyper_tpu.config import current_options
+
+    _o = current_options()
     for var in vcf.variants:
-        for nv in break_down_variant(var, ref, is_no_variant_overlapping=False, is_all_biallelic=False):
+        for nv in break_down_variant(
+            var, ref,
+            is_no_variant_overlapping=_o.no_variant_overlapping,
+            is_all_biallelic=_o.is_all_biallelic,
+        ):
             nv.normalize(ref)
             nv.generate_infos(ref)
             out.variants.append(nv)

@@ -59,3 +59,23 @@ def test_sample_names_from_filename(tmp_path):
     # bamshrink writes index-named temps; the name derives from the shrunk
     # file read by the pool, never from the RG SM tag
     assert names and all("sample" not in n for n in names), names
+
+
+def test_normal_and_no_variant_overlapping(tmp_path):
+    """--normal_and_no_variant_overlapping emits a second, non-overlapping
+    decomposition next to the main output (genotype.cpp:594-658)."""
+    cfg = SimConfig(region_length=20_000, coverage=20.0, seed=9, out_format="bam")
+    sim = simulate_cohort(str(tmp_path / "c"), cfg)
+    old = current_options()
+    try:
+        set_options(replace(old, normal_and_no_variant_overlapping=True))
+        out = genotype(sim.fasta, sim.sams, f"{cfg.chrom}:1-20000", str(tmp_path / "out"))
+    finally:
+        set_options(old)
+    second = out[: -len(".vcf.gz")] + ".no_variant_overlapping.vcf.gz"
+    import os
+
+    assert os.path.exists(second), second
+    main_body = [l for l in gzip.open(out, "rt") if not l.startswith("#")]
+    novl_body = [l for l in gzip.open(second, "rt") if not l.startswith("#")]
+    assert main_body and novl_body
