@@ -831,12 +831,11 @@ def streamlined_discovery(
 
         use_native_fp = native_discovery.available()
 
-    partials: dict[int, tuple] = {}
-    for file_i, path in enumerate(hts_paths):
-        if dist is not None and not dist.owns(file_i):
-            per_file_reads.append(None)
-            continue
-        buckets = sample_haps = name = None
+    per_file_reads = [None] * len(hts_paths)
+    opts_now = current_options()
+
+    def _first_pass_one(file_i: int, path: str):
+        """(buckets, sample_haps, name, reads_or_none) for one file."""
         if use_native_fp and path.endswith(".bam"):
             # native first pass straight from BAM bytes; reads load lazily
             # only if this file later needs realignment
@@ -848,19 +847,37 @@ def streamlined_discovery(
                 ref_names, samples, _text = meta
                 target = ref_names.index(region.chr) if region.chr in ref_names else -2
                 out = native_discovery.run_first_pass_native(
-                    data, target, region_begin, reference, current_options()
+                    data, target, region_begin, reference, opts_now
                 )
                 if out is not None:
                     buckets, sample_haps = out
-                    per_file_reads.append(None)
                     name = samples[0] if samples else path.rsplit("/", 1)[-1].split(".")[0]
-        if buckets is None:
-            header, reads = read_alignments_cached(path, ref_path=ref_path)
-            reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
-            reads.sort(key=lambda r: r.pos)
-            per_file_reads.append(reads)
-            name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
-            buckets, sample_haps = run_first_pass(reads, region_begin, reference, opts=current_options())
+                    return buckets, sample_haps, name, None
+        header, reads = read_alignments_cached(path, ref_path=ref_path)
+        reads = [r for r in reads if r.ref_id >= 0 and header.ref_names[r.ref_id] == region.chr]
+        reads.sort(key=lambda r: r.pos)
+        name = header.sample_names[0] if header.sample_names else path.rsplit("/", 1)[-1].split(".")[0]
+        buckets, sample_haps = run_first_pass(reads, region_begin, reference, opts=opts_now)
+        return buckets, sample_haps, name, reads
+
+    owned = [
+        (file_i, path)
+        for file_i, path in enumerate(hts_paths)
+        if dist is None or dist.owns(file_i)
+    ]
+    partials: dict[int, tuple] = {}
+    threads = max(1, getattr(opts_now, "threads", 1))
+    if threads > 1 and len(owned) > 1:
+        # cohort fan-out: the native first pass and BGZF decode release the
+        # GIL, so per-file threads give real parallelism
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(threads, len(owned))) as ex:
+            results = list(ex.map(lambda fp: _first_pass_one(*fp), owned))
+    else:
+        results = [_first_pass_one(*fp) for fp in owned]
+    for (file_i, _path), (buckets, sample_haps, name, reads) in zip(owned, results):
+        per_file_reads[file_i] = reads
         partials[file_i] = (buckets, sample_haps, name)
 
     if dist is not None:
