@@ -55,17 +55,47 @@ class VcfOutput:
         if suffix_id:
             var.suffix_id = suffix_id
         var.stats = site.var_stats
-        for hap_sample in site.hap_samples:
-            phred = get_haplotype_phred(hap_sample)
-            var.calls.append(
-                SampleCall.create(
-                    phred,
-                    hap_sample.gt_coverage,
-                    hap_sample.ambiguous_depth,
-                    hap_sample.ambiguous_depth_alt,
-                    hap_sample.alt_proper_pair_depth,
-                )
+        hs = site.hap_samples
+        if len(hs) >= 4:
+            # batched PL + depth derivation across the cohort's samples (the
+            # scalar path below is the oracle — identical by construction:
+            # per-row max/all-equal/rint and the same 0xFFFF caps)
+            from graphtyper_tpu.constants import LOG10_HALF_TIMES_10
+
+            ls = np.stack([h.log_score for h in hs]).astype(np.int64)  # [S, P]
+            mx = ls.max(axis=1, keepdims=True)
+            phred = np.minimum(
+                np.rint((mx - ls) * LOG10_HALF_TIMES_10).astype(np.int64), 255
             )
+            phred[(ls == mx).all(axis=1)] = 0
+            cov = np.stack([h.gt_coverage for h in hs]).astype(np.int64)  # [S, A]
+            amb = np.array([h.ambiguous_depth for h in hs], dtype=np.int64)
+            amb_alt = np.array([h.ambiguous_depth_alt for h in hs], dtype=np.int64)
+            ref_total = np.minimum(0xFFFF, cov[:, 0] + amb - amb_alt)
+            alt_total = np.minimum(0xFFFF, cov[:, 1:].sum(axis=1) + amb)
+            for s, h in enumerate(hs):
+                var.calls.append(
+                    SampleCall(
+                        phred=phred[s],
+                        coverage=cov[s],
+                        ambiguous_depth=int(amb[s]),
+                        alt_proper_pair_depth=h.alt_proper_pair_depth,
+                        ref_total_depth=int(ref_total[s]),
+                        alt_total_depth=int(alt_total[s]),
+                    )
+                )
+        else:
+            for hap_sample in hs:
+                phred = get_haplotype_phred(hap_sample)
+                var.calls.append(
+                    SampleCall.create(
+                        phred,
+                        hap_sample.gt_coverage,
+                        hap_sample.ambiguous_depth,
+                        hap_sample.ambiguous_depth_alt,
+                        hap_sample.alt_proper_pair_depth,
+                    )
+                )
         self.variants.append(var)
 
     # ------------------------------------------------------------------
