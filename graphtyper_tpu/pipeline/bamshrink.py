@@ -421,10 +421,8 @@ def _bamshrink_native(
         from graphtyper_tpu.pipeline import native_caller as _nc
 
         st = _os.stat(out_path)
-        key = (_os.path.abspath(out_path), st.st_mtime_ns, st.st_size, None)
-        if len(_nc._BYTES_CACHE) >= _nc._BYTES_CACHE_MAX:
-            _nc._BYTES_CACHE.pop(next(iter(_nc._BYTES_CACHE)))
-        _nc._BYTES_CACHE[key] = out_bytes
+        key = (_os.path.abspath(out_path), st.st_mtime_ns, st.st_size, None, None)
+        _nc._cache_put(key, out_bytes)
     except Exception:
         pass
     return out_path

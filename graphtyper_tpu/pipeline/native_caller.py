@@ -121,9 +121,18 @@ def available() -> bool:
 
 
 # decompressed-BAM bytes cache (the caller re-reads the shrunk pool files
-# once per iteration; objects are never built on this path)
+# once per iteration; objects are never built on this path). Byte-bounded:
+# cohort pools hold many small shrunk files, whole-file inputs few big ones.
 _BYTES_CACHE: dict = {}
-_BYTES_CACHE_MAX = 6
+_BYTES_CACHE_MAX_BYTES = 256 << 20
+
+
+def _cache_put(key, data) -> None:
+    _BYTES_CACHE[key] = data
+    total = sum(len(v) for v in _BYTES_CACHE.values())
+    while total > _BYTES_CACHE_MAX_BYTES and len(_BYTES_CACHE) > 1:
+        old = _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
+        total -= len(old)
 
 
 def _bam_bytes(
@@ -139,6 +148,8 @@ def _bam_bytes(
 
     from graphtyper_tpu.io.bgzf import decompress_all
 
+    if not path.endswith(".cram"):
+        ref_path = None  # only CRAM decode consumes it; keep one cache entry
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, interval, ref_path)
     hit = _BYTES_CACHE.get(key)
@@ -161,9 +172,7 @@ def _bam_bytes(
             data = read_region_bam_bytes(path, [interval])
         if data is None:
             data = decompress_all(path)
-    if len(_BYTES_CACHE) >= _BYTES_CACHE_MAX:
-        _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
-    _BYTES_CACHE[key] = data
+    _cache_put(key, data)
     return data
 
 
