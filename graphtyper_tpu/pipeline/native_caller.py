@@ -79,6 +79,7 @@ def _setup_lib(lib) -> None:
         [ctypes.c_void_p] * 4 + [ctypes.c_int64]  # files
         + [ctypes.c_int32] * 2  # sam_flag_filter force_both
         + [ctypes.c_int64] * 2  # position filter begin/end (-1 = off)
+        + [ctypes.c_int32]  # parse threads
         + [_p64] * 2 + [ctypes.POINTER(ctypes.c_int32)]
     )
     lib.gt_prep_fetch_seqs.restype = None
@@ -255,6 +256,7 @@ _PREP_CACHE_MAX = 4
 
 def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both, position_filter=False,
               ref_path=None):
+    from graphtyper_tpu.io.native import native_thread_count
     """Prepared pool for (files, region, filters): parse + sort + dedup once.
 
     position_filter restricts the record set to reads overlapping
@@ -313,6 +315,7 @@ def _get_prep(lib, hts_paths, region, sam_flag_filter, force_both, position_filt
         1 if force_both else 0,
         fb,
         fe,
+        native_thread_count(),
         ctypes.byref(n_reads),
         ctypes.byref(n_rows),
         ctypes.byref(row_len),

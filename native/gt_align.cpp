@@ -2832,7 +2832,10 @@ static void parse_bam_pool(
   // through index iterators (genotype_sv.cpp) instead of whole contigs, and
   // the BAI/CRAI slice in native_caller._bam_bytes is just an IO shortcut to
   // the same set.
-  int64_t filter_begin = -1, int64_t filter_end = -1)
+  int64_t filter_begin = -1, int64_t filter_end = -1,
+  // cohort pools parse per-file concurrently (record order is preserved:
+  // per-file vectors concatenate in file order before the stable sort)
+  int32_t n_threads = 1)
 {
   // ASCII -> code, matching utils/dna.py _CODE (BAM nibble chars only need
   // "=ACMGRSVTWYHKDBN", but cover the full IUPAC set like the table)
@@ -2866,14 +2869,12 @@ static void parse_bam_pool(
     int32_t sample;
     std::string seq_ascii;
   };
-  std::vector<PRead> pooled;
 
-  for (int64_t f = 0; f < n_files; ++f)
-  {
+  auto parse_one_file = [&](int64_t f, std::vector<PRead> & out) {
     const uint8_t * data = file_data[f];
     int64_t size = file_size[f];
     if (size < 12 || memcmp(data, "BAM\1", 4) != 0)
-      continue;
+      return;
     int32_t l_text;
     memcpy(&l_text, data + 4, 4);
     int64_t off = 8 + l_text;
@@ -2938,10 +2939,47 @@ static void parse_bam_pool(
         static const char NIB[17] = "=ACMGRSVTWYHKDBN";
         for (int i = 0; i < l_seq; ++i)
           pr.seq_ascii[i] = NIB[(i % 2 == 0) ? (s[i / 2] >> 4) : (s[i / 2] & 0xF)];
-        pooled.push_back(std::move(pr));
+        out.push_back(std::move(pr));
       }
       off += 4 + block_size;
     }
+  };
+
+  std::vector<std::vector<PRead>> per_file(n_files);
+  if (n_threads > 1 && n_files > 1)
+  {
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+      for (;;)
+      {
+        int64_t f = next.fetch_add(1);
+        if (f >= n_files)
+          break;
+        parse_one_file(f, per_file[f]);
+      }
+    };
+    int nt = (int)std::min<int64_t>(n_threads, n_files);
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nt; ++t)
+      ts.emplace_back(worker);
+    worker();
+    for (auto & t : ts)
+      t.join();
+  }
+  else
+  {
+    for (int64_t f = 0; f < n_files; ++f)
+      parse_one_file(f, per_file[f]);
+  }
+  std::vector<PRead> pooled;
+  {
+    size_t total = 0;
+    for (auto & v : per_file)
+      total += v.size();
+    pooled.reserve(total);
+    for (auto & v : per_file)  // file order preserved before the stable sort
+      for (auto & pr : v)
+        pooled.push_back(std::move(pr));
   }
 
   std::stable_sort(pooled.begin(), pooled.end(), [](const PRead & a, const PRead & b) {
@@ -3166,7 +3204,8 @@ void * gt_call_pool_bam(
   PrepPool P;
   P.sam_flag_filter = sam_flag_filter;
   P.force_both = force_both;
-  parse_bam_pool(file_data, file_size, file_target_ref, file_sample_idx, n_files, P);
+  parse_bam_pool(file_data, file_size, file_target_ref, file_sample_idx, n_files, P,
+                 -1, -1, n_threads);
   compute_reps_rows(P);
   return finish_from_prep(
     P,
@@ -3187,13 +3226,14 @@ void * gt_call_prepare_bam(
   int32_t sam_flag_filter, int32_t force_both,
   // position filter: keep records overlapping [begin, end); begin < 0 = off
   int64_t filter_begin, int64_t filter_end,
+  int32_t n_threads,
   int64_t * out_n_reads, int64_t * out_n_rows, int32_t * out_row_len)
 {
   PrepPool * P = new PrepPool();
   P->sam_flag_filter = sam_flag_filter;
   P->force_both = force_both;
   parse_bam_pool(file_data, file_size, file_target_ref, file_sample_idx, n_files, *P,
-                 filter_begin, filter_end);
+                 filter_begin, filter_end, n_threads);
   compute_reps_rows(*P);
   *out_n_reads = P->n_reads;
   *out_n_rows = (int64_t)P->row_rep.size();
