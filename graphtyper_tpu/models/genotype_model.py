@@ -174,12 +174,17 @@ class HaplotypeSite:
 
     def clear_and_resize_samples(self, n: int) -> None:
         cnum = self.gt.num
+        # per-site [n, T] matrix; every sample's log_score is a row view so
+        # batched device deltas fold in with ONE add per site
+        # (ops/site_scoring._materialize) while the per-sample host path
+        # mutates the same storage
+        self.log_scores = np.zeros((n, cnum * (cnum + 1) // 2), dtype=np.int64)
         self.hap_samples = [
             HapSample(
-                log_score=np.zeros(cnum * (cnum + 1) // 2, dtype=np.int64),
+                log_score=self.log_scores[i],
                 gt_coverage=np.zeros(cnum, dtype=np.int64),
             )
-            for _ in range(n)
+            for i in range(n)
         ]
 
     # -- coverage state machine (haplotype.cpp:180-225) -------------------

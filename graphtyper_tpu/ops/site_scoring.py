@@ -667,12 +667,19 @@ class ObsBatcher:
                 rs.r2_forward += int(out["pa_strand"][slot, a, 1])
                 rs.r1_reverse += int(out["pa_strand"][slot, a, 2])
                 rs.r2_reverse += int(out["pa_strand"][slot, a, 3])
+            ls_mat = getattr(site, "log_scores", None)
+            batched_ls = ls_mat is not None and len(site.hap_samples) == P
+            if batched_ls:
+                # one add per site: every hap_sample's log_score is a row
+                # view of this matrix. The padded-A triangle enumerates
+                # (x<=y, y ascending), so the first T entries are exactly
+                # the cnum-allele triangle
+                ls_mat[:, :T] += out["log_delta"][slot * P : (slot + 1) * P, :T]
             for p in range(P):
                 s = slot * P + p
                 hs = site.hap_samples[p]
-                # the padded-A triangle enumerates (x<=y, y ascending), so the
-                # first T entries are exactly the cnum-allele triangle
-                hs.log_score[:T] += out["log_delta"][s][:T]
+                if not batched_ls:
+                    hs.log_score[:T] += out["log_delta"][s][:T]
                 hs.max_log_score += int(self._eps_sum[gsite, p])
                 hs.gt_coverage[:cnum] = np.minimum(
                     hs.gt_coverage[:cnum] + out["gt_cov"][s][:cnum], 0xFFFF
