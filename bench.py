@@ -229,15 +229,42 @@ def kernel_secondary() -> float:
     return R / per_step
 
 
+def tpu_probe_ok(timeout_s: int = 90) -> bool:
+    """One tiny device op in a subprocess: False when the axon tunnel is in
+    one of its multi-hour hang windows (a known failure mode), so the main
+    run skips straight to the CPU backend instead of burning the TPU
+    child's 1200s window."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((64, 64));"
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     # The parent never touches JAX: a hung axon tunnel can only stall a
     # child, which the per-attempt timeout kills before the CPU retry.
     env = dict(os.environ)
     raw = None
     backend = "tpu"
+    attempts = [(False, 1200), (True, 1800)]
+    if not tpu_probe_ok():
+        sys.stderr.write("tpu probe hung/failed; benching on the CPU backend\n")
+        attempts = [(True, 1800)]
     # a healthy TPU run takes ~6-10 min; a hung axon tunnel would otherwise
     # eat the whole budget before the CPU fallback gets its turn
-    for force_cpu, child_timeout in ((False, 1200), (True, 1800)):
+    for force_cpu, child_timeout in attempts:
         e = dict(env)
         if force_cpu:
             e["GT_BENCH_FORCE_CPU"] = "1"
