@@ -29,6 +29,9 @@ from graphtyper_tpu.graph.coords import AbsolutePosition, Contig, GenomicRegion
 from graphtyper_tpu.graph.records import Allele, VarRecord
 from graphtyper_tpu.utils.dna import encode
 
+_ACGTN_OK = np.zeros(256, dtype=bool)
+_ACGTN_OK[list(b"ACGTN")] = True
+
 
 @dataclass
 class Label:
@@ -359,26 +362,32 @@ class Graph:
     def check(self) -> bool:
         """ACGTN-only (tags allowed in var nodes), nonempty var dna,
         increasing order (graph.cpp:1809-1813)."""
-        _ok = np.zeros(256, dtype=bool)
-        _ok[list(b"ACGTN")] = True
-        for rn in self.ref_nodes:
-            if not _ok[np.frombuffer(rn.label.dna, dtype=np.uint8)].all():
+        if self.ref_nodes:
+            ref_arena = b"".join(rn.label.dna for rn in self.ref_nodes)
+            if ref_arena and not _ACGTN_OK[np.frombuffer(ref_arena, dtype=np.uint8)].all():
                 return False
-        for vn in self.var_nodes:
-            dna = vn.label.dna
-            i = 0
-            while i < len(dna):
-                c = dna[i]
-                if c == ord("<"):
-                    while i < len(dna) and dna[i] != ord(">"):
+        if self.var_nodes:
+            var_arena = b"".join(vn.label.dna for vn in self.var_nodes)
+            if len(var_arena) and not _ACGTN_OK[np.frombuffer(var_arena, dtype=np.uint8)].all():
+                # Slow path only when a non-ACGTN byte exists: SV tag spans
+                # (`<...>`) never cross node boundaries, so scan per node.
+                for vn in self.var_nodes:
+                    dna = vn.label.dna
+                    i = 0
+                    while i < len(dna):
+                        c = dna[i]
+                        if c == ord("<"):
+                            while i < len(dna) and dna[i] != ord(">"):
+                                i += 1
+                        elif c not in b"ACGTN":
+                            return False
                         i += 1
-                elif c not in b"ACGTN":
-                    return False
-                i += 1
-            if len(vn.label.dna) == 0:
+            if any(len(vn.label.dna) == 0 for vn in self.var_nodes):
                 return False
-        orders = [rn.label.order for rn in self.ref_nodes]
-        return all(orders[i] <= orders[i + 1] for i in range(len(orders) - 1))
+        orders = np.fromiter(
+            (rn.label.order for rn in self.ref_nodes), dtype=np.int64, count=len(self.ref_nodes)
+        )
+        return bool((np.diff(orders) >= 0).all()) if orders.size else True
 
     # ------------------------------------------------------------------
     # Serialization (replaces cereal; graph_serialization.hpp)
@@ -469,6 +478,103 @@ class Graph:
 
     def finalize(self) -> "GraphTensors":
         return GraphTensors.from_graph(self)
+
+    def flat(self) -> "GraphFlat":
+        """Cached flat-array view shared by the native aligner and the native
+        index builder (one flatten pass per graph instead of one per
+        consumer). Invalidated never: graphs are immutable after
+        construct_graph returns."""
+        if getattr(self, "_flat", None) is None:
+            self._flat = GraphFlat.from_nodes(self)
+        return self._flat
+
+
+@dataclass
+class GraphFlat:
+    """Flat host-side arrays of the graph chain — the layout every native
+    entry point consumes (see native/gt_align.cpp gt_align_batch and
+    native/gt_native.cpp gt_index_graph). DNA arenas are kept as raw bytes;
+    the two encodings used downstream (graph-label vs index) are derived
+    lazily and cached."""
+
+    ref_order: np.ndarray  # [R] int64
+    ref_dna_start: np.ndarray  # [R] int64
+    ref_dna_len: np.ndarray  # [R] int64
+    ref_var_first: np.ndarray  # [R+1] int64 (cumsum of out-degrees)
+    ref_bytes: bytes
+    var_order: np.ndarray  # [V] int64
+    var_dna_start: np.ndarray  # [V] int64
+    var_dna_len: np.ndarray  # [V] int64
+    var_out_ref: np.ndarray  # [V] int64
+    var_bytes: bytes
+    sp_ref_reach: np.ndarray  # [P] int64
+    sp_actual: np.ndarray  # [P] int64
+    ev_off: np.ndarray  # [V+1] int64
+    ev_vals: np.ndarray  # int64 (sorted within each node)
+    anti_off: np.ndarray  # [V+1] int64
+    anti_vals: np.ndarray  # int64
+
+    _arena_cache: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_nodes(cls, g: "Graph") -> "GraphFlat":
+        ref_len = np.fromiter(
+            (len(rn.label.dna) for rn in g.ref_nodes), dtype=np.int64, count=len(g.ref_nodes)
+        )
+        ref_start = np.zeros(len(ref_len), dtype=np.int64)
+        if len(ref_len):
+            np.cumsum(ref_len[:-1], out=ref_start[1:])
+        deg = np.fromiter(
+            (rn.out_degree for rn in g.ref_nodes), dtype=np.int64, count=len(g.ref_nodes)
+        )
+        ref_var_first = np.zeros(len(deg) + 1, dtype=np.int64)
+        np.cumsum(deg, out=ref_var_first[1:])
+        var_len = np.fromiter(
+            (len(vn.label.dna) for vn in g.var_nodes), dtype=np.int64, count=len(g.var_nodes)
+        )
+        var_start = np.zeros(len(var_len), dtype=np.int64)
+        if len(var_len):
+            np.cumsum(var_len[:-1], out=var_start[1:])
+        ev_lists = [sorted(vn.events) for vn in g.var_nodes]
+        anti_lists = [sorted(vn.anti_events) for vn in g.var_nodes]
+        ev_off = np.zeros(len(ev_lists) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in ev_lists], out=ev_off[1:])
+        anti_off = np.zeros(len(anti_lists) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in anti_lists], out=anti_off[1:])
+        return cls(
+            ref_order=np.fromiter(
+                (rn.label.order for rn in g.ref_nodes), dtype=np.int64, count=len(g.ref_nodes)
+            ),
+            ref_dna_start=ref_start,
+            ref_dna_len=ref_len,
+            ref_var_first=ref_var_first,
+            ref_bytes=b"".join(rn.label.dna for rn in g.ref_nodes),
+            var_order=np.fromiter(
+                (vn.label.order for vn in g.var_nodes), dtype=np.int64, count=len(g.var_nodes)
+            ),
+            var_dna_start=var_start,
+            var_dna_len=var_len,
+            var_out_ref=np.fromiter(
+                (vn.out_ref_id for vn in g.var_nodes), dtype=np.int64, count=len(g.var_nodes)
+            ),
+            var_bytes=b"".join(vn.label.dna for vn in g.var_nodes),
+            sp_ref_reach=np.asarray(g.ref_reach_poses, dtype=np.int64),
+            sp_actual=np.asarray(g.actual_poses, dtype=np.int64),
+            ev_off=ev_off,
+            ev_vals=np.array([x for xs in ev_lists for x in xs], dtype=np.int64),
+            anti_off=anti_off,
+            anti_vals=np.array([x for xs in anti_lists for x in xs], dtype=np.int64),
+        )
+
+    def arena(self, which: str, encoding) -> np.ndarray:
+        """Encoded DNA arena, cached per (which, encoding)."""
+        key = (which, encoding)
+        hit = self._arena_cache.get(key)
+        if hit is None:
+            raw = self.ref_bytes if which == "ref" else self.var_bytes
+            hit = np.ascontiguousarray(encoding(raw))
+            self._arena_cache[key] = hit
+        return hit
 
 
 @dataclass

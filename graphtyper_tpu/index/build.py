@@ -304,36 +304,23 @@ def _index_graph_native(graph: Graph) -> KmerIndex | None:
         lib.gt_index_free.argtypes = [ctypes.c_void_p]
         lib._index_ready = True
 
-    g = graph
-    ref_order = np.array([rn.label.order for rn in g.ref_nodes], dtype=np.int64)
-    ref_len = np.array([len(rn.label.dna) for rn in g.ref_nodes], dtype=np.int64)
-    ref_start = np.zeros(len(ref_len), dtype=np.int64)
-    if len(ref_len):
-        np.cumsum(ref_len[:-1], out=ref_start[1:])
+    flat = graph.flat()
+    ref_order = flat.ref_order
+    ref_start = flat.ref_dna_start
+    ref_len = flat.ref_dna_len
     # index-build encoding (encode, not encode_graph: the Python builder
     # resets on any code >= 4, tags included)
-    ref_arena = np.ascontiguousarray(encode(b"".join(rn.label.dna for rn in g.ref_nodes)))
-    deg = np.array([rn.out_degree for rn in g.ref_nodes], dtype=np.int64)
-    ref_var_first = np.zeros(len(deg) + 1, dtype=np.int64)
-    np.cumsum(deg, out=ref_var_first[1:])
-    var_order = np.array([vn.label.order for vn in g.var_nodes], dtype=np.int64)
-    var_len = np.array([len(vn.label.dna) for vn in g.var_nodes], dtype=np.int64)
-    var_start = np.zeros(len(var_len), dtype=np.int64)
-    if len(var_len):
-        np.cumsum(var_len[:-1], out=var_start[1:])
-    var_arena = np.ascontiguousarray(encode(b"".join(vn.label.dna for vn in g.var_nodes)))
-    var_out_ref = np.array([vn.out_ref_id for vn in g.var_nodes], dtype=np.int64)
-    sp_ref_reach = np.asarray(g.ref_reach_poses, dtype=np.int64)
-    sp_actual = np.asarray(g.actual_poses, dtype=np.int64)
-
-    ev_lists = [sorted(vn.events) for vn in g.var_nodes]
-    anti_lists = [sorted(vn.anti_events) for vn in g.var_nodes]
-    ev_off = np.zeros(len(ev_lists) + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in ev_lists], out=ev_off[1:])
-    ev_vals = np.array([x for xs in ev_lists for x in xs], dtype=np.int64)
-    anti_off = np.zeros(len(anti_lists) + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in anti_lists], out=anti_off[1:])
-    anti_vals = np.array([x for xs in anti_lists for x in xs], dtype=np.int64)
+    ref_arena = flat.arena("ref", encode)
+    ref_var_first = flat.ref_var_first
+    var_order = flat.var_order
+    var_start = flat.var_dna_start
+    var_len = flat.var_dna_len
+    var_arena = flat.arena("var", encode)
+    var_out_ref = flat.var_out_ref
+    sp_ref_reach = flat.sp_ref_reach
+    sp_actual = flat.sp_actual
+    ev_off, ev_vals = flat.ev_off, flat.ev_vals
+    anti_off, anti_vals = flat.anti_off, flat.anti_vals
 
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)

@@ -201,33 +201,19 @@ class NativeAligner:
     def __init__(self, graph, index):
         self.graph = graph
         self.index = index
-        g = graph
-        self.ref_order = np.array([rn.label.order for rn in g.ref_nodes], dtype=np.int64)
-        ref_len = np.array([len(rn.label.dna) for rn in g.ref_nodes], dtype=np.int64)
-        self.ref_dna_len = ref_len
-        self.ref_dna_start = np.zeros(len(ref_len), dtype=np.int64)
-        if len(ref_len):
-            np.cumsum(ref_len[:-1], out=self.ref_dna_start[1:])
-        self.ref_arena = np.ascontiguousarray(
-            encode_graph(b"".join(rn.label.dna for rn in g.ref_nodes))
-        )
-        deg = np.array([rn.out_degree for rn in g.ref_nodes], dtype=np.int64)
-        self.ref_var_first = np.zeros(len(deg) + 1, dtype=np.int64)
-        np.cumsum(deg, out=self.ref_var_first[1:])
-
-        self.var_order = np.array([vn.label.order for vn in g.var_nodes], dtype=np.int64)
-        var_len = np.array([len(vn.label.dna) for vn in g.var_nodes], dtype=np.int64)
-        self.var_dna_len = var_len
-        self.var_dna_start = np.zeros(len(var_len), dtype=np.int64)
-        if len(var_len):
-            np.cumsum(var_len[:-1], out=self.var_dna_start[1:])
-        self.var_arena = np.ascontiguousarray(
-            encode_graph(b"".join(vn.label.dna for vn in g.var_nodes))
-        )
-        self.var_out_ref = np.array([vn.out_ref_id for vn in g.var_nodes], dtype=np.int64)
-
-        self.sp_ref_reach = np.asarray(g.ref_reach_poses, dtype=np.int64)
-        self.sp_actual = np.asarray(g.actual_poses, dtype=np.int64)
+        flat = graph.flat()
+        self.ref_order = flat.ref_order
+        self.ref_dna_len = flat.ref_dna_len
+        self.ref_dna_start = flat.ref_dna_start
+        self.ref_arena = flat.arena("ref", encode_graph)
+        self.ref_var_first = flat.ref_var_first
+        self.var_order = flat.var_order
+        self.var_dna_len = flat.var_dna_len
+        self.var_dna_start = flat.var_dna_start
+        self.var_arena = flat.arena("var", encode_graph)
+        self.var_out_ref = flat.var_out_ref
+        self.sp_ref_reach = flat.sp_ref_reach
+        self.sp_actual = flat.sp_actual
 
         self.keys = np.ascontiguousarray(index.keys.astype(np.uint64))
         self.offsets = np.ascontiguousarray(index.offsets.astype(np.int64))
