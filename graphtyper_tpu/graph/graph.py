@@ -74,8 +74,8 @@ class Genotype:
 
 class Graph:
     def __init__(self) -> None:
-        self.ref_nodes: list[RefNode] = []
-        self.var_nodes: list[VarNode] = []
+        self._ref_nodes: list[RefNode] | None = []
+        self._var_nodes: list[VarNode] | None = []
         self.is_sv_graph = False
         self.genomic_region = GenomicRegion()
         self.reference: bytes = b""
@@ -86,6 +86,61 @@ class Graph:
         self.actual_poses: list[int] = []
         self.ref_reach_to_special_pos: dict[int, list[int]] = {}
         self._abs_pos: AbsolutePosition | None = None
+        self._flat: GraphFlat | None = None
+
+    # ------------------------------------------------------------------
+    # Node views: graphs built by add_genomic_region are flat-first (arrays
+    # are canonical); Python node objects materialize lazily for the
+    # oracle/test consumers (dfs walk, hla, path.py, cli).
+    # ------------------------------------------------------------------
+
+    @property
+    def ref_nodes(self) -> list[RefNode]:
+        if self._ref_nodes is None:
+            self._materialize_nodes()
+        return self._ref_nodes
+
+    @property
+    def var_nodes(self) -> list[VarNode]:
+        if self._var_nodes is None:
+            self._materialize_nodes()
+        return self._var_nodes
+
+    def _materialize_nodes(self) -> None:
+        f = self._flat
+        assert f is not None
+        ref_nodes: list[RefNode] = []
+        var_nodes: list[VarNode] = []
+        rb, vb = f.ref_bytes, f.var_bytes
+        for r in range(len(f.ref_order)):
+            s = int(f.ref_dna_start[r])
+            dna = rb[s : s + int(f.ref_dna_len[r])]
+            ref_nodes.append(
+                RefNode(
+                    Label(int(f.ref_order[r]), dna, 0),
+                    list(range(int(f.ref_var_first[r]), int(f.ref_var_first[r + 1]))),
+                )
+            )
+        prev_ref = -1
+        variant_num = 0
+        for v in range(len(f.var_order)):
+            s = int(f.var_dna_start[v])
+            dna = vb[s : s + int(f.var_dna_len[v])]
+            out_ref = int(f.var_out_ref[v])
+            if out_ref != prev_ref:
+                variant_num = 0
+                prev_ref = out_ref
+            var_nodes.append(
+                VarNode(
+                    Label(int(f.var_order[v]), dna, variant_num),
+                    out_ref,
+                    set(int(x) for x in f.ev_vals[f.ev_off[v] : f.ev_off[v + 1]]),
+                    set(int(x) for x in f.anti_vals[f.anti_off[v] : f.anti_off[v + 1]]),
+                )
+            )
+            variant_num += 1
+        self._ref_nodes = ref_nodes
+        self._var_nodes = var_nodes
 
     @property
     def abs_pos(self) -> AbsolutePosition:
@@ -152,12 +207,85 @@ class Graph:
         for rec in var_records:
             rec.alts.sort(key=lambda a: a.seq)
 
-        for rec in var_records:
-            self._add_reference(rec.pos, len(rec.alts) + 1, reference_sequence)
-            self._add_variants(rec)
-        self._add_reference(len(reference_sequence) + region.begin, 0, reference_sequence)
-
+        self._build_flat(reference_sequence, var_records, region)
         self.reference = reference_sequence
+
+    def _build_flat(
+        self, reference_sequence: bytes, var_records: list[VarRecord], region: GenomicRegion
+    ) -> None:
+        """Array-form equivalent of the _add_reference/_add_variants chain
+        loop (graph.cpp:548-625): records are sorted and non-overlapping
+        here, so ref node r spans [prev record end, record r start)."""
+        begin = region.begin
+        ref_limit = len(reference_sequence) + begin
+        n = len(var_records)
+        ref_order = np.empty(n + 1, dtype=np.int64)
+        ref_parts: list[bytes] = []
+        ref_len = np.empty(n + 1, dtype=np.int64)
+        ref_var_first = np.empty(n + 2, dtype=np.int64)
+        ref_var_first[0] = 0
+        nv = sum(len(r.alts) + 1 for r in var_records)
+        var_order = np.empty(nv, dtype=np.int64)
+        var_parts: list[bytes] = []
+        var_len = np.empty(nv, dtype=np.int64)
+        var_out_ref = np.empty(nv, dtype=np.int64)
+        ev_lists: list[list[int]] = []
+        anti_lists: list[list[int]] = []
+        prev_end = begin
+        v = 0
+        for i, rec in enumerate(var_records):
+            start = min(max(prev_end, begin), ref_limit)
+            end = min(max(rec.pos, start), ref_limit)
+            ref_order[i] = start + 1
+            dna = reference_sequence[start - begin : end - begin]
+            ref_parts.append(dna)
+            ref_len[i] = len(dna)
+            ref_var_first[i + 1] = ref_var_first[i] + len(rec.alts) + 1
+            for allele in (rec.ref, *rec.alts):
+                var_order[v] = rec.pos + 1
+                var_parts.append(allele.seq)
+                var_len[v] = len(allele.seq)
+                var_out_ref[v] = i + 1
+                ev_lists.append(sorted(allele.events))
+                anti_lists.append(sorted(allele.anti_events))
+                v += 1
+            prev_end = rec.pos + len(rec.ref.seq)
+        start = min(max(prev_end, begin), ref_limit)
+        ref_order[n] = start + 1
+        dna = reference_sequence[start - begin :]
+        ref_parts.append(dna)
+        ref_len[n] = len(dna)
+        ref_var_first[n + 1] = ref_var_first[n]
+
+        ref_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ref_len[:-1], out=ref_start[1:])
+        var_start = np.zeros(nv, dtype=np.int64)
+        if nv:
+            np.cumsum(var_len[:-1], out=var_start[1:])
+        ev_off = np.zeros(nv + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in ev_lists], out=ev_off[1:])
+        anti_off = np.zeros(nv + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in anti_lists], out=anti_off[1:])
+        self._flat = GraphFlat(
+            ref_order=ref_order,
+            ref_dna_start=ref_start,
+            ref_dna_len=ref_len,
+            ref_var_first=ref_var_first,
+            ref_bytes=b"".join(ref_parts),
+            var_order=var_order,
+            var_dna_start=var_start,
+            var_dna_len=var_len,
+            var_out_ref=var_out_ref,
+            var_bytes=b"".join(var_parts),
+            sp_ref_reach=np.zeros(0, dtype=np.int64),
+            sp_actual=np.zeros(0, dtype=np.int64),
+            ev_off=ev_off,
+            ev_vals=np.array([x for xs in ev_lists for x in xs], dtype=np.int64),
+            anti_off=anti_off,
+            anti_vals=np.array([x for xs in anti_lists for x in xs], dtype=np.int64),
+        )
+        self._ref_nodes = None
+        self._var_nodes = None
 
     def _merge_overlapping_all(
         self, var_records: list[VarRecord], reference_sequence: bytes, region: GenomicRegion
@@ -278,6 +406,20 @@ class Graph:
         self.ref_reach_to_special_pos.clear()
         self.ref_reach_poses.clear()
         self.actual_poses.clear()
+        if self._ref_nodes is None and self._flat is not None:
+            f = self._flat
+            reach = f.var_order + f.var_dna_len - 1  # label reach per var node
+            for r in range(len(f.ref_order) - 1):
+                lo, hi = int(f.ref_var_first[r]), int(f.ref_var_first[r + 1])
+                if hi - lo <= 1:
+                    continue
+                ref_label_reach = int(reach[lo])
+                max_var_reach = int(reach[lo + 1 : hi].max())
+                for p in range(ref_label_reach + 1, max_var_reach + 1):
+                    self.add_special_pos(p, ref_label_reach)
+            f.sp_ref_reach = np.asarray(self.ref_reach_poses, dtype=np.int64)
+            f.sp_actual = np.asarray(self.actual_poses, dtype=np.int64)
+            return
         for r in range(len(self.ref_nodes) - 1):
             rn = self.ref_nodes[r]
             if rn.out_degree <= 1:
@@ -287,6 +429,9 @@ class Graph:
             max_var_reach = max(self.var_nodes[v].label.reach() for v in out_vars[1:])
             for reach in range(ref_label_reach + 1, max_var_reach + 1):
                 self.add_special_pos(reach, ref_label_reach)
+        if self._flat is not None:
+            self._flat.sp_ref_reach = np.asarray(self.ref_reach_poses, dtype=np.int64)
+            self._flat.sp_actual = np.asarray(self.actual_poses, dtype=np.int64)
 
     def add_special_pos(self, actual_pos: int, ref_reach: int) -> None:
         self.ref_reach_poses.append(ref_reach)
@@ -311,7 +456,16 @@ class Graph:
     # Queries
     # ------------------------------------------------------------------
 
+    def first_ref_order(self) -> int:
+        """Order of the first ref node (0 for an empty graph) without
+        materializing node objects."""
+        if self._ref_nodes is None and self._flat is not None:
+            return int(self._flat.ref_order[0]) if len(self._flat.ref_order) else 0
+        return self.ref_nodes[0].label.order if self.ref_nodes else 0
+
     def size(self) -> int:
+        if self._ref_nodes is None and self._flat is not None:
+            return len(self._flat.ref_order) + len(self._flat.var_order)
         return len(self.ref_nodes) + len(self.var_nodes)
 
     def get_all_ref(self) -> bytes:
@@ -332,6 +486,16 @@ class Graph:
 
     def genotypes(self) -> list[Genotype]:
         """One Genotype per variant site (graph.cpp get_all_haplotypes)."""
+        if self._ref_nodes is None and self._flat is not None:
+            f = self._flat
+            return [
+                Genotype(
+                    int(f.var_order[f.ref_var_first[r]]),
+                    int(f.ref_var_first[r + 1] - f.ref_var_first[r]),
+                    int(f.ref_var_first[r]),
+                )
+                for r in range(len(f.ref_order) - 1)
+            ]
         out = []
         v = 0
         for r in range(len(self.ref_nodes) - 1):
@@ -342,14 +506,31 @@ class Graph:
 
     def get_genotype_seqs(self, gt: Genotype) -> list[bytes]:
         """All allele sequences of a site (graph.cpp:822-843)."""
+        if self._ref_nodes is None and self._flat is not None:
+            f = self._flat
+            r = int(f.var_out_ref[gt.first_variant_node]) - 1
+            return [
+                f.var_bytes[int(f.var_dna_start[v]) : int(f.var_dna_start[v]) + int(f.var_dna_len[v])]
+                for v in range(int(f.ref_var_first[r]), int(f.ref_var_first[r + 1]))
+            ]
         r = self.var_nodes[gt.first_variant_node].out_ref_id - 1
         return [self.var_nodes[v].label.dna for v in self.ref_nodes[r].out_var_ids]
 
     def get_variant_num(self, v: int) -> int:
+        if self._ref_nodes is None and self._flat is not None:
+            f = self._flat
+            return v - int(f.ref_var_first[int(f.var_out_ref[v]) - 1])
         return v - self.ref_nodes[self.var_nodes[v].out_ref_id - 1].out_var_ids[0]
 
     def is_snp(self, gt: Genotype) -> bool:
         """True iff every allele of the site is a single base (graph.cpp:2026)."""
+        if self._ref_nodes is None and self._flat is not None:
+            f = self._flat
+            v = gt.first_variant_node
+            r = int(f.var_out_ref[v]) - 1
+            return bool(
+                (f.var_dna_len[f.ref_var_first[r] : f.ref_var_first[r + 1]] == 1).all()
+            )
         v = gt.first_variant_node
         if len(self.var_nodes[v].label.dna) > 1:
             return False
@@ -362,32 +543,41 @@ class Graph:
     def check(self) -> bool:
         """ACGTN-only (tags allowed in var nodes), nonempty var dna,
         increasing order (graph.cpp:1809-1813)."""
-        if self.ref_nodes:
+        if self._ref_nodes is None and self._flat is not None:
+            f = self._flat
+            ref_arena, var_arena = f.ref_bytes, f.var_bytes
+            orders = f.ref_order
+            var_slices = lambda: (  # noqa: E731 — lazy per-node views
+                var_arena[int(f.var_dna_start[v]) : int(f.var_dna_start[v]) + int(f.var_dna_len[v])]
+                for v in range(len(f.var_order))
+            )
+            any_empty_var = bool((f.var_dna_len == 0).any()) if len(f.var_dna_len) else False
+        else:
             ref_arena = b"".join(rn.label.dna for rn in self.ref_nodes)
-            if ref_arena and not _ACGTN_OK[np.frombuffer(ref_arena, dtype=np.uint8)].all():
-                return False
-        if self.var_nodes:
             var_arena = b"".join(vn.label.dna for vn in self.var_nodes)
-            if len(var_arena) and not _ACGTN_OK[np.frombuffer(var_arena, dtype=np.uint8)].all():
-                # Slow path only when a non-ACGTN byte exists: SV tag spans
-                # (`<...>`) never cross node boundaries, so scan per node.
-                for vn in self.var_nodes:
-                    dna = vn.label.dna
-                    i = 0
-                    while i < len(dna):
-                        c = dna[i]
-                        if c == ord("<"):
-                            while i < len(dna) and dna[i] != ord(">"):
-                                i += 1
-                        elif c not in b"ACGTN":
-                            return False
-                        i += 1
-            if any(len(vn.label.dna) == 0 for vn in self.var_nodes):
-                return False
-        orders = np.fromiter(
-            (rn.label.order for rn in self.ref_nodes), dtype=np.int64, count=len(self.ref_nodes)
-        )
-        return bool((np.diff(orders) >= 0).all()) if orders.size else True
+            orders = np.fromiter(
+                (rn.label.order for rn in self.ref_nodes), dtype=np.int64, count=len(self.ref_nodes)
+            )
+            var_slices = lambda: (vn.label.dna for vn in self.var_nodes)  # noqa: E731
+            any_empty_var = any(len(vn.label.dna) == 0 for vn in self.var_nodes)
+        if ref_arena and not _ACGTN_OK[np.frombuffer(ref_arena, dtype=np.uint8)].all():
+            return False
+        if any_empty_var:
+            return False
+        if var_arena and not _ACGTN_OK[np.frombuffer(var_arena, dtype=np.uint8)].all():
+            # Slow path only when a non-ACGTN byte exists: SV tag spans
+            # (`<...>`) never cross node boundaries, so scan per node.
+            for dna in var_slices():
+                i = 0
+                while i < len(dna):
+                    c = dna[i]
+                    if c == ord("<"):
+                        while i < len(dna) and dna[i] != ord(">"):
+                            i += 1
+                    elif c not in b"ACGTN":
+                        return False
+                    i += 1
+        return bool((np.diff(orders) >= 0).all()) if len(orders) else True
 
     # ------------------------------------------------------------------
     # Serialization (replaces cereal; graph_serialization.hpp)
@@ -400,16 +590,23 @@ class Graph:
             "contigs": [[c.name, c.length] for c in self.contigs],
             "svs": [sv.to_dict() for sv in self.svs],
         }
-        ref_orders = np.array([rn.label.order for rn in self.ref_nodes], dtype=np.int64)
-        ref_dna = np.frombuffer(b"".join(rn.label.dna for rn in self.ref_nodes), dtype=np.uint8)
-        ref_dna_len = np.array([len(rn.label.dna) for rn in self.ref_nodes], dtype=np.int64)
-        ref_out_deg = np.array([rn.out_degree for rn in self.ref_nodes], dtype=np.int64)
-        var_orders = np.array([vn.label.order for vn in self.var_nodes], dtype=np.int64)
-        var_dna = np.frombuffer(b"".join(vn.label.dna for vn in self.var_nodes), dtype=np.uint8)
-        var_dna_len = np.array([len(vn.label.dna) for vn in self.var_nodes], dtype=np.int64)
-        var_out_ref = np.array([vn.out_ref_id for vn in self.var_nodes], dtype=np.int64)
+        f = self.flat()
+        ref_orders = f.ref_order
+        ref_dna = np.frombuffer(f.ref_bytes, dtype=np.uint8)
+        ref_dna_len = f.ref_dna_len
+        ref_out_deg = np.diff(f.ref_var_first)
+        var_orders = f.var_order
+        var_dna = np.frombuffer(f.var_bytes, dtype=np.uint8)
+        var_dna_len = f.var_dna_len
+        var_out_ref = f.var_out_ref
         events_json = json.dumps(
-            [[sorted(vn.events), sorted(vn.anti_events)] for vn in self.var_nodes]
+            [
+                [
+                    [int(x) for x in f.ev_vals[f.ev_off[v] : f.ev_off[v + 1]]],
+                    [int(x) for x in f.anti_vals[f.anti_off[v] : f.anti_off[v + 1]]],
+                ]
+                for v in range(len(f.var_order))
+            ]
         )
         np.savez_compressed(
             path,
@@ -602,22 +799,19 @@ class GraphTensors:
 
     @classmethod
     def from_graph(cls, g: Graph) -> "GraphTensors":
-        ref_arena = encode(b"".join(rn.label.dna for rn in g.ref_nodes))
-        var_arena = encode(b"".join(vn.label.dna for vn in g.var_nodes))
-        ref_len = np.array([len(rn.label.dna) for rn in g.ref_nodes], dtype=np.int64)
-        var_len = np.array([len(vn.label.dna) for vn in g.var_nodes], dtype=np.int64)
+        f = g.flat()
         sites = g.genotypes()
         return cls(
-            ref_order=np.array([rn.label.order for rn in g.ref_nodes], dtype=np.int64),
-            ref_dna_start=np.concatenate([[0], np.cumsum(ref_len)[:-1]]) if len(ref_len) else np.zeros(0, np.int64),
-            ref_dna_len=ref_len,
-            ref_out_deg=np.array([rn.out_degree for rn in g.ref_nodes], dtype=np.int64),
-            ref_arena=ref_arena,
-            var_order=np.array([vn.label.order for vn in g.var_nodes], dtype=np.int64),
-            var_dna_start=np.concatenate([[0], np.cumsum(var_len)[:-1]]) if len(var_len) else np.zeros(0, np.int64),
-            var_dna_len=var_len,
-            var_out_ref=np.array([vn.out_ref_id for vn in g.var_nodes], dtype=np.int64),
-            var_arena=var_arena,
+            ref_order=f.ref_order,
+            ref_dna_start=f.ref_dna_start,
+            ref_dna_len=f.ref_dna_len,
+            ref_out_deg=np.diff(f.ref_var_first),
+            ref_arena=f.arena("ref", encode),
+            var_order=f.var_order,
+            var_dna_start=f.var_dna_start,
+            var_dna_len=f.var_dna_len,
+            var_out_ref=f.var_out_ref,
+            var_arena=f.arena("var", encode),
             site_order=np.array([s.id for s in sites], dtype=np.int64),
             site_num_alleles=np.array([s.num for s in sites], dtype=np.int64),
             site_var_start=np.array([s.first_variant_node for s in sites], dtype=np.int64),

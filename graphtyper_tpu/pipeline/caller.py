@@ -41,7 +41,7 @@ class ReferenceDepth:
     """Per-sample depth track over the region (reference_depth.cpp)."""
 
     def __init__(self, graph, sample_count: int):
-        self.reference_offset = graph.ref_nodes[0].label.order if graph.ref_nodes else 0
+        self.reference_offset = graph.first_ref_order()
         size = len(graph.reference)
         self.depths = np.zeros((sample_count, size), dtype=np.int32)
         self.graph = graph
