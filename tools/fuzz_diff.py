@@ -395,9 +395,10 @@ def fuzz_sv(seed: int, tmp: str) -> list[str]:
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     all_fails = []
     t0 = time.time()
-    for seed in range(n):
+    for seed in range(base, base + n):
         with tempfile.TemporaryDirectory(prefix="gt_fuzz_") as tmp:
             fails = fuzz_seed(seed, tmp)
             status = "OK" if not fails else "; ".join(fails)
