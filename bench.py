@@ -62,11 +62,15 @@ def _index_inputs(sams) -> None:
 
 
 def child_pipeline() -> None:
-    """Run inside a subprocess: simulate, genotype, print raw JSON."""
+    """Run inside a subprocess: simulate, genotype, print raw JSON.
+
+    GT_BENCH_QUICK=1 runs only the warm-up + timed 200kb section (used by
+    the parent for the cross-backend comparison in detail)."""
     if os.environ.get("GT_BENCH_FORCE_CPU"):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    quick = bool(os.environ.get("GT_BENCH_QUICK"))
     import tempfile
 
     from graphtyper_tpu.pipeline.genotype import genotype_regions
@@ -102,6 +106,12 @@ def child_pipeline() -> None:
         )
         wall = min(wall, time.perf_counter() - t0)
     n_records = _count_records(outs)
+    if quick:
+        print(
+            "GT_BENCH_RESULT "
+            + json.dumps({"n_reads": sim.n_reads, "wall_s": wall, "n_records": n_records})
+        )
+        return
 
     # --- BASELINE metric 2: wall-clock per 1Mb region (same backend) -------
     mb_cfg = SimConfig(region_length=1_000_000, coverage=COVERAGE, seed=4, out_format="bam")
@@ -290,6 +300,32 @@ def main() -> None:
     if raw is None:
         raise SystemExit("bench failed on both backends")
 
+    # cross-backend comparison: when the full run used the TPU backend, also
+    # time the 200kb section on the forced-CPU backend (and vice-versa is
+    # meaningless — the probe already said the tunnel is down). Keeps both
+    # numbers in the driver-captured artifact so backend deltas are explicit.
+    other_reads_per_sec = None
+    if backend == "tpu":
+        try:
+            e = dict(env)
+            e["GT_BENCH_FORCE_CPU"] = "1"
+            e["GT_BENCH_QUICK"] = "1"
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=e,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("GT_BENCH_RESULT "):
+                    q = json.loads(line[len("GT_BENCH_RESULT ") :])
+                    other_reads_per_sec = round(q["n_reads"] / q["wall_s"], 1)
+                    break
+        except subprocess.TimeoutExpired:
+            pass
+
     reads_per_sec = raw["n_reads"] / raw["wall_s"]
     kernel = raw.get("kernel", 0.0)
     print(
@@ -310,6 +346,7 @@ def main() -> None:
                     "sv_reads_per_sec": round(raw.get("sv_reads_per_sec", 0.0), 1),
                     "sv_n_records": raw.get("sv_n_records", 0),
                     "backend": backend,
+                    "cpu_backend_reads_per_sec": other_reads_per_sec,
                     "kernel_reads_per_sec": round(kernel, 1),
                 },
             }
