@@ -1,0 +1,110 @@
+"""Per-stage wall-clock ledger + Amdahl bound for the genotype pipeline.
+
+Runs a single-process 200kb 30x workload under cProfile, buckets cumulative
+time into pipeline stages, marks each stage host-only vs device-eligible
+(has a TPU implementation wired in production), and prints one JSON blob
+with the measured device-eligible fraction and the implied ceiling on
+whole-pipeline speedup from accelerating those stages (Amdahl).
+
+This is the quantitative form of the STATUS.md TPU-vs-CPU analysis: on
+SNP-dominated short-read workloads the hot path is the host C++ caller
+loop (alignment + observation extraction), so the chip's leverage is
+bounded no matter how fast the kernels are. Workloads with heavy SW
+realignment (indel-rich) or cohort-scale scoring shift the fraction up.
+
+Usage: python tools/stage_ledger.py [--indep]
+"""
+
+from __future__ import annotations
+
+import cProfile
+import json
+import os
+import pstats
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# stage -> (pattern of file:func in pstats keys, device-eligible?)
+STAGES = [
+    ("bamshrink", [("pipeline/bamshrink.py", "run_bamshrink")], False),
+    ("discovery_first_pass", [("typer/discovery.py", "streamlined_discovery")], False),
+    ("graph_build", [("graph/build.py", "construct_graph")], False),
+    ("kmer_index", [("index/build.py", "index_graph")], False),
+    # align+score: the native caller call; its device-eligible inner parts are
+    # measured separately below and subtracted
+    ("align_genotype_host", [("pipeline/caller.py", "call_pools")], False),
+    ("site_scoring_device", [("ops/site_scoring.py", "finalize")], True),
+    ("sw_realign_device", [("ops/sw", "")], True),
+    ("merge_decompose", [
+        ("pipeline/vcf_operations.py", "vcf_merge_and_break"),
+        ("pipeline/vcf_operations.py", "vcf_merge_and_filter"),
+    ], False),
+    ("vcf_write", [("typer/vcf_out.py", "write")], False),
+]
+
+
+def run(workload: str) -> dict:
+    from graphtyper_tpu.pipeline.genotype import genotype_regions
+
+    tmp = tempfile.mkdtemp(prefix="gt_ledger_")
+    if workload == "indep":
+        from graphtyper_tpu.utils.simulate_indep import IndepConfig, simulate_indep
+
+        cfg = IndepConfig(region_length=120_000, coverage=30.0, seed=9)
+        sim = simulate_indep(os.path.join(tmp, "m"), cfg)
+        region = f"{cfg.chrom}:1-120000"
+    else:
+        from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+        cfg = SimConfig(region_length=200_000, coverage=30.0, seed=1, out_format="bam")
+        sim = simulate_cohort(os.path.join(tmp, "m"), cfg)
+        region = f"{cfg.chrom}:1-200000"
+
+    # warm (compiles, worker-pool spinup equivalents)
+    genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "w"), processes=1)
+
+    pr = cProfile.Profile()
+    t0 = time.perf_counter()
+    pr.enable()
+    genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "out"), processes=1)
+    pr.disable()
+    wall = time.perf_counter() - t0
+
+    st = pstats.Stats(pr)
+    cum: dict[str, float] = {}
+    for (fn, _line, name), (cc, nc, tt, ct, callers) in st.stats.items():
+        for stage, pats, _dev in STAGES:
+            for pat_file, pat_name in pats:
+                if pat_file in fn.replace("\\", "/") and (not pat_name or pat_name == name):
+                    cum[stage] = cum.get(stage, 0.0) + ct
+    # call_pools cum includes the device finalize; report host share net of it
+    host_align = max(0.0, cum.get("align_genotype_host", 0.0) - cum.get("site_scoring_device", 0.0))
+    ledger = {}
+    for stage, _p, dev in STAGES:
+        v = host_align if stage == "align_genotype_host" else cum.get(stage, 0.0)
+        ledger[stage] = {"wall_s": round(v, 3), "device_eligible": dev}
+    staged = sum(v["wall_s"] for v in ledger.values())
+    device_s = sum(v["wall_s"] for v in ledger.values() if v["device_eligible"])
+    other = max(0.0, wall - staged)
+    f_dev = device_s / wall if wall else 0.0
+    return {
+        "workload": workload,
+        "n_reads": sim.n_reads,
+        "wall_s": round(wall, 3),
+        "stages": ledger,
+        "unattributed_s": round(other, 3),
+        "device_eligible_fraction": round(f_dev, 4),
+        "amdahl_speedup_ceiling": round(1.0 / (1.0 - f_dev), 3) if f_dev < 1 else None,
+    }
+
+
+if __name__ == "__main__":
+    workload = "indep" if "--indep" in sys.argv else "snp"
+    print(json.dumps(run(workload)))
