@@ -89,7 +89,16 @@ def config4():
 
 
 def main():
-    if os.environ.get("GT_BENCH_FORCE_CPU"):
+    force_cpu = bool(os.environ.get("GT_BENCH_FORCE_CPU"))
+    if not force_cpu and not os.environ.get("GT_BENCH_TPU"):
+        # same hung-tunnel guard as bench.py: probe the device in a killable
+        # subprocess; fall back to the CPU backend instead of hanging
+        import bench
+
+        if not bench.tpu_probe_ok():
+            sys.stderr.write("tpu probe hung/failed; running configs on CPU backend\n")
+            force_cpu = True
+    if force_cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
