@@ -23,7 +23,24 @@ def ensure_compilation_cache() -> None:
     if path == "off":
         return
     if not path:
-        path = os.path.join(os.path.expanduser("~"), ".cache", "graphtyper_tpu", "jax")
+        # key the default cache by a CPU-feature fingerprint: XLA:CPU AOT
+        # entries compiled on a host with different machine features load
+        # with "cpu_aot_loader ... could lead to SIGILL" warnings (and risk
+        # exactly that), so never share them across heterogeneous hosts
+        import hashlib
+
+        fp = "nocpu"
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        fp = hashlib.sha1(line.encode()).hexdigest()[:12]
+                        break
+        except OSError:
+            pass
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "graphtyper_tpu", f"jax-{fp}"
+        )
     try:
         os.makedirs(path, exist_ok=True)
         import jax
