@@ -61,6 +61,28 @@ def _rand_records(rng: random.Random, ref: bytes, chrom: str, n: int):
     return recs
 
 
+def test_flat_builder_matches_legacy_sv_fixture(data_dir, monkeypatch):
+    """SV graphs (tagged var nodes, breakpoint records) through the same
+    flat-vs-legacy differential, on the reference's index_test chr5/chr6
+    SV fixtures."""
+    fa = str(data_dir / "index_test.fa")
+    vcf = str(data_dir / "index_test.vcf.gz")
+    for chrom in ("chr5", "chr6"):
+        g_flat = construct_graph(fa, vcf, chrom, is_sv_graph=True)
+        assert g_flat._ref_nodes is None
+        monkeypatch.setattr(build_mod, "Graph", LegacyGraph)
+        g_legacy = construct_graph(fa, vcf, chrom, is_sv_graph=True)
+        monkeypatch.setattr(build_mod, "Graph", Graph)
+        a, b = g_flat.flat(), GraphFlat.from_nodes(g_legacy)
+        assert a.ref_bytes == b.ref_bytes and a.var_bytes == b.var_bytes
+        for name in ("ref_order", "ref_var_first", "var_order", "var_out_ref",
+                     "var_dna_len", "ev_off", "ev_vals", "anti_off", "anti_vals"):
+            np.testing.assert_array_equal(getattr(a, name), getattr(b, name), err_msg=f"{chrom} {name}")
+        np.testing.assert_array_equal(a.sp_ref_reach, np.asarray(g_legacy.ref_reach_poses))
+        np.testing.assert_array_equal(a.sp_actual, np.asarray(g_legacy.actual_poses))
+        assert g_flat.check() and g_legacy.check()
+
+
 @pytest.mark.parametrize("seed", range(25))
 def test_flat_builder_matches_legacy_nodes(tmp_path, seed, monkeypatch):
     rng = random.Random(seed)
