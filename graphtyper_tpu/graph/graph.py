@@ -369,7 +369,9 @@ class Graph:
         var_records[:] = [r for r in var_records if r.alts]
 
     def _add_reference(self, end_pos: int, num_var: int, reference_sequence: bytes) -> None:
-        """graph.cpp:585-625."""
+        """graph.cpp:585-625. Legacy node-object chain builder — production
+        builds flat arrays (_build_flat); this stays as the differential
+        oracle (tests/graph/test_build_flat_fuzz.py LegacyGraph)."""
         begin = self.genomic_region.begin
         if end_pos > len(reference_sequence) + begin:
             end_pos = len(reference_sequence) + begin
