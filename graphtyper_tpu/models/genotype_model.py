@@ -179,10 +179,13 @@ class HaplotypeSite:
         # (ops/site_scoring._materialize) while the per-sample host path
         # mutates the same storage
         self.log_scores = np.zeros((n, cnum * (cnum + 1) // 2), dtype=np.int64)
+        # gt_coverage rows share one [n, cnum] matrix too, so add_haplotype
+        # derives the whole cohort's AD/PL columns without re-stacking
+        self.gt_coverages = np.zeros((n, cnum), dtype=np.int64)
         self.hap_samples = [
             HapSample(
                 log_score=self.log_scores[i],
-                gt_coverage=np.zeros(cnum, dtype=np.int64),
+                gt_coverage=self.gt_coverages[i],
             )
             for i in range(n)
         ]

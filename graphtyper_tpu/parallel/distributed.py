@@ -246,13 +246,20 @@ def genotype_distributed(
     sites_vcf.write(it1_final, contigs, abs_pos, filter_zero_qual=False, is_dropping_genotypes=True)
 
     def gather_merge(result):
-        """Pool results of all hosts -> (merged VcfOutput, merged ph)."""
+        """Pool results of all hosts -> (merged VcfOutput, merged ph) on
+        host 0; (None, None) elsewhere. Every host contributes its shard's
+        batched pool bytes + pickled ph map to the collective, but only
+        host 0 pays the cohort merge — its (deterministic) products are
+        broadcast back as files by bcast_file below, so the other hosts
+        skip the duplicated merge entirely."""
         local = os.path.join(tmp, "pool_local.vcfb")
         result.vcf.save_batched(local)
         with open(local, "rb") as f:
             payload = f.read()
         vcfb_all = _allgather_bytes(payload)
         ph_all = [pickle.loads(b) for b in _allgather_bytes(pickle.dumps(result.ph))]
+        if host != 0:
+            return None, None
         paths = []
         for i, b in enumerate(vcfb_all):
             p = os.path.join(tmp, f"pool_h{i}.vcfb")
@@ -262,6 +269,23 @@ def genotype_distributed(
         names, variants = vcf_merge_streamed(paths)
         merged = VcfOutput(sample_names=names, variants=list(variants))
         return merged, merge_ph_maps(ph_all)
+
+    def bcast_file(path: str, sidecars: tuple = (".tbi", ".csi")) -> None:
+        """Broadcast host-0's file (+ existing sidecars) to every host."""
+        names = [path] + [path + ext for ext in sidecars]
+        if host == 0:
+            payload = pickle.dumps(
+                [(os.path.basename(p), open(p, "rb").read()) for p in names if os.path.exists(p)]
+            )
+        else:
+            payload = b""
+        parts = [b for b in _allgather_bytes(payload) if b]
+        if host != 0:
+            for base, data in pickle.loads(parts[0]):
+                for p in names:
+                    if os.path.basename(p) == base:
+                        with open(p, "wb") as f:
+                            f.write(data)
 
     FIRST, LAST = 2, 3 + (1 if is_extra_call_only_iteration else 0)
     prev_vcf = it1_final
@@ -284,9 +308,13 @@ def genotype_distributed(
         merged_vcf, merged_ph = gather_merge(result)
         if not is_last:
             next_vcf = os.path.join(tmp, f"it{i}_final.vcf.gz")
-            vcf_merge_and_filter([merged_vcf], next_vcf, merged_ph, graph)
+            if host == 0:
+                vcf_merge_and_filter([merged_vcf], next_vcf, merged_ph, graph)
+            bcast_file(next_vcf)
             prev_vcf = next_vcf
-        else:
+        elif host == 0:
+            # only host 0 emits output: the final merge/decompose is pure
+            # sink work, so the other hosts skip it
             vcf_merge_and_break(
                 [merged_vcf], out_vcf_path, region.to_string(), graph,
                 filter_zero_qual=output_all_variants,

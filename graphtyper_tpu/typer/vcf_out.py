@@ -56,28 +56,38 @@ class VcfOutput:
             var.suffix_id = suffix_id
         var.stats = site.var_stats
         hs = site.hap_samples
-        if len(hs) >= 4:
-            # batched PL + depth derivation across the cohort's samples (the
-            # scalar path below is the oracle — identical by construction:
-            # per-row max/all-equal/rint and the same 0xFFFF caps)
+        ls_mat = getattr(site, "log_scores", None)
+        cov_mat = getattr(site, "gt_coverages", None)
+        if (
+            len(hs) >= 2
+            and ls_mat is not None
+            and cov_mat is not None
+            and len(ls_mat) == len(hs)
+            and len(cov_mat) == len(hs)
+        ):
+            # batched PL + depth derivation straight off the site's backing
+            # matrices — every hap_sample's log_score/gt_coverage is a row
+            # view of these, so no re-stacking (the scalar path below is the
+            # oracle — identical by construction: per-row max/all-equal/rint
+            # and the same 0xFFFF caps)
             from graphtyper_tpu.constants import LOG10_HALF_TIMES_10
 
-            ls = np.stack([h.log_score for h in hs]).astype(np.int64)  # [S, P]
-            mx = ls.max(axis=1, keepdims=True)
+            mx = ls_mat.max(axis=1, keepdims=True)
             phred = np.minimum(
-                np.rint((mx - ls) * LOG10_HALF_TIMES_10).astype(np.int64), 255
+                np.rint((mx - ls_mat) * LOG10_HALF_TIMES_10).astype(np.int64), 255
             )
-            phred[(ls == mx).all(axis=1)] = 0
-            cov = np.stack([h.gt_coverage for h in hs]).astype(np.int64)  # [S, A]
-            amb = np.array([h.ambiguous_depth for h in hs], dtype=np.int64)
-            amb_alt = np.array([h.ambiguous_depth_alt for h in hs], dtype=np.int64)
-            ref_total = np.minimum(0xFFFF, cov[:, 0] + amb - amb_alt)
-            alt_total = np.minimum(0xFFFF, cov[:, 1:].sum(axis=1) + amb)
+            phred[(ls_mat == mx).all(axis=1)] = 0
+            amb = np.fromiter((h.ambiguous_depth for h in hs), dtype=np.int64, count=len(hs))
+            amb_alt = np.fromiter(
+                (h.ambiguous_depth_alt for h in hs), dtype=np.int64, count=len(hs)
+            )
+            ref_total = np.minimum(0xFFFF, cov_mat[:, 0] + amb - amb_alt)
+            alt_total = np.minimum(0xFFFF, cov_mat[:, 1:].sum(axis=1) + amb)
             for s, h in enumerate(hs):
                 var.calls.append(
                     SampleCall(
                         phred=phred[s],
-                        coverage=cov[s],
+                        coverage=cov_mat[s],
                         ambiguous_depth=int(amb[s]),
                         alt_proper_pair_depth=h.alt_proper_pair_depth,
                         ref_total_depth=int(ref_total[s]),
