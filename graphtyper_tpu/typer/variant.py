@@ -743,15 +743,29 @@ def _remap_calls_batch(calls: list, n_old: int, n_new: int, old2new: list[int]) 
 
 
 def _update_per_allele_stats(n_old: int, n_new: int, old2new: list[int], old_var: Variant, new_var: Variant) -> None:
-    """Project per-allele read-strand stats through an allele mapping
-    (variant.cpp update_per_allele_stats semantics: sums strand counts)."""
-    if len(old_var.stats.read_strand) != n_old:
+    """Project VarStats through an allele mapping (variant.cpp:34-80
+    update_per_allele_stats): the new stats are freshly sized, the
+    whole-variant scalars (clipped_reads, mapq_squared) copy over, and the
+    per-allele alignment accumulators (clipped_bp/mapq_squared/score_diff/
+    mismatches) plus read-strand counters merge through the map. The
+    scan-derived per-allele fields (qd_*, ac, depths) are NOT carried —
+    scan_calls regenerates them on the decomposed record, like the
+    reference."""
+    if len(old_var.stats.per_allele) != n_old or len(old_var.stats.read_strand) != n_old:
         return
-    new_var.stats.per_allele = VarStats.sized(n_new).per_allele
-    new_var.stats.read_strand = VarStats.sized(n_new).read_strand
+    st = VarStats.sized(n_new)
+    st.clipped_reads = old_var.stats.clipped_reads
+    st.mapq_squared = old_var.stats.mapq_squared
     for old_a in range(n_old):
         new_a = old2new[old_a]
-        new_var.stats.read_strand[new_a].merge_with(old_var.stats.read_strand[old_a])
+        oa = old_var.stats.per_allele[old_a]
+        na = st.per_allele[new_a]
+        na.clipped_bp += oa.clipped_bp
+        na.mapq_squared += oa.mapq_squared
+        na.score_diff += oa.score_diff
+        na.mismatches += oa.mismatches
+        st.read_strand[new_a].merge_with(old_var.stats.read_strand[old_a])
+    new_var.stats = st
 
 
 def make_biallelic(var: Variant) -> list[Variant]:

@@ -15,8 +15,8 @@ from graphtyper_tpu.utils.simulate_indep import IndepConfig, simulate_indep
 
 # (records, md5-of-record-lines incl. #CHROM) — regenerate intentionally with
 # tools/regen_goldens.py when output-changing behavior is ADDED on purpose.
-GOLDEN_SNP = (159, "5efec5e8ec6f2d16cb5607e294f34a4d")
-GOLDEN_INDEP = (272, "98d101823f9e37b90876c745b3a7bf19")
+GOLDEN_SNP = (159, "ae319c6411595f3a3a14dc6a8abd3727")
+GOLDEN_INDEP = (272, "b77a4d746fc0e1e3a660eaaada72b603")
 
 
 def _hash(outs):

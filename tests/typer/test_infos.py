@@ -316,3 +316,51 @@ def test_generate_infos_fuzz():
                     td += depth
         want_qd = tq / td if td else 0.0
         assert abs(float(infos["QD"]) - want_qd) < 1e-2
+
+
+def test_decomposition_projects_var_stats():
+    """variant.cpp:34-80 update_per_allele_stats: decomposed variants carry
+    the whole-variant scalars (clipped_reads, mapq_squared) and merge the
+    per-allele alignment accumulators + read-strand counters through the
+    allele map. Regression: these were dropped, zeroing MQ/MQsquared/MQSal/
+    CRal/SDal/MMal (and the MQ feature of AAScore/LOGF) on every decomposed
+    record."""
+    from graphtyper_tpu.models.genotype_model import VarStats
+    from graphtyper_tpu.typer.variant import make_biallelic
+
+    var = Variant(abs_pos=500, seqs=[b"ACA", b"GCA", b"ACT"])
+    var.calls = [
+        _call([40, 0, 70, 50, 90, 95], [4, 5, 0]),
+        _call([30, 40, 70, 0, 90, 95], [5, 0, 4]),
+    ]
+    var.stats = VarStats.sized(3)
+    var.stats.clipped_reads = 7
+    var.stats.mapq_squared = 3600 * 11
+    for a, (mq, mm, sd, cb) in enumerate([(3600 * 5, 4, 12, 30), (3600 * 4, 2, 5, 0), (3600 * 2, 1, 3, 8)]):
+        pa = var.stats.per_allele[a]
+        pa.mapq_squared, pa.mismatches, pa.score_diff, pa.clipped_bp = mq, mm, sd, cb
+        var.stats.read_strand[a].r1_forward = a + 1
+        var.stats.read_strand[a].r2_reverse = 2 * a
+
+    out = break_multi_snps(var)
+    assert len(out) == 2
+    for nv in out:
+        # scalars copy through unchanged
+        assert nv.stats.clipped_reads == 7
+        assert nv.stats.mapq_squared == 3600 * 11
+    # first SNP maps alleles 0,2 -> 0 and 1 -> 1
+    st = out[0].stats
+    assert st.per_allele[0].mapq_squared == 3600 * 7
+    assert st.per_allele[1].mapq_squared == 3600 * 4
+    assert st.per_allele[0].mismatches == 5
+    assert st.per_allele[0].score_diff == 15
+    assert st.per_allele[0].clipped_bp == 38
+    assert st.read_strand[0].r1_forward == 4  # alleles 0 and 2
+    assert st.read_strand[0].r2_reverse == 4
+    assert st.read_strand[1].r1_forward == 2
+
+    # make_biallelic projects the same way (variant.cpp:1644)
+    bi = make_biallelic(var)
+    assert bi[0].stats.mapq_squared == 3600 * 11
+    assert bi[0].stats.per_allele[1].mapq_squared == 3600 * 4
+    assert bi[1].stats.per_allele[0].mapq_squared == 3600 * 9  # alleles 0+1 fold to ref
