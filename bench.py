@@ -152,6 +152,15 @@ def child_pipeline() -> None:
         kernel = kernel_secondary()
     except Exception:
         kernel = 0.0
+    # Pallas SW Gcell/s (VERDICT r3 #8): median-of-5, TPU backend only —
+    # on the CPU backend the kernel would run in interpret mode, which
+    # measures the interpreter, not the chip.
+    sw_gcells = None
+    if not os.environ.get("GT_BENCH_FORCE_CPU"):
+        try:
+            sw_gcells = sw_secondary()
+        except Exception:
+            sw_gcells = None
     print(
         "GT_BENCH_RESULT "
         + json.dumps(
@@ -166,6 +175,7 @@ def child_pipeline() -> None:
                 "sv_reads_per_sec": sv_reads_per_sec,
                 "sv_n_records": sv_records,
                 "kernel": kernel,
+                "sw_gcells_per_sec": sw_gcells,
             }
         )
     )
@@ -239,6 +249,62 @@ def kernel_secondary() -> float:
     return R / per_step
 
 
+def sw_secondary() -> float:
+    """Pallas Smith-Waterman Gcell/s, median-of-5 scan-differenced runs
+    (tools/bench_sw.py protocol, condensed). Reference hot loop analog:
+    paw SW at src/typer/caller.cpp:2007."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
+
+    block_b, R = 128, 8
+    B, M, N = 4096, 152, 256
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, (B, M)).astype(np.uint8)
+    d = rng.integers(0, 4, (B, N)).astype(np.uint8)
+    for i in range(0, B, 2):
+        off = rng.integers(0, N - M)
+        q[i] = d[i, off : off + M]
+        for _ in range(4):
+            q[i, rng.integers(0, M)] = rng.integers(0, 4)
+    qlens = np.full(B, M, np.int32)
+    dlens = np.full(B, N, np.int32)
+
+    def make_many(n_steps: int):
+        @jax.jit
+        def many(qd, ql, dd, dl):
+            def body(c, i):
+                s, b, e = sw_align_pallas(
+                    jnp.roll(qd, i, axis=0), ql, dd, dl, block_b=block_b, rows_per_step=R
+                )
+                return c + s.sum() + b.sum() + e.sum(), None
+
+            return jax.lax.scan(body, jnp.int32(0), jnp.arange(n_steps))[0]
+
+        return many
+
+    args = [jax.device_put(jnp.asarray(x)) for x in (q, qlens, d, dlens)]
+    n_small, n_big = 4, 36
+    small, big = make_many(n_small), make_many(n_big)
+    float(small(*args))
+    float(big(*args))
+    per_steps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(small(*args))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(big(*args))
+        tb = time.perf_counter() - t0
+        per_steps.append((tb - ts) / (n_big - n_small))
+    cells = float(qlens.astype(np.int64).sum() * N)
+    return cells / statistics.median(per_steps) / 1e9
+
+
 def tpu_probe_ok(timeout_s: int = 90) -> bool:
     """One tiny device op in a subprocess: False when the axon tunnel is in
     one of its multi-hour hang windows (a known failure mode), so the main
@@ -262,6 +328,31 @@ def tpu_probe_ok(timeout_s: int = 90) -> bool:
         return False
 
 
+def wait_for_tunnel(deadline_s: float = 600.0) -> tuple[bool, list[dict]]:
+    """Probe the tunnel with bounded retries until `deadline_s` (VERDICT r3
+    #3: wait-with-deadline instead of one-shot give-up — the axon hang
+    windows are often minutes, not hours). Returns (healthy, probe_log);
+    the log's timestamps land in the driver artifact either way."""
+    t_start = time.time()
+    log: list[dict] = []
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        ok = tpu_probe_ok()
+        log.append({"attempt": attempt, "t_offset_s": round(t0 - t_start, 1),
+                    "probe_s": round(time.time() - t0, 1), "ok": ok})
+        if ok:
+            return True, log
+        remaining = deadline_s - (time.time() - t_start)
+        if remaining <= 0:
+            return False, log
+        sys.stderr.write(
+            f"tpu probe {attempt} failed; retrying ({remaining:.0f}s left in deadline)\n"
+        )
+        time.sleep(min(45.0, max(0.0, remaining)))
+
+
 def main() -> None:
     # The parent never touches JAX: a hung axon tunnel can only stall a
     # child, which the per-attempt timeout kills before the CPU retry.
@@ -269,8 +360,9 @@ def main() -> None:
     raw = None
     backend = "tpu"
     attempts = [(False, 1200), (True, 1800)]
-    if not tpu_probe_ok():
-        sys.stderr.write("tpu probe hung/failed; benching on the CPU backend\n")
+    tunnel_ok, probe_log = wait_for_tunnel()
+    if not tunnel_ok:
+        sys.stderr.write("tpu tunnel unhealthy past deadline; benching on the CPU backend\n")
         attempts = [(True, 1800)]
     # a healthy TPU run takes ~6-10 min; a hung axon tunnel would otherwise
     # eat the whole budget before the CPU fallback gets its turn
@@ -301,9 +393,9 @@ def main() -> None:
         raise SystemExit("bench failed on both backends")
 
     # cross-backend comparison: when the full run used the TPU backend, also
-    # time the 200kb section on the forced-CPU backend (and vice-versa is
-    # meaningless — the probe already said the tunnel is down). Keeps both
-    # numbers in the driver-captured artifact so backend deltas are explicit.
+    # time the 200kb section on the forced-CPU backend. When the run itself
+    # fell back to CPU, the headline IS the forced-CPU number — populate the
+    # field from it so the comparison is never null (VERDICT r3 #3).
     other_reads_per_sec = None
     if backend == "tpu":
         try:
@@ -325,6 +417,8 @@ def main() -> None:
                     break
         except subprocess.TimeoutExpired:
             pass
+    else:
+        other_reads_per_sec = round(raw["n_reads"] / raw["wall_s"], 1)
 
     reads_per_sec = raw["n_reads"] / raw["wall_s"]
     kernel = raw.get("kernel", 0.0)
@@ -348,6 +442,13 @@ def main() -> None:
                     "backend": backend,
                     "cpu_backend_reads_per_sec": other_reads_per_sec,
                     "kernel_reads_per_sec": round(kernel, 1),
+                    "sw_gcells_per_sec": (
+                        round(raw["sw_gcells_per_sec"], 2)
+                        if raw.get("sw_gcells_per_sec")
+                        else None
+                    ),
+                    "tunnel_healthy": tunnel_ok,
+                    "tunnel_probe_log": probe_log,
                 },
             }
         )

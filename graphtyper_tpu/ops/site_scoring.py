@@ -44,6 +44,37 @@ ALLELE_TIERS = (2, 4, 8, 16, 32, 64)
 #: (host-applied tiers ship nothing) — telemetry for the H2D-per-read budget
 H2D_BYTES_SHIPPED = 0
 
+#: duty-cycle telemetry (VERDICT r3 #1): observation rows applied on host vs
+#: device, and wall seconds spent inside device launch+collect. Written as
+#: one JSON line per finalize() to $GT_SCORING_STATS (O_APPEND, so region
+#: worker processes can share one file) when that env var is set.
+HOST_APPLY_ROWS = 0
+DEVICE_APPLY_ROWS = 0
+DEVICE_WALL_S = 0.0
+
+
+def _write_scoring_stats() -> None:
+    import json
+    import os
+
+    path = os.environ.get("GT_SCORING_STATS")
+    if not path:
+        return
+    line = json.dumps(
+        {
+            "pid": os.getpid(),
+            "host_rows": HOST_APPLY_ROWS,
+            "device_rows": DEVICE_APPLY_ROWS,
+            "device_wall_s": round(DEVICE_WALL_S, 4),
+            "h2d_bytes": H2D_BYTES_SHIPPED,
+        }
+    )
+    fd = os.open(path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+    try:
+        os.write(fd, (line + "\n").encode())
+    finally:
+        os.close(fd)
+
 #: columns of one observation row, in buffer order
 OBS_FIELDS = (
     "site",
@@ -535,6 +566,7 @@ class ObsBatcher:
             totals = self._totals.pop(tier, None)
             if totals is not None:
                 self._materialize(buf, totals, buf.A)
+        _write_scoring_stats()
 
     def _accumulate(self, tier: int, out: dict) -> None:
         """Add one flush's outputs into the running totals, growing the
@@ -557,7 +589,9 @@ class ObsBatcher:
     # bincount-based host apply handles tens of thousands of rows in
     # single-digit milliseconds. The device earns its dispatch only on
     # cohort-scale flushes (maybe_flush) where batches are millions of rows.
-    HOST_APPLY_MAX_ROWS = 65536
+    # GT_HOST_APPLY_ROWS overrides the threshold (0 = always device) for
+    # the backend A/B tooling (tools/bench_tpu_ab.py).
+    HOST_APPLY_MAX_ROWS = int(__import__("os").environ.get("GT_HOST_APPLY_ROWS", 65536))
 
     # running telemetry: observation bytes actually shipped host->device
     # (host-applied tiers ship nothing); read by tools/stats and STATUS
@@ -576,8 +610,13 @@ class ObsBatcher:
             return []
         A = buf.A
         if n <= self.HOST_APPLY_MAX_ROWS and self.mesh_key is None:
+            global HOST_APPLY_ROWS
+            HOST_APPLY_ROWS += n
             self._accumulate(tier, _apply_rows_numpy(cols_np, n, A, len(buf.site_ids), self.n_samples))
             return []
+        global DEVICE_APPLY_ROWS, DEVICE_WALL_S
+        DEVICE_APPLY_ROWS += n
+        _t_launch0 = __import__("time").perf_counter()
         # pad the site count to coarse power-of-two buckets (floor 256) so
         # the jitted kernel shape is reused across regions and iterations
         # (site ids stay < len(site_ids); pad slots read back as zeros)
@@ -628,6 +667,7 @@ class ObsBatcher:
                     n_samples=self.n_samples,
                 )
             launched.append((vec, n_sites))
+        DEVICE_WALL_S += __import__("time").perf_counter() - _t_launch0
         return launched
 
     def _flush_tier_collect(self, tier: int, launched) -> None:
@@ -635,6 +675,8 @@ class ObsBatcher:
         totals."""
         if not launched:
             return
+        global DEVICE_WALL_S
+        _t_collect0 = __import__("time").perf_counter()
         A = self.tiers[tier].A
         totals: dict[str, np.ndarray] | None = None
         for vec, n_sites in launched:
@@ -646,6 +688,7 @@ class ObsBatcher:
                     totals[k] += out[k]
         if totals is not None:
             self._accumulate(tier, totals)
+        DEVICE_WALL_S += __import__("time").perf_counter() - _t_collect0
 
     def _materialize(self, buf: _TierBuffer, out: dict, A: int) -> None:
         P = self.n_samples
