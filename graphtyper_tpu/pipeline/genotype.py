@@ -153,6 +153,7 @@ def genotype(
     is_extra_call_only_iteration: bool = False,
     output_all_variants: bool = False,
     keep_tmp: bool = False,
+    scorer_mesh_key: str | None = None,
 ) -> str:
     """The full discovery + iterative regenotyping pipeline
     (genotype.cpp:336-681):
@@ -275,6 +276,7 @@ def genotype(
             is_writing_calls_vcf=is_last,
             is_writing_hap=not is_last,
             ref_path=ref_path,
+            scorer_mesh_key=scorer_mesh_key,
         )
         if not is_last:
             next_vcf = os.path.join(out_dir, "final.vcf.gz")

@@ -8,14 +8,36 @@
 // pass is asserted by tests/pipeline/test_native_first_pass.py.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <string>
 #include <vector>
 
 namespace {
+
+// GT_NATIVE_PROFILE=1: per-phase walls on stderr (parse/pileup/gates)
+static bool fp_prof_enabled()
+{
+  static int v = -1;
+  if (v < 0)
+  {
+    const char * e = getenv("GT_NATIVE_PROFILE");
+    v = (e && *e && *e != '0') ? 1 : 0;
+  }
+  return v == 1;
+}
+
+static int64_t fp_now()
+{
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+           std::chrono::steady_clock::now().time_since_epoch())
+    .count();
+}
 
 constexpr int64_t BUCKET_SIZE = 50;
 constexpr uint32_t FP_IS_PROPER_PAIR = 0x2;
@@ -209,6 +231,7 @@ void * gt_first_pass(const uint8_t * data, int64_t size, int64_t target_ref,
 {
   FpResult * R = new FpResult();
   FpOpts opts{opt_ints[0], opt_ints[1], opt_ints[2], opt_ints[3]};
+  int64_t prof_t0 = fp_prof_enabled() ? fp_now() : 0;
 
   // ---- parse reads on the target contig (position-sorted stable) ---------
   std::vector<FpRead> reads;
@@ -267,6 +290,7 @@ void * gt_first_pass(const uint8_t * data, int64_t size, int64_t target_ref,
   }
   std::stable_sort(reads.begin(), reads.end(),
                    [](const FpRead & a, const FpRead & b) { return a.pos < b.pos; });
+  int64_t prof_t1 = fp_prof_enabled() ? fp_now() : 0;
 
   // ---- pileup --------------------------------------------------------
   std::vector<int64_t> cov_up(ref_size, 0), cov_down(ref_size, 0);
@@ -456,6 +480,8 @@ void * gt_first_pass(const uint8_t * data, int64_t size, int64_t target_ref,
     NUM_BUCKETS = (ref_size - 1) / BUCKET_SIZE + 1;
   R->n_buckets = NUM_BUCKETS;
 
+  int64_t prof_t2 = fp_prof_enabled() ? fp_now() : 0;
+
   std::vector<int64_t> cum(ref_size + 1, 0);
   for (int64_t i = 0; i < ref_size; ++i)
     cum[i + 1] = cum[i] + cov_up[i] - cov_down[i];
@@ -612,6 +638,14 @@ void * gt_first_pass(const uint8_t * data, int64_t size, int64_t target_ref,
   }
 
   R->finalize();
+  if (fp_prof_enabled())
+  {
+    int64_t t3 = fp_now();
+    fprintf(stderr,
+            "[gt_first_pass] reads=%lld events=%lld parse=%.3fs pileup=%.3fs gates=%.3fs\n",
+            (long long)reads.size(), (long long)n, (prof_t1 - prof_t0) * 1e-9,
+            (prof_t2 - prof_t1) * 1e-9, (t3 - prof_t2) * 1e-9);
+  }
   *out_n_events = n;
   *out_n_seq = (int64_t)R->f_seq.size();
   *out_n_ever = (int64_t)R->f_ever.size();

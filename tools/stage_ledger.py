@@ -12,7 +12,9 @@ loop (alignment + observation extraction), so the chip's leverage is
 bounded no matter how fast the kernels are. Workloads with heavy SW
 realignment (indel-rich) or cohort-scale scoring shift the fraction up.
 
-Usage: python tools/stage_ledger.py [--indep]
+Usage: python tools/stage_ledger.py [--indep] [--samples N] [--kb K]
+(--samples N measures an N-sample cohort — the regime where scoring and
+ discovery fan-out dominate; default 1 sample x 200kb)
 """
 
 from __future__ import annotations
@@ -50,7 +52,7 @@ STAGES = [
 ]
 
 
-def run(workload: str) -> dict:
+def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
     from graphtyper_tpu.pipeline.genotype import genotype_regions
 
     tmp = tempfile.mkdtemp(prefix="gt_ledger_")
@@ -63,9 +65,10 @@ def run(workload: str) -> dict:
     else:
         from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
 
-        cfg = SimConfig(region_length=200_000, coverage=30.0, seed=1, out_format="bam")
+        cfg = SimConfig(region_length=kb * 1000, coverage=30.0, seed=1,
+                        n_samples=n_samples, out_format="bam")
         sim = simulate_cohort(os.path.join(tmp, "m"), cfg)
-        region = f"{cfg.chrom}:1-200000"
+        region = f"{cfg.chrom}:1-{kb * 1000}"
 
     # warm (compiles, worker-pool spinup equivalents)
     genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "w"), processes=1)
@@ -96,6 +99,8 @@ def run(workload: str) -> dict:
     f_dev = device_s / wall if wall else 0.0
     return {
         "workload": workload,
+        "n_samples": n_samples,
+        "kb": kb,
         "n_reads": sim.n_reads,
         "wall_s": round(wall, 3),
         "stages": ledger,
@@ -107,4 +112,6 @@ def run(workload: str) -> dict:
 
 if __name__ == "__main__":
     workload = "indep" if "--indep" in sys.argv else "snp"
-    print(json.dumps(run(workload)))
+    n_samples = int(sys.argv[sys.argv.index("--samples") + 1]) if "--samples" in sys.argv else 1
+    kb = int(sys.argv[sys.argv.index("--kb") + 1]) if "--kb" in sys.argv else 200
+    print(json.dumps(run(workload, n_samples=n_samples, kb=kb)))
