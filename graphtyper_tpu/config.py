@@ -100,6 +100,12 @@ class Options:
     # HBM gather plus its D2H round-trip over the interconnect on every
     # tested workload. "on" forces the device pass (parity tests).
     device_seed: str = "auto"
+    # discovery first-pass aggregation routing (ops/discovery_pileup.py):
+    # "auto" runs the split extract->aggregate->gates path with the row-count
+    # threshold picking numpy vs the device segment-sum; "on" forces the
+    # device aggregation; "off" keeps the monolithic native pass
+    # (gt_first_pass, the parity oracle).
+    device_discovery: str = "auto"
     # bounded-memory streaming pooled caller (native/gt_align.cpp
     # gt_stream_*): BAM files merge through a BGZF stream + heap and flow in
     # fixed-size batches, so RSS stays O(batch) at cohort scale (the

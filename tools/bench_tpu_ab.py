@@ -75,12 +75,15 @@ def child(variant: str, samples: int, kb: int, processes: int) -> None:
     region = f"{cfg.chrom}:1-{kb * 1000}"
 
     tmp = tempfile.mkdtemp(prefix=f"gt_ab_{variant}_")
+    # stats env must be set BEFORE the warm run: the persistent region worker
+    # pool spawns there and children read env at spawn
+    stats_f = os.path.join(tmp, "scoring_stats.jsonl")
+    os.environ["GT_SCORING_STATS"] = stats_f
     # warm: full-shape untimed run (compiles every kernel shape this cohort
     # size will hit; spawns the region worker pool)
     genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "warm"),
                      processes=processes)
-    stats_f = os.path.join(tmp, "scoring_stats.jsonl")
-    os.environ["GT_SCORING_STATS"] = stats_f
+    open(stats_f, "w").close()  # drop the warm run's telemetry lines
     t0 = time.perf_counter()
     outs = genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "out"),
                             processes=processes)
