@@ -201,6 +201,19 @@ def genotype_distributed(
     from graphtyper_tpu.typer.discovery import streamlined_discovery
     from graphtyper_tpu.typer.vcf_out import VcfOutput
 
+    import time as _time
+
+    _prof = bool(os.environ.get("GT_DIST_PROFILE"))
+    _t_last = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t_last
+        if _prof:
+            now = _time.perf_counter()
+            print(f"[gt_dist h{jax.process_index()}] {stage} {now - _t_last:.2f}s",
+                  flush=True)
+            _t_last = now
+
     n_hosts = jax.process_count()
     host = jax.process_index()
     bounds = np.linspace(0, len(sams), n_hosts + 1).astype(int)
@@ -230,6 +243,7 @@ def genotype_distributed(
         from graphtyper_tpu.pipeline.bamshrink import run_bamshrink
 
         my_sams = run_bamshrink(my_sams, padded, tmp, my_cov, current_options())
+    _mark("bamshrink")
 
     # global path list: only owned entries are real paths on this host
     global_paths = [""] * len(sams)
@@ -242,6 +256,7 @@ def genotype_distributed(
     sites_vcf = streamlined_discovery(
         global_paths, ref_path, padded.to_string(), sample_names, dist=dist
     )
+    _mark("discovery")
     it1_final = os.path.join(tmp, "it1_final.vcf.gz")
     sites_vcf.write(it1_final, contigs, abs_pos, filter_zero_qual=False, is_dropping_genotypes=True)
 
@@ -305,12 +320,16 @@ def genotype_distributed(
             is_writing_hap=not is_last,
             ref_path=ref_path,
         )
+        _mark(f"call_it{i}")
         merged_vcf, merged_ph = gather_merge(result)
+        _mark(f"gather_merge_it{i}")
         if not is_last:
             next_vcf = os.path.join(tmp, f"it{i}_final.vcf.gz")
             if host == 0:
                 vcf_merge_and_filter([merged_vcf], next_vcf, merged_ph, graph)
+            _mark(f"merge_filter_it{i}")
             bcast_file(next_vcf)
+            _mark(f"bcast_it{i}")
             prev_vcf = next_vcf
         elif host == 0:
             # only host 0 emits output: the final merge/decompose is pure
@@ -319,6 +338,7 @@ def genotype_distributed(
                 [merged_vcf], out_vcf_path, region.to_string(), graph,
                 filter_zero_qual=output_all_variants,
             )
+            _mark("final_merge_break")
 
     dst = None
     if host == 0:

@@ -370,6 +370,10 @@ def read_reads_into_buckets_native(
 def _setup_fx(lib) -> None:
     if getattr(lib, "_fx_ready", False):
         return
+    # the gates result rides the gt_first_pass_fetch/free ABI — their ctypes
+    # signatures must exist even when run_first_pass_native never ran (a bare
+    # Python int handle would otherwise truncate to 32 bits)
+    _setup(lib)
     lib.gt_fp_extract.restype = ctypes.c_void_p
     lib.gt_fp_extract.argtypes = (
         [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
