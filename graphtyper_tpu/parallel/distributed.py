@@ -305,13 +305,20 @@ def genotype_distributed(
     FIRST, LAST = 2, 3 + (1 if is_extra_call_only_iteration else 0)
     prev_vcf = it1_final
     out_vcf_path = os.path.join(tmp, "graphtyper.vcf.gz")
+    prev_index = None
     for i in range(FIRST, LAST + 1):
         is_last = i == LAST
         graph = construct_graph(
             ref_path, prev_vcf, padded.to_string(), is_sv_graph=False, use_index=True,
             add_all_variants=True,
         )
-        index = index_graph(graph)
+        # successive iterations share the reference-backbone k-mers, so the
+        # seed filter carries over additively instead of rebuilding — the
+        # same donor chain genotype() uses (replicated per-host work shrinks,
+        # which is where sample-sharded efficiency leaks)
+        index = index_graph(graph, seed_filter_donor=prev_index)
+        prev_index = index
+        _mark(f"graph_index_it{i}")
         result = call_pools(
             graph, index, my_sams,
             region=padded,

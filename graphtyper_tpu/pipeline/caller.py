@@ -246,12 +246,8 @@ def call_pool(
         if nc.available():
             fast = None
             stream_mode = getattr(_copts(), "streaming_caller", "auto")
-            use_stream = stream_mode == "on" and not graph.is_sv_graph
-            if (
-                stream_mode == "auto"
-                and not graph.is_sv_graph
-                and all(p.endswith(".bam") for p in hts_paths)
-            ):
+            use_stream = stream_mode == "on"
+            if stream_mode == "auto" and all(p.endswith(".bam") for p in hts_paths):
                 # big pools stream (bounded RSS); small pools stay in-memory
                 # (lower latency + device seeding)
                 import os as _os
@@ -259,6 +255,13 @@ def call_pool(
                 total = sum(_os.path.getsize(p) for p in hts_paths)
                 use_stream = len(hts_paths) >= 12 or total > 256 * 1024 * 1024
             if use_stream:
+                sv_stream_cov = None
+                if (
+                    graph.is_sv_graph
+                    and not no_filter_on_coverage
+                    and avg_cov_by_readlen is not None
+                ):
+                    sv_stream_cov = avg_cov_by_readlen
                 fast = nc.run_native_call_pool_stream(
                     graph,
                     index,
@@ -267,6 +270,7 @@ def call_pool(
                     sam_flag_filter=SAM_FLAG_FILTER,
                     force_both=force_align_both_orientations,
                     hq_reads=getattr(_copts(), "hq_reads", False),
+                    avg_cov=sv_stream_cov,
                 )
             if fast is None:
                 sv_avg_cov = None

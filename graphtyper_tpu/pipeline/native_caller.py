@@ -799,6 +799,10 @@ def _setup_stream(lib) -> None:
     lib.gt_stream_open.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p]
         + [ctypes.c_int32] * 5 + [ctypes.c_int64] * 2
+        # SV mode: filter_begin, filter_end, is_sv, avg_cov, depth,
+        # depth_ref_size, depth_ref_offset
+        + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+           ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     )
     lib.gt_stream_step.restype = ctypes.c_int32
     lib.gt_stream_step.argtypes = (
@@ -814,7 +818,15 @@ def _setup_stream(lib) -> None:
     lib.gt_stream_fetch_obs.restype = ctypes.c_int32
     lib.gt_stream_fetch_obs.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 17
     lib.gt_stream_finish.restype = ctypes.c_void_p
-    lib.gt_stream_finish.argtypes = [ctypes.c_void_p] + [_p64] * 5
+    # handle + 19 graph/site view args (SV leftover resolution) + 5 outs
+    lib.gt_stream_finish.argtypes = (
+        [ctypes.c_void_p]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # ref
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p]  # var
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # special
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
+        + [_p64] * 5
+    )
     lib.gt_stream_free.restype = None
     lib.gt_stream_free.argtypes = [ctypes.c_void_p]
     lib._stream_ready = True
@@ -859,14 +871,20 @@ def run_native_call_pool_stream(
     hq_reads: bool = False,
     n_threads: int = 0,
     batch_records: int = 1 << 18,
+    avg_cov: list | None = None,
 ):
     """Bounded-memory pooled call: N BAM files merge through a C++ BGZF
     stream + heap (the reference's hts_parallel_reader design), fixed-size
     batches run stage 1/2, and observation rows drain to the device batcher
     per batch. RSS is O(batch + open files + site state) — independent of
     cohort size. Byte-identical to the in-memory caller (asserted by
-    tests/pipeline/test_stream_caller.py). Returns (sample_names, scorer,
-    num_records, num_duplicated) or None to fall back."""
+    tests/pipeline/test_stream_caller.py). SV graphs stream too (VERDICT r3
+    #6): the is_good_sv_read gate and region filter apply per record, the
+    50bp/3x coverage bins and ReferenceDepth persist across batches, and
+    leftover mates resolve at finish from the persistent pending maps
+    (src/utilities/hts_parallel_reader.cpp:599-772 analog). Returns
+    (sample_names, scorer, num_records, num_duplicated, reference_depth) or
+    None to fall back."""
     if region is None or not all(p.endswith(".bam") for p in hts_paths):
         return None
     lib = get_lib()
@@ -886,6 +904,10 @@ def run_native_call_pool_stream(
         if len(samples) > 1:
             return None
         sample_names.append(samples[0])
+
+    is_sv = bool(graph.is_sv_graph)
+    if is_sv and avg_cov is not None and len(avg_cov) != len(sample_names):
+        return None  # per-file coverage list vs sample count mismatch
 
     from graphtyper_tpu.typer.native_align import NativeAligner, seed_filter_handle
     from graphtyper_tpu.typer.scoring import SiteScorer
@@ -911,11 +933,25 @@ def run_native_call_pool_stream(
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
+    reference_depth = None
+    avg_arr = None
+    if is_sv:
+        from graphtyper_tpu.pipeline.caller import ReferenceDepth
+
+        reference_depth = ReferenceDepth(graph, len(sample_names))
+        if avg_cov is not None:
+            avg_arr = np.ascontiguousarray(avg_cov, dtype=np.float64)
     handle = lib.gt_stream_open(
         ctypes.cast(path_arr, ctypes.c_void_p), ptr(sample_idx), len(hts_paths),
         region.chr.encode(),
         len(sample_names), sam_flag_filter, 1 if force_both else 0, 1 if hq_reads else 0,
         n_threads, batch_records, len(sites),
+        int(region.begin) if is_sv else -1, int(region.end) if is_sv else -1,
+        1 if is_sv else 0,
+        ptr(avg_arr) if avg_arr is not None else None,
+        ptr(reference_depth.depths) if reference_depth is not None else None,
+        reference_depth.depths.shape[1] if reference_depth is not None else 0,
+        int(reference_depth.reference_offset) if reference_depth is not None else 0,
     )
     if not handle:
         return None
@@ -977,6 +1013,12 @@ def run_native_call_pool_stream(
         n_touched = ctypes.c_int64()
         res = lib.gt_stream_finish(
             handle,
+            ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
+            ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
+            ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
+            ptr(na.var_out_ref), len(na.var_order), ptr(na.var_arena),
+            ptr(na.sp_ref_reach), ptr(na.sp_actual), len(na.sp_ref_reach),
+            ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
             ctypes.byref(n_obs), ctypes.byref(n_xvals), ctypes.byref(n_conn),
             ctypes.byref(n_counts), ctypes.byref(n_touched),
         )
@@ -987,4 +1029,4 @@ def run_native_call_pool_stream(
     )
     if stats is None:
         return None
-    return sample_names, scorer, stats[0], stats[1], None
+    return sample_names, scorer, stats[0], stats[1], reference_depth

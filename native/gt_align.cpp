@@ -4050,6 +4050,10 @@ struct BgzfIn {
   void close_file();
   bool fill_compressed(size_t need)
   {
+    // 256KB read chunks (>= 4 full BGZF blocks): per-open-file resident
+    // memory is the streaming caller's dominant fixed cost at high file
+    // counts, so keep the per-file buffers small
+    constexpr size_t CHUNK = 256 << 10;
     while (cbuf.size() - cpos < need && !file_eof)
     {
       if (cpos > 0)
@@ -4058,8 +4062,8 @@ struct BgzfIn {
         cpos = 0;
       }
       size_t old = cbuf.size();
-      cbuf.resize(old + (1 << 20));
-      size_t got = fread(cbuf.data() + old, 1, 1 << 20, f);
+      cbuf.resize(old + CHUNK);
+      size_t got = fread(cbuf.data() + old, 1, CHUNK, f);
       cbuf.resize(old + got);
       if (got == 0)
         file_eof = true;
@@ -4086,6 +4090,10 @@ struct StreamFile {
   BgzfIn z;
   int32_t target = -2;
   int32_t sample = 0;
+  // region gate (SV pools): keep only reads overlapping
+  // [filter_begin, filter_end) — the reference's index-iterator record set
+  // (same span rule as parse_one_file above)
+  int64_t filter_begin = -1, filter_end = -1;
   std::deque<SRec> run;  // same-pos run, seq-sorted
   bool have_peek = false;
   SRec peek;
@@ -4106,6 +4114,29 @@ struct StreamFile {
       int32_t ref_id, pos;
       memcpy(&ref_id, p, 4);
       memcpy(&pos, p + 4, 4);
+      if (ref_id == target && filter_begin >= 0)
+      {
+        uint8_t l_rn = p[8];
+        uint16_t nc;
+        memcpy(&nc, p + 12, 2);
+        int64_t span = 0;
+        const uint8_t * cg = p + 32 + l_rn;
+        for (uint16_t ci = 0; ci < nc; ++ci)
+        {
+          uint32_t c;
+          memcpy(&c, cg + 4 * ci, 4);
+          uint32_t op = c & 0xF;
+          if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)  // M D N = X
+            span += c >> 4;
+        }
+        if (span == 0)
+          span = 1;
+        if (!(pos < filter_end && pos + span > filter_begin))
+        {
+          z.dpos += 4 + bs;
+          continue;
+        }
+      }
       if (ref_id == target)
       {
         out.pos = pos;
@@ -4212,6 +4243,18 @@ struct StreamCall {
   // per-batch drained observation rows
   CallResult batch_obs;
 
+  // SV mode (VERDICT r3 #6): is_good_sv_read gate + 50bp/3x coverage bins +
+  // ReferenceDepth, all persistent across batches; leftover mates resolve at
+  // finish from the persistent Pending maps (hts_parallel_reader.cpp:599-772
+  // analog)
+  int32_t is_sv = 0;
+  std::vector<double> avg_cov_store;      // empty = no coverage filter
+  int32_t * depth = nullptr;              // borrowed from Python (kept alive)
+  int64_t depth_ref_size = 0, depth_ref_offset = 0;
+  int64_t first_pos = -1;                 // pos of the pool's first record
+  std::vector<std::unordered_map<int64_t, int32_t>> bins;  // per sample
+  std::vector<int64_t> ins_counters;      // per worker: Pending insert order
+
   bool eof = false;
 };
 
@@ -4298,7 +4341,11 @@ void * gt_stream_open(const char * const * paths, const int32_t * sample_of, int
                       const char * target_chr,
                       int32_t n_samples, int32_t sam_flag_filter, int32_t force_both,
                       int32_t hq_reads, int32_t n_threads, int64_t batch_records,
-                      int64_t n_sites)
+                      int64_t n_sites,
+                      // SV mode (all zero/null for SNP pools)
+                      int64_t filter_begin, int64_t filter_end, int32_t is_sv,
+                      const double * avg_cov, int32_t * depth, int64_t depth_ref_size,
+                      int64_t depth_ref_offset)
 {
   StreamCall * S = new StreamCall();
   S->files.resize(n_files);
@@ -4310,11 +4357,21 @@ void * gt_stream_open(const char * const * paths, const int32_t * sample_of, int
   S->n_threads = n_threads;
   S->batch_records = batch_records > 0 ? batch_records : (1 << 18);
   S->n_sites = n_sites;
+  S->is_sv = is_sv;
+  if (avg_cov != nullptr)
+    S->avg_cov_store.assign(avg_cov, avg_cov + n_samples);
+  S->depth = depth;
+  S->depth_ref_size = depth_ref_size;
+  S->depth_ref_offset = depth_ref_offset;
+  if (is_sv && !S->avg_cov_store.empty())
+    S->bins.resize(n_samples);
 
   for (int64_t fi = 0; fi < n_files; ++fi)
   {
     StreamFile & F = S->files[fi];
     F.sample = sample_of[fi];
+    F.filter_begin = filter_begin;
+    F.filter_end = filter_end;
     if (!F.z.open_file(paths[fi]))
     {
       delete S;
@@ -4375,6 +4432,7 @@ void * gt_stream_open(const char * const * paths, const int32_t * sample_of, int
     S->ranges.push_back({slo, shi});
     S->maps.emplace_back(shi - slo);
   }
+  S->ins_counters.assign(S->ranges.size(), 0);
   S->R = new CallResult();
   S->R->eps_sum.assign(n_sites * n_samples, 0);
   return S;
@@ -4406,7 +4464,7 @@ int32_t gt_stream_step(
     return 0;
   GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
               var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
-              sp_ref_reach, sp_actual, n_special, false};
+              sp_ref_reach, sp_actual, n_special, S->is_sv != 0};
   IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
   const SeedFilter * sf = (const SeedFilter *)seed_filter;
   SiteView SV{site_order, site_cnum, site_is_snp, n_sites};
@@ -4436,7 +4494,7 @@ int32_t gt_stream_step(
 
   // ---- fill one batch from the heap --------------------------------------
   int64_t cap = S->batch_records;
-  std::vector<uint8_t> read_codes, names, quals, same_ref;
+  std::vector<uint8_t> read_codes, names, quals, same_ref, sv_bad_v;
   std::vector<int64_t> read_off{0}, name_off{0}, qual_off{0}, pos_v;
   std::vector<int32_t> flags_v, mapq_v, tlen_v, sdiff_v, clip_v, rg_v;
 
@@ -4461,9 +4519,36 @@ int32_t gt_stream_step(
     memcpy(&next_ref, p + 20, 4);
     memcpy(&next_pos, p + 24, 4);
     memcpy(&tl, p + 28, 4);
-    (void)next_pos;
     int32_t ref_id;
     memcpy(&ref_id, p, 4);
+    if (S->first_pos < 0)
+      S->first_pos = rec.pos;
+    if (S->is_sv)
+    {
+      // is_good_sv_read (caller.py:79-93, hts_parallel_reader.cpp:528-568)
+      bool bad = false;
+      const uint8_t * cg = p + 32 + l_read_name;
+      if (flag16 & 0x4)
+        bad = true;
+      else
+      {
+        bool far = ref_id != next_ref ||
+                   (rec.pos > next_pos ? rec.pos - next_pos : next_pos - rec.pos) > 200000;
+        if (mapq8 <= 15 && far)
+          bad = true;
+        else if (n_cigar >= 2)
+        {
+          uint32_t c0, cl;
+          memcpy(&c0, cg, 4);
+          memcpy(&cl, cg + 4 * (n_cigar - 1), 4);
+          bool front_s = (c0 & 0xF) == 4, back_s = (cl & 0xF) == 4;
+          bool one_clipped = (front_s && (c0 >> 4) >= 12) || (back_s && (cl >> 4) >= 12);
+          if ((front_s && back_s) || (mapq8 <= 15 && one_clipped))
+            bad = true;
+        }
+      }
+      sv_bad_v.push_back(bad ? 1 : 0);
+    }
 
     pos_v.push_back(rec.pos);
     flags_v.push_back(flag16);
@@ -4553,30 +4638,55 @@ int32_t gt_stream_step(
 
   // ---- dedup within batch, with cross-batch carry ------------------------
   // rep_of[i] >= 0 indexes this batch's reps; -1 = carried rep from the
-  // previous batch; -2 = filtered record
+  // previous batch; -2 = filtered record. SV mode replays run_call_core's
+  // gate order exactly: sv_bad reads are transparent to the dedup carry,
+  // duplicates always update their coverage bin, new keys are bin-gated.
   std::vector<int64_t> reps;
   std::vector<int64_t> rep_of(n, -2);
+  std::vector<uint8_t> skip(S->is_sv ? n : 0, 0);
+  bool cov_filter = S->is_sv && !S->avg_cov_store.empty();
+  auto bin_update = [&](int32_t s, int64_t p) -> bool {
+    double ac = S->avg_cov_store[s];
+    if (ac <= 0.0)
+      return true;
+    int64_t max_bin = std::min<int64_t>(0xFFFF, (int64_t)(ac * 50.0 * 3.0 + 0.5));
+    int64_t b = (p - S->first_pos) / 50;
+    int32_t & cnt = S->bins[s][b];
+    if (cnt > max_bin)
+      return false;
+    cnt += 1;
+    return true;
+  };
   for (int64_t r = 0; r < n; ++r)
   {
     if (flags_v[r] & S->sam_flag_filter)
+      continue;
+    if (S->is_sv && sv_bad_v[r])
       continue;
     int64_t len = read_off[r + 1] - read_off[r];
     bool same = S->have_prev && pos_v[r] == S->prev_pos &&
                 len == (int64_t)S->prev_codes.size() &&
                 memcmp(read_codes.data() + read_off[r], S->prev_codes.data(), len) == 0;
-    if (!same)
+    if (same)
     {
-      reps.push_back(r);
-      S->prev_pos = pos_v[r];
-      S->prev_codes.assign(read_codes.begin() + read_off[r], read_codes.begin() + read_off[r + 1]);
-      S->have_prev = true;
-      rep_of[r] = (int64_t)reps.size() - 1;
-    }
-    else
-    {
+      if (cov_filter)
+        bin_update(rg_v[r], pos_v[r]);  // duplicates update, never reject
       rep_of[r] = reps.empty() ? -1 : (int64_t)reps.size() - 1;
       S->R->num_duplicated += 1;
+      S->R->num_records += 1;
+      continue;
     }
+    if (cov_filter && !bin_update(rg_v[r], pos_v[r]))
+    {
+      skip[r] = 1;  // prev carry unchanged, like Python's prev_key
+      rep_of[r] = -2;
+      continue;
+    }
+    reps.push_back(r);
+    S->prev_pos = pos_v[r];
+    S->prev_codes.assign(read_codes.begin() + read_off[r], read_codes.begin() + read_off[r + 1]);
+    S->have_prev = true;
+    rep_of[r] = (int64_t)reps.size() - 1;
     S->R->num_records += 1;
   }
 
@@ -4630,10 +4740,13 @@ int32_t gt_stream_step(
   }
 
   // ---- stage 2: replay batch per worker ----------------------------------
+  SvCtx svctx{S->is_sv ? sv_bad_v.data() : nullptr,
+              S->avg_cov_store.empty() ? nullptr : S->avg_cov_store.data(),
+              S->first_pos, S->depth, S->depth_ref_size, S->depth_ref_offset};
   auto stage2_batch = [&](size_t ti) {
     int32_t slo = S->ranges[ti].first, shi = S->ranges[ti].second;
     CallResult & Rw = S->parts[ti];
-    CallCtx Cw{&G, &SV, S->n_samples, S->hq_reads != 0, &Rw};
+    CallCtx Cw{&G, &SV, S->n_samples, S->hq_reads != 0, &Rw, S->is_sv ? &svctx : nullptr};
     auto & wmaps = S->maps[ti];
     for (int64_t r = 0; r < n; ++r)
     {
@@ -4648,7 +4761,8 @@ int32_t gt_stream_step(
       int32_t qlen = (int32_t)(qual_off[r + 1] - qual_off[r]);
       if (!stage2_one_record(Cw, rg, (uint32_t)flags_v[r], mapq_v[r], clip_v[r], sdiff_v[r],
                              quals.data() + qual_off[r], qlen, std::move(name), al.first,
-                             al.second, wmaps[rg - slo]))
+                             al.second, wmaps[rg - slo],
+                             S->is_sv ? &S->ins_counters[ti] : nullptr))
       {
         Rw.error = 1;
         return;
@@ -4742,11 +4856,55 @@ int32_t gt_stream_fetch_obs(void * handle,
 // Finish: merge worker eps/conn state into the final result and hand back a
 // CallResult handle compatible with gt_call_pool_fetch/free (observation
 // arrays will be empty — they were drained per batch).
-void * gt_stream_finish(void * handle, int64_t * out_n_obs, int64_t * out_n_xvals,
+void * gt_stream_finish(void * handle,
+                        // graph (SV leftover resolution needs ref-reach)
+                        const int64_t * ref_order, const int64_t * ref_dna_start,
+                        const int64_t * ref_dna_len, const int64_t * ref_var_first,
+                        int64_t n_ref, const uint8_t * ref_arena,
+                        const int64_t * var_order, const int64_t * var_dna_start,
+                        const int64_t * var_dna_len, const int64_t * var_out_ref,
+                        int64_t n_var, const uint8_t * var_arena,
+                        const int64_t * sp_ref_reach, const int64_t * sp_actual,
+                        int64_t n_special,
+                        const int64_t * site_order, const int64_t * site_cnum,
+                        const uint8_t * site_is_snp, int64_t n_sites_in,
+                        int64_t * out_n_obs, int64_t * out_n_xvals,
                         int64_t * out_n_conn, int64_t * out_n_counts, int64_t * out_n_touched)
 {
   StreamCall * S = (StreamCall *)handle;
   CallResult * R = S->R;
+  // SV: resolve unmatched mates from the persistent pending maps
+  // (caller.py:436-447 / run_call_core's per-worker leftover pass), per
+  // worker in sample order, by map insertion order
+  if (S->is_sv)
+  {
+    GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+                var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+                sp_ref_reach, sp_actual, n_special, true};
+    SiteView SV{site_order, site_cnum, site_is_snp, n_sites_in};
+    SvCtx svctx{nullptr, S->avg_cov_store.empty() ? nullptr : S->avg_cov_store.data(),
+                S->first_pos, S->depth, S->depth_ref_size, S->depth_ref_offset};
+    for (size_t ti = 0; ti < S->ranges.size(); ++ti)
+    {
+      CallResult & Rw = S->parts[ti];
+      if (Rw.error)
+        continue;
+      CallCtx Cw{&G, &SV, S->n_samples, S->hq_reads != 0, &Rw, &svctx};
+      int32_t slo = S->ranges[ti].first, shi = S->ranges[ti].second;
+      for (int32_t rg = slo; rg < shi; ++rg)
+      {
+        auto & map = S->maps[ti][rg - slo];
+        std::vector<const Pending *> order;
+        order.reserve(map.size());
+        for (auto const & kv : map)
+          order.push_back(&kv.second);
+        std::sort(order.begin(), order.end(),
+                  [](const Pending * a, const Pending * b) { return a->ins_seq < b->ins_seq; });
+        for (const Pending * p : order)
+          process_leftover_mate(Cw, *p, rg);
+      }
+    }
+  }
   merge_worker_parts(R, S->parts, S->ranges, S->n_sites, S->n_samples);
   R->finalize_conn();
   *out_n_obs = (int64_t)R->o_site.size();
