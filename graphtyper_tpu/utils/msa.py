@@ -160,6 +160,72 @@ def _left_normalize(ref: bytes, pos: int, ref_piece: bytes, alt_piece: bytes) ->
     return pos, b"", piece
 
 
+def _edit_set_score(ref: bytes, edits: list[tuple[int, bytes, bytes]]) -> int:
+    """NW score (MATCH 1, MISMATCH/GAP -1) of the alignment a disjoint edit
+    set induces: positions outside edits match; an edit block (r, a) with no
+    internal matches costs -max(|r|, |a|)."""
+    covered = sum(len(r) for _p, r, _a in edits)
+    penalty = sum(max(len(r), len(a)) for _p, r, a in edits)
+    return (len(ref) - covered) - penalty
+
+
+def _apply_edits(ref: bytes, edits: list[tuple[int, bytes, bytes]]) -> bytes | None:
+    """ref with a pos-sorted disjoint edit set applied; None when edits
+    overlap or run off the end."""
+    out = bytearray()
+    cur = 0
+    for p, r, a in sorted(edits):
+        if p < cur or p + len(r) > len(ref):
+            return None
+        out += ref[cur:p]
+        out += a
+        cur = p + len(r)
+    out += ref[cur:]
+    return bytes(out)
+
+
+def _explain_with_union(
+    ref: bytes, alt: bytes, union: list[tuple[int, bytes, bytes]], own_score: int,
+    max_edits: int = 16,
+) -> list[tuple[int, bytes, bytes]] | None:
+    """Star-alignment convergence step (paw::Skyr find_all_edits iteration,
+    variant.cpp:2149-2160 semantics): can `alt` be expressed as `ref` plus a
+    disjoint subset of the ALREADY-KNOWN union edits at equal alignment
+    score? When yes, that representation wins — equal-score ties then
+    resolve identically across alleles, so shared physical edits merge into
+    one emitted event instead of splitting on traceback context.
+
+    Exhaustive over subsets of the (small) union set, smallest subset first;
+    None when no equal-score subset reconstructs `alt` exactly."""
+    cand = [e for e in union if e[0] + len(e[1]) <= len(ref)]
+    if not cand or len(cand) > max_edits:
+        return None
+    cand.sort()
+    best: list[tuple[int, bytes, bytes]] | None = None
+    # depth-first over disjoint pos-sorted subsets with score pruning: every
+    # edit costs at least 1 vs all-match, so partial scores bound the rest
+    def rec(idx: int, chosen: list, cur_end: int) -> None:
+        nonlocal best
+        if best is not None and len(chosen) >= len(best):
+            return
+        if chosen:
+            score = _edit_set_score(ref, chosen)
+            if score == own_score and _apply_edits(ref, chosen) == alt:
+                if best is None or len(chosen) < len(best):
+                    best = list(chosen)
+                return
+        for k in range(idx, len(cand)):
+            p, r, a = cand[k]
+            if p < cur_end:
+                continue
+            chosen.append(cand[k])
+            rec(k + 1, chosen, p + len(r))
+            chosen.pop()
+
+    rec(0, [], 0)
+    return best
+
+
 def extract_variants_from_alignment(seqs: list[bytes]) -> list[tuple[int, list[bytes], list[int]]]:
     """Decompose alleles into primitive variants.
 
@@ -167,17 +233,56 @@ def extract_variants_from_alignment(seqs: list[bytes]) -> list[tuple[int, list[b
     is [ref_piece, alt_piece...] (may contain b"*" for overlapping
     deletions) and old2new maps each original allele index to its allele in
     variant_seqs.
-    """
+
+    Tie-break semantics (paw::Skyr star alignment, variant.cpp:2149-2160):
+    after the per-allele pairwise pass, alleles that can be expressed at
+    EQUAL alignment score by a subset of the union edit set adopt that
+    representation and the union iterates to a fixed point — cross-allele
+    ties resolve consistently, so a physical edit shared by several alts is
+    emitted once. Residual ambiguity (documented, exercised by
+    tests/utils/test_msa_adversarial.py): distinct equal-score edit SETS
+    none of which is a subset of the others' union remain at the pairwise
+    tie-break's fixed precedence (sticky-gap, diag-first), which is
+    deterministic and allele-order invariant."""
     ref = seqs[0]
     n = len(seqs)
     per_allele: list[list[tuple[int, bytes, bytes]]] = [[]]
+    own_scores: list[int] = [0]
     for i in range(1, n):
         if seqs[i] == ref:
             per_allele.append([])
+            own_scores.append(0)
             continue
         edits = _needleman_wunsch_edits(ref, seqs[i])
         edits = [_left_normalize(ref, p, r, a) for p, r, a in edits]
         per_allele.append(edits)
+        own_scores.append(_edit_set_score(ref, edits))
+
+    # star-alignment convergence: iterate until the union edit set is stable
+    for _round in range(4):
+        changed = False
+        for i in range(1, n):
+            if not per_allele[i]:
+                continue
+            others = sorted({e for j, ed in enumerate(per_allele) if j != i for e in ed})
+            if not others:
+                continue
+            # already consistent? every edit shared or allele has no
+            # equal-score union representation
+            if all(e in others for e in per_allele[i]):
+                continue
+            alt_candidates = sorted(set(others) | set(per_allele[i]))
+            better = _explain_with_union(ref, seqs[i], others, own_scores[i])
+            if better is None and alt_candidates != others:
+                better = _explain_with_union(ref, seqs[i], alt_candidates, own_scores[i])
+                # only adopt when it strictly increases sharing
+                if better is not None and not any(e in others for e in better):
+                    better = None
+            if better is not None and better != per_allele[i]:
+                per_allele[i] = better
+                changed = True
+        if not changed:
+            break
 
     # deletion spans per allele (for '*' placement)
     del_spans: list[list[tuple[int, int]]] = [[]]
