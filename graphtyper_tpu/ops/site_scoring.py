@@ -584,14 +584,15 @@ class ObsBatcher:
             prev[k] = p
 
     # rows below this apply on host via the vectorized numpy twin of the
-    # device kernel (_apply_rows_numpy): a device round trip over the
-    # chip interconnect costs ~50-150ms of latency + transfer, while the
-    # bincount-based host apply handles tens of thousands of rows in
-    # single-digit milliseconds. The device earns its dispatch only on
-    # cohort-scale flushes (maybe_flush) where batches are millions of rows.
-    # GT_HOST_APPLY_ROWS overrides the threshold (0 = always device) for
-    # the backend A/B tooling (tools/bench_tpu_ab.py).
-    HOST_APPLY_MAX_ROWS = int(__import__("os").environ.get("GT_HOST_APPLY_ROWS", 65536))
+    # device kernel (_apply_rows_numpy). Measured on this environment's
+    # tunneled v5e (tools/bench_flush.py, A=2/512 sites/50 samples): host
+    # 13ms@65k, 55ms@262k, 200ms@1M vs device 111/260/882ms steady — the
+    # per-dispatch tunnel round trip (~250ms/chunk) dominates until flushes
+    # reach multiple millions of rows, so the threshold sits at the 2M
+    # streaming-flush boundary (maybe_flush). On a host-attached TPU the
+    # dispatch cost is ~100x lower; tune with GT_HOST_APPLY_ROWS (0 = always
+    # device, used by tools/bench_tpu_ab.py).
+    HOST_APPLY_MAX_ROWS = int(__import__("os").environ.get("GT_HOST_APPLY_ROWS", 2_000_000))
 
     # running telemetry: observation bytes actually shipped host->device
     # (host-applied tiers ship nothing); read by tools/stats and STATUS

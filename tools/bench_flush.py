@@ -73,6 +73,9 @@ def main() -> None:
     from graphtyper_tpu.ops import site_scoring as ss
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    chunk_override = None
+    if "--chunk" in sys.argv:
+        chunk_override = int(sys.argv[sys.argv.index("--chunk") + 1])
     A = 2
     n_sites = 512  # one 50kb unit's padded biallelic tier
     for rows in (65_536, 262_144, 1_048_576, 4_194_304):
@@ -84,7 +87,7 @@ def main() -> None:
             out_h = ss._apply_rows_numpy(cols, rows, A, n_sites, n_samples)
             host_ms.append((time.perf_counter() - t0) * 1e3)
         # ---- device kernel (chunked exactly like _flush_tier_launch) -------
-        chunk = ss._chunk_rows(A)
+        chunk = chunk_override or ss._chunk_rows(A)
         mats = []
         for lo_i in range(0, rows, chunk):
             hi_i = min(rows, lo_i + chunk)

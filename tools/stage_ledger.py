@@ -37,6 +37,7 @@ jax.config.update("jax_platforms", "cpu")
 STAGES = [
     ("bamshrink", [("pipeline/bamshrink.py", "run_bamshrink")], False),
     ("discovery_first_pass", [("typer/discovery.py", "streamlined_discovery")], False),
+    ("fp_aggregation_device", [("ops/discovery_pileup.py", "aggregate_rows")], True),
     ("graph_build", [("graph/build.py", "construct_graph")], False),
     ("kmer_index", [("index/build.py", "index_graph")], False),
     # align+score: the native caller call; its device-eligible inner parts are
@@ -50,6 +51,29 @@ STAGES = [
     ], False),
     ("vcf_write", [("typer/vcf_out.py", "write")], False),
 ]
+
+
+def _native_profile_seed_s(stderr_text: str) -> dict:
+    """Sum the GT_NATIVE_PROFILE per-call lines: the k-mer seeding share of
+    the native caller's stage 1 (device twin: ops/seed_probe.py, production
+    device_seed='on') plus the first-pass phase split."""
+    import re
+
+    out = {"seed_s": 0.0, "lattice_s": 0.0, "walk_s": 0.0,
+           "fp_parse_s": 0.0, "fp_pileup_s": 0.0, "fp_gates_s": 0.0}
+    for m in re.finditer(
+        r"\[gt_native\].*?seed=([\d.]+)s lattice=([\d.]+)s walk=([\d.]+)s", stderr_text
+    ):
+        out["seed_s"] += float(m.group(1))
+        out["lattice_s"] += float(m.group(2))
+        out["walk_s"] += float(m.group(3))
+    for m in re.finditer(
+        r"\[gt_first_pass\].*?parse=([\d.]+)s pileup=([\d.]+)s gates=([\d.]+)s", stderr_text
+    ):
+        out["fp_parse_s"] += float(m.group(1))
+        out["fp_pileup_s"] += float(m.group(2))
+        out["fp_gates_s"] += float(m.group(3))
+    return out
 
 
 def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
@@ -73,12 +97,28 @@ def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
     # warm (compiles, worker-pool spinup equivalents)
     genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "w"), processes=1)
 
+    # capture the native per-stage counters (GT_NATIVE_PROFILE stderr lines)
+    # alongside cProfile: the k-mer seeding share of the caller's stage 1 has
+    # a production device twin (ops/seed_probe.py) and counts as
+    # device-eligible, as SURVEY §7.6 specified
+    os.environ["GT_NATIVE_PROFILE"] = "1"
+    prof_path = os.path.join(tmp, "native_prof.txt")
+    saved_fd = os.dup(2)
+    prof_fd = os.open(prof_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
     pr = cProfile.Profile()
     t0 = time.perf_counter()
-    pr.enable()
-    genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "out"), processes=1)
-    pr.disable()
+    os.dup2(prof_fd, 2)
+    try:
+        pr.enable()
+        genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "out"), processes=1)
+        pr.disable()
+    finally:
+        os.dup2(saved_fd, 2)
+        os.close(prof_fd)
+        os.close(saved_fd)
+        os.environ.pop("GT_NATIVE_PROFILE", None)
     wall = time.perf_counter() - t0
+    native = _native_profile_seed_s(open(prof_path).read())
 
     st = pstats.Stats(pr)
     cum: dict[str, float] = {}
@@ -88,11 +128,26 @@ def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
                 if pat_file in fn.replace("\\", "/") and (not pat_name or pat_name == name):
                     cum[stage] = cum.get(stage, 0.0) + ct
     # call_pools cum includes the device finalize; report host share net of it
-    host_align = max(0.0, cum.get("align_genotype_host", 0.0) - cum.get("site_scoring_device", 0.0))
+    host_align = max(
+        0.0,
+        cum.get("align_genotype_host", 0.0)
+        - cum.get("site_scoring_device", 0.0)
+        - native["seed_s"],
+    )
+    # discovery total includes the aggregation twin; report host share net
+    disc_host = max(
+        0.0, cum.get("discovery_first_pass", 0.0) - cum.get("fp_aggregation_device", 0.0)
+    )
     ledger = {}
     for stage, _p, dev in STAGES:
-        v = host_align if stage == "align_genotype_host" else cum.get(stage, 0.0)
+        if stage == "align_genotype_host":
+            v = host_align
+        elif stage == "discovery_first_pass":
+            v = disc_host
+        else:
+            v = cum.get(stage, 0.0)
         ledger[stage] = {"wall_s": round(v, 3), "device_eligible": dev}
+    ledger["seed_device"] = {"wall_s": round(native["seed_s"], 3), "device_eligible": True}
     staged = sum(v["wall_s"] for v in ledger.values())
     device_s = sum(v["wall_s"] for v in ledger.values() if v["device_eligible"])
     other = max(0.0, wall - staged)
