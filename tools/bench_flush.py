@@ -120,6 +120,49 @@ def main() -> None:
             t0 = time.perf_counter()
             out_d = device_pass()
             dev_ms.append((time.perf_counter() - t0) * 1e3)
+
+        # ---- chip compute alone (scan-differenced in-jit, data resident):
+        # separates the kernel's speed from the tunnel's transport cost
+        compute_ms = None
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            mat0 = jax.device_put(jnp.asarray(mats[0]))
+
+            def make_many(n_steps: int):
+                @jax.jit
+                def many(m):
+                    def body(c, i):
+                        # roll defeats loop-invariant hoisting (same trick as
+                        # bench.kernel_secondary)
+                        out = ss._apply_tier_impl(
+                            jnp.roll(m, i, axis=1), A=A, n_sites=n_sites,
+                            n_samples=n_samples
+                        )
+                        return c + out.sum().astype(jnp.float32), None
+
+                    return jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))[0]
+
+                return many
+
+            small, big = make_many(2), make_many(10)
+            float(small(mat0))
+            float(big(mat0))
+            per = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(small(mat0))
+                ts = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(big(mat0))
+                tb = time.perf_counter() - t0
+                per.append((tb - ts) / 8)
+            import statistics
+
+            compute_ms = statistics.median(per) * 1e3 * len(mats)
+        except Exception:
+            compute_ms = None
         # ---- parity ---------------------------------------------------------
         d = ss._split_out_vec(out_d, A, n_sites, n_samples)
         for k in out_h:
@@ -130,6 +173,7 @@ def main() -> None:
             "rows": rows, "A": A, "sites": n_sites, "samples": n_samples,
             "host_ms": round(host, 1), "device_ms_steady": round(dev, 1),
             "device_ms_first": round(first_ms, 1), "h2d_mb": round(h2d_mb, 1),
+            "device_compute_ms": round(compute_ms, 1) if compute_ms else None,
             "chunks": len(mats),
             "winner": "device" if dev < host else "host",
             "speedup_device_over_host": round(host / dev, 2),
