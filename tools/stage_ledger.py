@@ -94,14 +94,17 @@ def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
         sim = simulate_cohort(os.path.join(tmp, "m"), cfg)
         region = f"{cfg.chrom}:1-{kb * 1000}"
 
-    # warm (compiles, worker-pool spinup equivalents)
-    genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "w"), processes=1)
-
     # capture the native per-stage counters (GT_NATIVE_PROFILE stderr lines)
     # alongside cProfile: the k-mer seeding share of the caller's stage 1 has
     # a production device twin (ops/seed_probe.py) and counts as
-    # device-eligible, as SURVEY §7.6 specified
+    # device-eligible, as SURVEY §7.6 specified. The env must be set BEFORE
+    # the first native call — the C++ caches the check.
     os.environ["GT_NATIVE_PROFILE"] = "1"
+
+    # warm (compiles, worker-pool spinup equivalents); profile prints from
+    # the warm go to the real stderr and are not parsed
+    genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "w"), processes=1)
+
     prof_path = os.path.join(tmp, "native_prof.txt")
     saved_fd = os.dup(2)
     prof_fd = os.open(prof_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
