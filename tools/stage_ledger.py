@@ -54,25 +54,24 @@ STAGES = [
 
 
 def _native_profile_seed_s(stderr_text: str) -> dict:
-    """Sum the GT_NATIVE_PROFILE per-call lines: the k-mer seeding share of
-    the native caller's stage 1 (device twin: ops/seed_probe.py, production
-    device_seed='on') plus the first-pass phase split."""
+    """Parse the GT_NATIVE_PROFILE per-call lines. The seed/lattice/walk
+    numbers are THREAD-SUMS, so the seed's wall-clock share is stage1's wall
+    apportioned by the seed fraction of the thread-sum (valid here: the
+    ledger runs processes=1, serial native calls). The seed stage has a
+    production device twin (ops/seed_probe.py, device_seed='on')."""
     import re
 
-    out = {"seed_s": 0.0, "lattice_s": 0.0, "walk_s": 0.0,
-           "fp_parse_s": 0.0, "fp_pileup_s": 0.0, "fp_gates_s": 0.0}
+    out = {"seed_s": 0.0}
     for m in re.finditer(
-        r"\[gt_native\].*?seed=([\d.]+)s lattice=([\d.]+)s walk=([\d.]+)s", stderr_text
+        r"\[gt_native\].*?stage1=([\d.]+)s stage2=[\d.]+s "
+        r"\(thread-sum: seed=([\d.]+)s lattice=([\d.]+)s walk=([\d.]+)s",
+        stderr_text,
     ):
-        out["seed_s"] += float(m.group(1))
-        out["lattice_s"] += float(m.group(2))
-        out["walk_s"] += float(m.group(3))
-    for m in re.finditer(
-        r"\[gt_first_pass\].*?parse=([\d.]+)s pileup=([\d.]+)s gates=([\d.]+)s", stderr_text
-    ):
-        out["fp_parse_s"] += float(m.group(1))
-        out["fp_pileup_s"] += float(m.group(2))
-        out["fp_gates_s"] += float(m.group(3))
+        stage1 = float(m.group(1))
+        seed, lattice, walk = (float(m.group(k)) for k in (2, 3, 4))
+        denom = seed + lattice + walk
+        if denom > 0:
+            out["seed_s"] += stage1 * (seed / denom)
     return out
 
 
