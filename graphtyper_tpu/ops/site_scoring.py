@@ -51,24 +51,36 @@ H2D_BYTES_SHIPPED = 0
 HOST_APPLY_ROWS = 0
 DEVICE_APPLY_ROWS = 0
 DEVICE_WALL_S = 0.0
+HOST_APPLY_WALL_S = 0.0
+MATERIALIZE_WALL_S = 0.0
+
+
+_STATS_SNAPSHOT = {"host_rows": 0, "device_rows": 0, "device_wall_s": 0.0,
+                   "host_apply_wall_s": 0.0, "materialize_wall_s": 0.0, "h2d_bytes": 0}
 
 
 def _write_scoring_stats() -> None:
+    """Append the DELTA since the last write (one line per finalize), so
+    consumers can sum lines across processes without double counting."""
     import json
     import os
 
     path = os.environ.get("GT_SCORING_STATS")
     if not path:
         return
-    line = json.dumps(
-        {
-            "pid": os.getpid(),
-            "host_rows": HOST_APPLY_ROWS,
-            "device_rows": DEVICE_APPLY_ROWS,
-            "device_wall_s": round(DEVICE_WALL_S, 4),
-            "h2d_bytes": H2D_BYTES_SHIPPED,
-        }
-    )
+    now = {
+        "host_rows": HOST_APPLY_ROWS,
+        "device_rows": DEVICE_APPLY_ROWS,
+        "device_wall_s": DEVICE_WALL_S,
+        "host_apply_wall_s": HOST_APPLY_WALL_S,
+        "materialize_wall_s": MATERIALIZE_WALL_S,
+        "h2d_bytes": H2D_BYTES_SHIPPED,
+    }
+    delta = {k: now[k] - _STATS_SNAPSHOT[k] for k in now}
+    _STATS_SNAPSHOT.update(now)
+    delta = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in delta.items()}
+    delta["pid"] = os.getpid()
+    line = json.dumps(delta)
     fd = os.open(path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
     try:
         os.write(fd, (line + "\n").encode())
@@ -561,11 +573,14 @@ class ObsBatcher:
             (tier, buf, self._flush_tier_launch(tier, buf))
             for tier, buf in self.tiers.items()
         ]
+        global MATERIALIZE_WALL_S
         for tier, buf, launched in pending:
             self._flush_tier_collect(tier, launched)
             totals = self._totals.pop(tier, None)
             if totals is not None:
+                _t_m0 = __import__("time").perf_counter()
                 self._materialize(buf, totals, buf.A)
+                MATERIALIZE_WALL_S += __import__("time").perf_counter() - _t_m0
         _write_scoring_stats()
 
     def _accumulate(self, tier: int, out: dict) -> None:
@@ -611,9 +626,11 @@ class ObsBatcher:
             return []
         A = buf.A
         if n <= self.HOST_APPLY_MAX_ROWS and self.mesh_key is None:
-            global HOST_APPLY_ROWS
+            global HOST_APPLY_ROWS, HOST_APPLY_WALL_S
             HOST_APPLY_ROWS += n
+            _t_h0 = __import__("time").perf_counter()
             self._accumulate(tier, _apply_rows_numpy(cols_np, n, A, len(buf.site_ids), self.n_samples))
+            HOST_APPLY_WALL_S += __import__("time").perf_counter() - _t_h0
             return []
         global DEVICE_APPLY_ROWS, DEVICE_WALL_S
         DEVICE_APPLY_ROWS += n

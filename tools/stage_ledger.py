@@ -97,12 +97,25 @@ def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
     # alongside cProfile: the k-mer seeding share of the caller's stage 1 has
     # a production device twin (ops/seed_probe.py) and counts as
     # device-eligible, as SURVEY §7.6 specified. The env must be set BEFORE
-    # the first native call — the C++ caches the check.
+    # the first native call — the C++ caches the check. Scoring walls come
+    # from the scorer's own counters (GT_SCORING_STATS): cProfile inflates
+    # Python-loop-heavy code by an order of magnitude, so the profiled cum
+    # time would overstate the scoring share.
     os.environ["GT_NATIVE_PROFILE"] = "1"
+    scoring_stats = os.path.join(tmp, "scoring_stats.jsonl")
+    os.environ["GT_SCORING_STATS"] = scoring_stats
 
     # warm (compiles, worker-pool spinup equivalents); profile prints from
     # the warm go to the real stderr and are not parsed
     genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "w"), processes=1)
+
+    # clean wall (no cProfile): the denominator for the device-eligible
+    # fraction — the profiled wall carries tracing overhead
+    t0 = time.perf_counter()
+    genotype_regions(sim.fasta, sim.sams, region, os.path.join(tmp, "clean"), processes=1)
+    wall_clean = time.perf_counter() - t0
+
+    open(scoring_stats, "w").close()  # keep only the profiled run's deltas
 
     prof_path = os.path.join(tmp, "native_prof.txt")
     saved_fd = os.dup(2)
@@ -119,8 +132,18 @@ def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
         os.close(prof_fd)
         os.close(saved_fd)
         os.environ.pop("GT_NATIVE_PROFILE", None)
+        os.environ.pop("GT_SCORING_STATS", None)
     wall = time.perf_counter() - t0
     native = _native_profile_seed_s(open(prof_path).read())
+    scoring_counter_s = 0.0
+    if os.path.exists(scoring_stats):
+        for line in open(scoring_stats):
+            d = json.loads(line)
+            scoring_counter_s += (
+                d.get("device_wall_s", 0.0)
+                + d.get("host_apply_wall_s", 0.0)
+                + d.get("materialize_wall_s", 0.0)
+            )
 
     st = pstats.Stats(pr)
     cum: dict[str, float] = {}
@@ -129,11 +152,16 @@ def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
             for pat_file, pat_name in pats:
                 if pat_file in fn.replace("\\", "/") and (not pat_name or pat_name == name):
                     cum[stage] = cum.get(stage, 0.0) + ct
+    # the scoring stage wall comes from the scorer's own counters; the
+    # cProfile cum for it (kept as scoring_cprofile_s) is inflated by
+    # per-call tracing overhead on the materialize loops
+    scoring_cprofile = cum.get("site_scoring_device", 0.0)
+    cum["site_scoring_device"] = scoring_counter_s
     # call_pools cum includes the device finalize; report host share net of it
     host_align = max(
         0.0,
         cum.get("align_genotype_host", 0.0)
-        - cum.get("site_scoring_device", 0.0)
+        - scoring_cprofile
         - native["seed_s"],
     )
     # discovery total includes the aggregation twin; report host share net
@@ -153,14 +181,18 @@ def run(workload: str, n_samples: int = 1, kb: int = 200) -> dict:
     staged = sum(v["wall_s"] for v in ledger.values())
     device_s = sum(v["wall_s"] for v in ledger.values() if v["device_eligible"])
     other = max(0.0, wall - staged)
-    f_dev = device_s / wall if wall else 0.0
+    # fraction over the CLEAN wall: profiled stage walls are close to clean
+    # for native-dominated stages; the counter-based scoring wall is exact
+    f_dev = device_s / wall_clean if wall_clean else 0.0
     return {
         "workload": workload,
         "n_samples": n_samples,
         "kb": kb,
         "n_reads": sim.n_reads,
         "wall_s": round(wall, 3),
+        "wall_clean_s": round(wall_clean, 3),
         "stages": ledger,
+        "scoring_cprofile_s": round(scoring_cprofile, 3),
         "unattributed_s": round(other, 3),
         "device_eligible_fraction": round(f_dev, 4),
         "amdahl_speedup_ceiling": round(1.0 / (1.0 - f_dev), 3) if f_dev < 1 else None,
