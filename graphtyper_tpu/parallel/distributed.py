@@ -285,6 +285,37 @@ def genotype_distributed(
         merged = VcfOutput(sample_names=names, variants=list(variants))
         return merged, merge_ph_maps(ph_all)
 
+    def gather_stats_reduce(result):
+        """Non-last-iteration reduction (the TPU-native form of the pool
+        merge): the iteration handoff (vcf_merge_and_filter) only consumes
+        PER-VARIANT COHORT AGGREGATES — VarStats accumulators (scan_calls is
+        a pure order-free sum/max per sample, variant.cpp:230-330) and the
+        phasing map. So each host scans its own sample shard locally and the
+        collective ships O(variants) stats partials instead of the full
+        O(samples x variants) call matrix; every host then folds the
+        partials (add_stats, host order) and computes the IDENTICAL filtered
+        sites list with no host-0 merge and no broadcast."""
+        from graphtyper_tpu.typer.native_finisher import scan_variants
+
+        variants = result.vcf.variants
+        unhandled = scan_variants(variants, len(result.vcf.sample_names))
+        for v in unhandled:
+            v.scan_calls()
+        payload = pickle.dumps([v.stats for v in variants])
+        stats_all = [pickle.loads(b) for b in _allgather_bytes(payload)]
+        ph_all = [pickle.loads(b) for b in _allgather_bytes(pickle.dumps(result.ph))]
+        for h, stats_list in enumerate(stats_all):
+            if h == host:
+                continue
+            if len(stats_list) != len(variants):
+                raise RuntimeError("cross-host variant skeletons diverged")
+            for v, st in zip(variants, stats_list):
+                v.stats.add_stats(st)
+        for v in variants:
+            v.calls = []  # stats carry everything the handoff needs
+        result.vcf.sample_names = list(sample_names)
+        return result.vcf, merge_ph_maps(ph_all)
+
     def bcast_file(path: str, sidecars: tuple = (".tbi", ".csi")) -> None:
         """Broadcast host-0's file (+ existing sidecars) to every host."""
         names = [path] + [path + ext for ext in sidecars]
@@ -328,17 +359,19 @@ def genotype_distributed(
             ref_path=ref_path,
         )
         _mark(f"call_it{i}")
+        if not is_last:
+            # stats-partial collective: O(variants) on the wire, every host
+            # computes the identical handoff — no host-0 merge, no broadcast
+            merged_vcf, merged_ph = gather_stats_reduce(result)
+            _mark(f"gather_stats_it{i}")
+            next_vcf = os.path.join(tmp, f"it{i}_final.vcf.gz")
+            vcf_merge_and_filter([merged_vcf], next_vcf, merged_ph, graph)
+            _mark(f"merge_filter_it{i}")
+            prev_vcf = next_vcf
+            continue
         merged_vcf, merged_ph = gather_merge(result)
         _mark(f"gather_merge_it{i}")
-        if not is_last:
-            next_vcf = os.path.join(tmp, f"it{i}_final.vcf.gz")
-            if host == 0:
-                vcf_merge_and_filter([merged_vcf], next_vcf, merged_ph, graph)
-            _mark(f"merge_filter_it{i}")
-            bcast_file(next_vcf)
-            _mark(f"bcast_it{i}")
-            prev_vcf = next_vcf
-        elif host == 0:
+        if host == 0:
             # only host 0 emits output: the final merge/decompose is pure
             # sink work, so the other hosts skip it
             vcf_merge_and_break(
