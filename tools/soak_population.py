@@ -154,11 +154,30 @@ def main() -> None:
     ap.add_argument("--kb", type=int, default=1000)
     ap.add_argument("--coverage", type=float, default=20.0)
     ap.add_argument("--processes", type=int, default=4)
+    ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--max-files-open", type=int, default=0,
+                    help="lower the pool-size cap so sam_merge chunking and "
+                         "the multi-pool reduction engage below 864 samples "
+                         "(genotype.cpp:174-260 analog)")
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    if args.max_files_open or args.threads:
+        from dataclasses import replace
+
+        from graphtyper_tpu.config import current_options, set_options
+
+        kw = {}
+        if args.max_files_open:
+            kw["max_files_open"] = args.max_files_open
+        if args.threads:
+            # sam_merge chunking engages at >= 200 samples/thread
+            # (genotype.cpp:174-260); lower threads to cross it below 800
+            kw["threads"] = args.threads
+        set_options(replace(current_options(), **kw))
 
     cache = f"/tmp/gt_soak_cache_{args.samples}x{args.kb}kb"
     fasta, sams, n_reads = simulate_population(
