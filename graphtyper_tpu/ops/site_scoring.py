@@ -730,21 +730,39 @@ class ObsBatcher:
                 rs.r2_reverse += int(out["pa_strand"][slot, a, 3])
             ls_mat = getattr(site, "log_scores", None)
             batched_ls = ls_mat is not None and len(site.hap_samples) == P
+            lo = slot * P
             if batched_ls:
                 # one add per site: every hap_sample's log_score is a row
                 # view of this matrix. The padded-A triangle enumerates
                 # (x<=y, y ascending), so the first T entries are exactly
                 # the cnum-allele triangle
-                ls_mat[:, :T] += out["log_delta"][slot * P : (slot + 1) * P, :T]
+                ls_mat[:, :T] += out["log_delta"][lo : lo + P, :T]
+            cov_mat = getattr(site, "gt_coverages", None)
+            batched_cov = cov_mat is not None and len(site.hap_samples) == P
+            if batched_cov:
+                # gt_coverage rows are views of this matrix too: one clamped
+                # add per site replaces P per-sample numpy calls (the scalar
+                # twin sums the full delta then clamps — identical)
+                np.minimum(
+                    cov_mat[:, :cnum] + out["gt_cov"][lo : lo + P, :cnum],
+                    0xFFFF,
+                    out=cov_mat[:, :cnum],
+                )
+            # scalar fields: compute the saturating adds vectorized, assign
+            # per object (they are plain attributes, not matrix-backed)
+            amb_blk = out["amb"][lo : lo + P]
+            amba_blk = out["amb_alt"][lo : lo + P]
+            apd_blk = out["alt_pp"][lo : lo + P]
+            eps_blk = self._eps_sum[gsite]
             for p in range(P):
-                s = slot * P + p
                 hs = site.hap_samples[p]
                 if not batched_ls:
-                    hs.log_score[:T] += out["log_delta"][s][:T]
-                hs.max_log_score += int(self._eps_sum[gsite, p])
-                hs.gt_coverage[:cnum] = np.minimum(
-                    hs.gt_coverage[:cnum] + out["gt_cov"][s][:cnum], 0xFFFF
-                )
-                hs.ambiguous_depth = min(hs.ambiguous_depth + int(out["amb"][s]), 0xFF)
-                hs.ambiguous_depth_alt = min(hs.ambiguous_depth_alt + int(out["amb_alt"][s]), 0xFF)
-                hs.alt_proper_pair_depth = min(hs.alt_proper_pair_depth + int(out["alt_pp"][s]), 0xFF)
+                    hs.log_score[:T] += out["log_delta"][lo + p][:T]
+                if not batched_cov:
+                    hs.gt_coverage[:cnum] = np.minimum(
+                        hs.gt_coverage[:cnum] + out["gt_cov"][lo + p][:cnum], 0xFFFF
+                    )
+                hs.max_log_score += int(eps_blk[p])
+                hs.ambiguous_depth = min(hs.ambiguous_depth + int(amb_blk[p]), 0xFF)
+                hs.ambiguous_depth_alt = min(hs.ambiguous_depth_alt + int(amba_blk[p]), 0xFF)
+                hs.alt_proper_pair_depth = min(hs.alt_proper_pair_depth + int(apd_blk[p]), 0xFF)
