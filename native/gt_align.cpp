@@ -4256,6 +4256,9 @@ struct StreamCall {
   std::vector<int64_t> ins_counters;      // per worker: Pending insert order
 
   bool eof = false;
+
+  // GT_NATIVE_PROFILE phase totals (printed at finish)
+  int64_t prof_fill_ns = 0, prof_stage1_ns = 0, prof_stage2_ns = 0;
 };
 
 bool BgzfIn::open_file(const char * path)
@@ -4493,7 +4496,9 @@ int32_t gt_stream_step(
   }
 
   // ---- fill one batch from the heap --------------------------------------
+  int64_t prof_t0 = prof_enabled() ? prof_now() : 0;
   int64_t cap = S->batch_records;
+
   std::vector<uint8_t> read_codes, names, quals, same_ref, sv_bad_v;
   std::vector<int64_t> read_off{0}, name_off{0}, qual_off{0}, pos_v;
   std::vector<int32_t> flags_v, mapq_v, tlen_v, sdiff_v, clip_v, rg_v;
@@ -4635,6 +4640,7 @@ int32_t gt_stream_step(
   }
 
   int64_t n = (int64_t)pos_v.size();
+  int64_t prof_t1 = prof_enabled() ? prof_now() : 0;
 
   // ---- dedup within batch, with cross-batch carry ------------------------
   // rep_of[i] >= 0 indexes this batch's reps; -1 = carried rep from the
@@ -4780,6 +4786,13 @@ int32_t gt_stream_step(
       th.join();
   }
 
+  int64_t prof_t2 = prof_enabled() ? prof_now() : 0;
+  if (prof_enabled())
+  {
+    S->prof_fill_ns += prof_t1 - prof_t0;
+    S->prof_stage1_ns += prof_t2 - prof_t1;
+  }
+
   // carry the last rep's alignment for cross-batch dedup runs
   if (!reps.empty())
     S->carried_aligned = aligned.back();
@@ -4905,6 +4918,9 @@ void * gt_stream_finish(void * handle,
       }
     }
   }
+  if (prof_enabled())
+    fprintf(stderr, "[gt_stream] fill=%.3fs align+replay=%.3fs\n",
+            S->prof_fill_ns * 1e-9, S->prof_stage1_ns * 1e-9);
   merge_worker_parts(R, S->parts, S->ranges, S->n_sites, S->n_samples);
   R->finalize_conn();
   *out_n_obs = (int64_t)R->o_site.size();
