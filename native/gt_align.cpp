@@ -12,6 +12,7 @@
 // gt_align_fetch -> flat result arrays, gt_align_free.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -4215,6 +4216,25 @@ struct HeapCmp {
   }
 };
 
+// One filled batch of parsed records, staged ahead of the compute stages.
+// The fill phase (BGZF inflate + BAM parse + heap merge) measured ~55% of
+// the stream caller's wall on cohort workloads and is inherently serial per
+// pool, so batch N+1 fills on a background thread while batch N's align +
+// replay stages (and the Python-side scoring between steps) run.
+struct StagedBatch {
+  std::vector<uint8_t> read_codes, names, quals, same_ref, sv_bad_v;
+  std::vector<int64_t> read_off{0}, name_off{0}, qual_off{0}, pos_v;
+  std::vector<int32_t> flags_v, mapq_v, tlen_v, sdiff_v, clip_v, rg_v;
+
+  void reset()
+  {
+    read_codes.clear(); names.clear(); quals.clear(); same_ref.clear(); sv_bad_v.clear();
+    read_off.assign(1, 0); name_off.assign(1, 0); qual_off.assign(1, 0); pos_v.clear();
+    flags_v.clear(); mapq_v.clear(); tlen_v.clear(); sdiff_v.clear(); clip_v.clear();
+    rg_v.clear();
+  }
+};
+
 // Stream handle: open files + persistent caller state across batches.
 struct StreamCall {
   std::vector<StreamFile> files;
@@ -4257,8 +4277,21 @@ struct StreamCall {
 
   bool eof = false;
 
-  // GT_NATIVE_PROFILE phase totals (printed at finish)
+  // prefill pipeline: the next batch staged by a background thread. Only
+  // the fill path touches files/heap/current, and exactly one fill runs at
+  // a time (synchronous first fill, then one prefill thread joined at the
+  // top of each step), so no locking is needed.
+  StagedBatch staged;
+  bool staged_valid = false;
+  std::thread prefill;
+  bool prefill_active = false;
+
+  // GT_NATIVE_PROFILE phase totals (printed at finish). fill = CPU time of
+  // the fill work itself (wherever it ran); wait = time the step blocked
+  // joining the prefill thread (the EXPOSED fill cost after overlap).
   int64_t prof_fill_ns = 0, prof_stage1_ns = 0, prof_stage2_ns = 0;
+  int64_t prof_wait_ns = 0;
+  int64_t prof_next_ns = 0;  // within fill: decode+parse+sort (StreamFile::next)
 };
 
 bool BgzfIn::open_file(const char * path)
@@ -4331,6 +4364,196 @@ bool BgzfIn::inflate_block()
   }
   cpos += (size_t)bsize;
   return isize > 0 || bsize > 28;  // empty EOF block ends the stream
+}
+
+// ASCII -> code table (utils/dna.py _CODE), as in parse_bam_pool
+const uint8_t * stream_code_table()
+{
+  static const std::array<uint8_t, 256> table = [] {
+    std::array<uint8_t, 256> t{};
+    t.fill(4);
+    const char * bases = "ACGT";
+    for (int i = 0; i < 4; ++i)
+    {
+      t[(uint8_t)bases[i]] = i;
+      t[(uint8_t)(bases[i] + 32)] = i;
+    }
+    t[(uint8_t)'U'] = t[(uint8_t)'u'] = 3;
+    const char * iupac = "NRYSWKMBDHV";
+    for (int i = 0; iupac[i]; ++i)
+    {
+      t[(uint8_t)iupac[i]] = 4 + i;
+      t[(uint8_t)(iupac[i] + 32)] = 4 + i;
+    }
+    return t;
+  }();
+  return table.data();
+}
+
+// Fill one batch of records from the heap into B. Touches ONLY
+// files/heap/current/first_pos (fills are serialized: either synchronous or
+// on the single prefill thread, never both at once). Everything emitted is
+// per-record pure — dedup/gating state stays on the step thread.
+void fill_one_batch(StreamCall * S, StagedBatch & B)
+{
+  const uint8_t * CODE = stream_code_table();
+  B.reset();
+  int64_t cap = S->batch_records;
+  bool prof = prof_enabled();
+  auto & read_codes = B.read_codes;
+  auto & names = B.names;
+  auto & quals = B.quals;
+  auto & same_ref = B.same_ref;
+  auto & sv_bad_v = B.sv_bad_v;
+  auto & read_off = B.read_off;
+  auto & name_off = B.name_off;
+  auto & qual_off = B.qual_off;
+  auto & pos_v = B.pos_v;
+  auto & flags_v = B.flags_v;
+  auto & mapq_v = B.mapq_v;
+  auto & tlen_v = B.tlen_v;
+  auto & sdiff_v = B.sdiff_v;
+  auto & clip_v = B.clip_v;
+  auto & rg_v = B.rg_v;
+
+  while ((int64_t)pos_v.size() < cap && !S->heap.empty())
+  {
+    HeapEnt e = S->heap.top();
+    S->heap.pop();
+    SRec rec = std::move(S->current[e.fi]);
+    // advance that file
+    int64_t nx0 = prof ? prof_now() : 0;
+    if (S->files[e.fi].next(S->current[e.fi]))
+      S->heap.push({S->current[e.fi].pos, &S->current[e.fi].seq, e.fi});
+    if (prof)
+      S->prof_next_ns += prof_now() - nx0;
+
+    const uint8_t * p = rec.body.data();
+    int32_t bs = (int32_t)rec.body.size();
+    uint8_t l_read_name = p[8];
+    uint8_t mapq8 = p[9];
+    uint16_t n_cigar, flag16;
+    memcpy(&n_cigar, p + 12, 2);
+    memcpy(&flag16, p + 14, 2);
+    int32_t l_seq, next_ref, next_pos, tl;
+    memcpy(&l_seq, p + 16, 4);
+    memcpy(&next_ref, p + 20, 4);
+    memcpy(&next_pos, p + 24, 4);
+    memcpy(&tl, p + 28, 4);
+    int32_t ref_id;
+    memcpy(&ref_id, p, 4);
+    if (S->first_pos < 0)
+      S->first_pos = rec.pos;
+    if (S->is_sv)
+    {
+      // is_good_sv_read (caller.py:79-93, hts_parallel_reader.cpp:528-568)
+      bool bad = false;
+      const uint8_t * cg = p + 32 + l_read_name;
+      if (flag16 & 0x4)
+        bad = true;
+      else
+      {
+        bool far = ref_id != next_ref ||
+                   (rec.pos > next_pos ? rec.pos - next_pos : next_pos - rec.pos) > 200000;
+        if (mapq8 <= 15 && far)
+          bad = true;
+        else if (n_cigar >= 2)
+        {
+          uint32_t c0, cl;
+          memcpy(&c0, cg, 4);
+          memcpy(&cl, cg + 4 * (n_cigar - 1), 4);
+          bool front_s = (c0 & 0xF) == 4, back_s = (cl & 0xF) == 4;
+          bool one_clipped = (front_s && (c0 >> 4) >= 12) || (back_s && (cl >> 4) >= 12);
+          if ((front_s && back_s) || (mapq8 <= 15 && one_clipped))
+            bad = true;
+        }
+      }
+      sv_bad_v.push_back(bad ? 1 : 0);
+    }
+
+    pos_v.push_back(rec.pos);
+    flags_v.push_back(flag16);
+    mapq_v.push_back(mapq8);
+    tlen_v.push_back(tl);
+    same_ref.push_back(ref_id == next_ref ? 1 : 0);
+    rg_v.push_back(S->files[e.fi].sample);
+
+    const uint8_t * q = p + 32;
+    names.insert(names.end(), q, q + l_read_name - 1);
+    name_off.push_back((int64_t)names.size());
+    q += l_read_name;
+    int32_t clip = 0;
+    if (n_cigar > 0)
+    {
+      uint32_t c0, cl;
+      memcpy(&c0, q, 4);
+      memcpy(&cl, q + 4 * (n_cigar - 1), 4);
+      if ((c0 & 0xF) == 4)
+        clip = (int32_t)(c0 >> 4);
+      else if ((cl & 0xF) == 4)
+        clip = (int32_t)(cl >> 4);
+    }
+    clip_v.push_back(clip);
+    q += 4 * n_cigar;
+    for (char ch : rec.seq)
+      read_codes.push_back(CODE[(uint8_t)ch]);
+    read_off.push_back((int64_t)read_codes.size());
+    q += (l_seq + 1) / 2;
+    quals.insert(quals.end(), q, q + l_seq);
+    qual_off.push_back((int64_t)quals.size());
+    q += l_seq;
+
+    // AS/XS -> score_diff (same walk as parse_bam_pool)
+    const uint8_t * end = p + bs;
+    int64_t as_ = -1, xs = -1;
+    while (q + 3 <= end)
+    {
+      char t0 = q[0], t1 = q[1], typ = q[2];
+      q += 3;
+      int64_t val = 0;
+      int adv = 0;
+      switch (typ)
+      {
+      case 'A': val = q[0]; adv = 1; break;
+      case 'c': val = (int8_t)q[0]; adv = 1; break;
+      case 'C': val = q[0]; adv = 1; break;
+      case 's': { int16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
+      case 'S': { uint16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
+      case 'i': { int32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
+      case 'I': { uint32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
+      case 'f': adv = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t * z = q;
+        while (z < end && *z)
+          ++z;
+        adv = (int)(z - q) + 1;
+        break;
+      }
+      case 'B': {
+        char sub = (char)q[0];
+        uint32_t cnt;
+        memcpy(&cnt, q + 1, 4);
+        int es = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        adv = 5 + es * (int)cnt;
+        break;
+      }
+      default: adv = (int)(end - q); break;
+      }
+      if (t0 == 'A' && t1 == 'S')
+        as_ = val;
+      if (t0 == 'X' && t1 == 'S')
+        xs = val;
+      q += adv;
+    }
+    int64_t sd = 0;
+    if (!(as_ == -1 || as_ < xs))
+    {
+      if (xs == -1)
+        xs = 0;
+      sd = std::min<int64_t>(as_ - xs, 255);
+    }
+    sdiff_v.push_back((int32_t)sd);
+  }
 }
 
 }  // namespace
@@ -4463,8 +4686,6 @@ int32_t gt_stream_step(
   int64_t * out_n_obs, int64_t * out_n_xvals)
 {
   StreamCall * S = (StreamCall *)handle;
-  if (S->heap.empty())
-    return 0;
   GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
               var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
               sp_ref_reach, sp_actual, n_special, S->is_sv != 0};
@@ -4472,172 +4693,69 @@ int32_t gt_stream_step(
   const SeedFilter * sf = (const SeedFilter *)seed_filter;
   SiteView SV{site_order, site_cnum, site_is_snp, n_sites};
 
-  // ASCII -> code table (utils/dna.py _CODE), as in parse_bam_pool
-  static uint8_t CODE[256];
-  static bool init = false;
-  if (!init)
-  {
-    for (int i = 0; i < 256; ++i)
-      CODE[i] = 4;
-    const char * bases = "ACGT";
-    for (int i = 0; i < 4; ++i)
-    {
-      CODE[(uint8_t)bases[i]] = i;
-      CODE[(uint8_t)(bases[i] + 32)] = i;
-    }
-    CODE[(uint8_t)'U'] = CODE[(uint8_t)'u'] = 3;
-    const char * iupac = "NRYSWKMBDHV";
-    for (int i = 0; iupac[i]; ++i)
-    {
-      CODE[(uint8_t)iupac[i]] = 4 + i;
-      CODE[(uint8_t)(iupac[i] + 32)] = 4 + i;
-    }
-    init = true;
-  }
-
-  // ---- fill one batch from the heap --------------------------------------
+  // ---- take the staged batch (prefilled in the background) ---------------
   int64_t prof_t0 = prof_enabled() ? prof_now() : 0;
-  int64_t cap = S->batch_records;
-
-  std::vector<uint8_t> read_codes, names, quals, same_ref, sv_bad_v;
-  std::vector<int64_t> read_off{0}, name_off{0}, qual_off{0}, pos_v;
-  std::vector<int32_t> flags_v, mapq_v, tlen_v, sdiff_v, clip_v, rg_v;
-
-  while ((int64_t)pos_v.size() < cap && !S->heap.empty())
+  if (S->prefill_active)
   {
-    HeapEnt e = S->heap.top();
-    S->heap.pop();
-    SRec rec = std::move(S->current[e.fi]);
-    // advance that file
-    if (S->files[e.fi].next(S->current[e.fi]))
-      S->heap.push({S->current[e.fi].pos, &S->current[e.fi].seq, e.fi});
-
-    const uint8_t * p = rec.body.data();
-    int32_t bs = (int32_t)rec.body.size();
-    uint8_t l_read_name = p[8];
-    uint8_t mapq8 = p[9];
-    uint16_t n_cigar, flag16;
-    memcpy(&n_cigar, p + 12, 2);
-    memcpy(&flag16, p + 14, 2);
-    int32_t l_seq, next_ref, next_pos, tl;
-    memcpy(&l_seq, p + 16, 4);
-    memcpy(&next_ref, p + 20, 4);
-    memcpy(&next_pos, p + 24, 4);
-    memcpy(&tl, p + 28, 4);
-    int32_t ref_id;
-    memcpy(&ref_id, p, 4);
-    if (S->first_pos < 0)
-      S->first_pos = rec.pos;
-    if (S->is_sv)
-    {
-      // is_good_sv_read (caller.py:79-93, hts_parallel_reader.cpp:528-568)
-      bool bad = false;
-      const uint8_t * cg = p + 32 + l_read_name;
-      if (flag16 & 0x4)
-        bad = true;
-      else
-      {
-        bool far = ref_id != next_ref ||
-                   (rec.pos > next_pos ? rec.pos - next_pos : next_pos - rec.pos) > 200000;
-        if (mapq8 <= 15 && far)
-          bad = true;
-        else if (n_cigar >= 2)
-        {
-          uint32_t c0, cl;
-          memcpy(&c0, cg, 4);
-          memcpy(&cl, cg + 4 * (n_cigar - 1), 4);
-          bool front_s = (c0 & 0xF) == 4, back_s = (cl & 0xF) == 4;
-          bool one_clipped = (front_s && (c0 >> 4) >= 12) || (back_s && (cl >> 4) >= 12);
-          if ((front_s && back_s) || (mapq8 <= 15 && one_clipped))
-            bad = true;
-        }
-      }
-      sv_bad_v.push_back(bad ? 1 : 0);
-    }
-
-    pos_v.push_back(rec.pos);
-    flags_v.push_back(flag16);
-    mapq_v.push_back(mapq8);
-    tlen_v.push_back(tl);
-    same_ref.push_back(ref_id == next_ref ? 1 : 0);
-    rg_v.push_back(S->files[e.fi].sample);
-
-    const uint8_t * q = p + 32;
-    names.insert(names.end(), q, q + l_read_name - 1);
-    name_off.push_back((int64_t)names.size());
-    q += l_read_name;
-    int32_t clip = 0;
-    if (n_cigar > 0)
-    {
-      uint32_t c0, cl;
-      memcpy(&c0, q, 4);
-      memcpy(&cl, q + 4 * (n_cigar - 1), 4);
-      if ((c0 & 0xF) == 4)
-        clip = (int32_t)(c0 >> 4);
-      else if ((cl & 0xF) == 4)
-        clip = (int32_t)(cl >> 4);
-    }
-    clip_v.push_back(clip);
-    q += 4 * n_cigar;
-    for (char ch : rec.seq)
-      read_codes.push_back(CODE[(uint8_t)ch]);
-    read_off.push_back((int64_t)read_codes.size());
-    q += (l_seq + 1) / 2;
-    quals.insert(quals.end(), q, q + l_seq);
-    qual_off.push_back((int64_t)quals.size());
-    q += l_seq;
-
-    // AS/XS -> score_diff (same walk as parse_bam_pool)
-    const uint8_t * end = p + bs;
-    int64_t as_ = -1, xs = -1;
-    while (q + 3 <= end)
-    {
-      char t0 = q[0], t1 = q[1], typ = q[2];
-      q += 3;
-      int64_t val = 0;
-      int adv = 0;
-      switch (typ)
-      {
-      case 'A': val = q[0]; adv = 1; break;
-      case 'c': val = (int8_t)q[0]; adv = 1; break;
-      case 'C': val = q[0]; adv = 1; break;
-      case 's': { int16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
-      case 'S': { uint16_t v; memcpy(&v, q, 2); val = v; adv = 2; break; }
-      case 'i': { int32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
-      case 'I': { uint32_t v; memcpy(&v, q, 4); val = v; adv = 4; break; }
-      case 'f': adv = 4; break;
-      case 'Z': case 'H': {
-        const uint8_t * z = q;
-        while (z < end && *z)
-          ++z;
-        adv = (int)(z - q) + 1;
-        break;
-      }
-      case 'B': {
-        char sub = (char)q[0];
-        uint32_t cnt;
-        memcpy(&cnt, q + 1, 4);
-        int es = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
-        adv = 5 + es * (int)cnt;
-        break;
-      }
-      default: adv = (int)(end - q); break;
-      }
-      if (t0 == 'A' && t1 == 'S')
-        as_ = val;
-      if (t0 == 'X' && t1 == 'S')
-        xs = val;
-      q += adv;
-    }
-    int64_t sd = 0;
-    if (!(as_ == -1 || as_ < xs))
-    {
-      if (xs == -1)
-        xs = 0;
-      sd = std::min<int64_t>(as_ - xs, 255);
-    }
-    sdiff_v.push_back((int32_t)sd);
+    S->prefill.join();  // exposed fill cost = this wait
+    S->prefill_active = false;
   }
+  if (!S->staged_valid)
+  {
+    if (S->heap.empty())
+      return 0;
+    int64_t f0 = prof_enabled() ? prof_now() : 0;
+    fill_one_batch(S, S->staged);  // first batch (or post-drain): synchronous
+    S->staged_valid = true;
+    if (prof_enabled())
+      S->prof_fill_ns += prof_now() - f0;
+  }
+  StagedBatch B = std::move(S->staged);
+  S->staged = StagedBatch();
+  S->staged_valid = false;
+  if (prof_enabled())
+    S->prof_wait_ns += prof_now() - prof_t0;
+
+  // kick off the next batch's fill; it runs concurrently with this batch's
+  // align/replay stages below AND with the Python-side scoring work between
+  // steps (fill owns files/heap/first_pos exclusively until joined).
+  // Interleaved A/B on BASELINE config 4 (4-core host fully saturated by 4
+  // region workers): neutral within noise (off 41.4/39.0s, on 38.9/39.1s);
+  // on a many-core host running fewer workers it hides the ~55% fill phase
+  // behind align/replay + the Python scoring between steps.
+  // GT_STREAM_PREFILL=0 disables.
+  static const bool prefill_on = [] {
+    const char * e = getenv("GT_STREAM_PREFILL");
+    return e == nullptr || e[0] != '0';
+  }();
+  if (prefill_on && !S->heap.empty())
+  {
+    S->prefill_active = true;
+    bool prof = prof_enabled();
+    S->prefill = std::thread([S, prof] {
+      int64_t f0 = prof ? prof_now() : 0;
+      fill_one_batch(S, S->staged);
+      S->staged_valid = true;
+      if (prof)
+        S->prof_fill_ns += prof_now() - f0;
+    });
+  }
+
+  auto & read_codes = B.read_codes;
+  auto & names = B.names;
+  auto & quals = B.quals;
+  auto & same_ref = B.same_ref;
+  auto & sv_bad_v = B.sv_bad_v;
+  auto & read_off = B.read_off;
+  auto & name_off = B.name_off;
+  auto & qual_off = B.qual_off;
+  auto & pos_v = B.pos_v;
+  auto & flags_v = B.flags_v;
+  auto & mapq_v = B.mapq_v;
+  auto & tlen_v = B.tlen_v;
+  auto & sdiff_v = B.sdiff_v;
+  auto & clip_v = B.clip_v;
+  auto & rg_v = B.rg_v;
 
   int64_t n = (int64_t)pos_v.size();
   int64_t prof_t1 = prof_enabled() ? prof_now() : 0;
@@ -4788,10 +4906,7 @@ int32_t gt_stream_step(
 
   int64_t prof_t2 = prof_enabled() ? prof_now() : 0;
   if (prof_enabled())
-  {
-    S->prof_fill_ns += prof_t1 - prof_t0;
     S->prof_stage1_ns += prof_t2 - prof_t1;
-  }
 
   // carry the last rep's alignment for cross-batch dedup runs
   if (!reps.empty())
@@ -4885,6 +5000,11 @@ void * gt_stream_finish(void * handle,
                         int64_t * out_n_conn, int64_t * out_n_counts, int64_t * out_n_touched)
 {
   StreamCall * S = (StreamCall *)handle;
+  if (S->prefill_active)  // early finish (error paths) can leave one staged
+  {
+    S->prefill.join();
+    S->prefill_active = false;
+  }
   CallResult * R = S->R;
   // SV: resolve unmatched mates from the persistent pending maps
   // (caller.py:436-447 / run_call_core's per-worker leftover pass), per
@@ -4919,8 +5039,10 @@ void * gt_stream_finish(void * handle,
     }
   }
   if (prof_enabled())
-    fprintf(stderr, "[gt_stream] fill=%.3fs align+replay=%.3fs\n",
-            S->prof_fill_ns * 1e-9, S->prof_stage1_ns * 1e-9);
+    fprintf(stderr,
+            "[gt_stream] fill=%.3fs (next=%.3fs, exposed wait=%.3fs) align+replay=%.3fs\n",
+            S->prof_fill_ns * 1e-9, S->prof_next_ns * 1e-9, S->prof_wait_ns * 1e-9,
+            S->prof_stage1_ns * 1e-9);
   merge_worker_parts(R, S->parts, S->ranges, S->n_sites, S->n_samples);
   R->finalize_conn();
   *out_n_obs = (int64_t)R->o_site.size();
@@ -4935,6 +5057,11 @@ void * gt_stream_finish(void * handle,
 void gt_stream_free(void * handle)
 {
   StreamCall * S = (StreamCall *)handle;
+  if (S->prefill_active)
+  {
+    S->prefill.join();
+    S->prefill_active = false;
+  }
   for (auto & F : S->files)
     F.z.close_file();
   delete S->R;
