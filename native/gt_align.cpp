@@ -4099,6 +4099,23 @@ struct StreamFile {
   bool have_peek = false;
   SRec peek;
   bool exhausted = false;
+  // shared SRec freelist (owned by StreamCall; fill is single-threaded, so
+  // no locking): recycles body/seq heap buffers instead of one alloc+free
+  // pair per record — the extract loop measured larger than decode+parse
+  // on config 4 and allocation churn was a top term
+  std::vector<SRec> * pool = nullptr;
+  std::vector<SRec> tmp_run;  // scratch for the same-pos sort, capacity kept
+
+  SRec take()
+  {
+    if (pool != nullptr && !pool->empty())
+    {
+      SRec r = std::move(pool->back());
+      pool->pop_back();
+      return r;
+    }
+    return SRec();
+  }
 
   bool parse_next(SRec & out)
   {
@@ -4149,8 +4166,16 @@ struct StreamFile {
         memcpy(&l_seq, p + 16, 4);
         const uint8_t * s = p + 32 + l_read_name + 4 * n_cigar;
         out.seq.resize(l_seq);
-        for (int i = 0; i < l_seq; ++i)
-          out.seq[i] = NIB[(i % 2 == 0) ? (s[i / 2] >> 4) : (s[i / 2] & 0xF)];
+        char * dst = &out.seq[0];
+        int i = 0;
+        for (; i + 2 <= l_seq; i += 2)
+        {
+          uint8_t b = s[i >> 1];
+          dst[i] = NIB[b >> 4];
+          dst[i + 1] = NIB[b & 0xF];
+        }
+        if (i < l_seq)
+          dst[i] = NIB[s[i >> 1] >> 4];
         z.dpos += 4 + bs;
         return true;
       }
@@ -4168,29 +4193,42 @@ struct StreamFile {
         first = std::move(peek);
         have_peek = false;
       }
-      else if (!parse_next(first))
+      else
       {
-        exhausted = true;
-        return false;
+        first = take();
+        if (!parse_next(first))
+        {
+          if (pool != nullptr)
+            pool->push_back(std::move(first));
+          exhausted = true;
+          return false;
+        }
       }
       int64_t p0 = first.pos;
-      std::vector<SRec> tmp;
-      tmp.push_back(std::move(first));
-      SRec nx;
-      while (parse_next(nx))
+      tmp_run.clear();
+      tmp_run.push_back(std::move(first));
+      for (;;)
       {
+        SRec nx = take();
+        if (!parse_next(nx))
+        {
+          if (pool != nullptr)
+            pool->push_back(std::move(nx));
+          break;
+        }
         if (nx.pos != p0)
         {
           peek = std::move(nx);
           have_peek = true;
           break;
         }
-        tmp.push_back(std::move(nx));
+        tmp_run.push_back(std::move(nx));
       }
-      std::stable_sort(tmp.begin(), tmp.end(),
+      std::stable_sort(tmp_run.begin(), tmp_run.end(),
                        [](const SRec & a, const SRec & b) { return a.seq < b.seq; });
-      for (auto & t : tmp)
+      for (auto & t : tmp_run)
         run.push_back(std::move(t));
+      tmp_run.clear();
     }
     out = std::move(run.front());
     run.pop_front();
@@ -4282,9 +4320,11 @@ struct StreamCall {
   // a time (synchronous first fill, then one prefill thread joined at the
   // top of each step), so no locking is needed.
   StagedBatch staged;
+  StagedBatch spare;  // last consumed batch's buffers, recycled into staged
   bool staged_valid = false;
   std::thread prefill;
   bool prefill_active = false;
+  std::vector<SRec> srec_pool;  // shared record freelist (fill-thread only)
 
   // GT_NATIVE_PROFILE phase totals (printed at finish). fill = CPU time of
   // the fill work itself (wherever it ran); wait = time the step blocked
@@ -4495,8 +4535,14 @@ void fill_one_batch(StreamCall * S, StagedBatch & B)
     }
     clip_v.push_back(clip);
     q += 4 * n_cigar;
-    for (char ch : rec.seq)
-      read_codes.push_back(CODE[(uint8_t)ch]);
+    {
+      size_t old_sz = read_codes.size(), slen = rec.seq.size();
+      read_codes.resize(old_sz + slen);
+      uint8_t * dst = read_codes.data() + old_sz;
+      const char * src = rec.seq.data();
+      for (size_t i = 0; i < slen; ++i)
+        dst[i] = CODE[(uint8_t)src[i]];
+    }
     read_off.push_back((int64_t)read_codes.size());
     q += (l_seq + 1) / 2;
     quals.insert(quals.end(), q, q + l_seq);
@@ -4553,6 +4599,14 @@ void fill_one_batch(StreamCall * S, StagedBatch & B)
       sd = std::min<int64_t>(as_ - xs, 255);
     }
     sdiff_v.push_back((int32_t)sd);
+
+    // recycle the record's heap buffers (bounded freelist)
+    if (S->srec_pool.size() < 1024)
+    {
+      rec.body.clear();
+      rec.seq.clear();
+      S->srec_pool.push_back(std::move(rec));
+    }
   }
 }
 
@@ -4598,6 +4652,7 @@ void * gt_stream_open(const char * const * paths, const int32_t * sample_of, int
     F.sample = sample_of[fi];
     F.filter_begin = filter_begin;
     F.filter_end = filter_end;
+    F.pool = &S->srec_pool;
     if (!F.z.open_file(paths[fi]))
     {
       delete S;
@@ -4711,7 +4766,11 @@ int32_t gt_stream_step(
       S->prof_fill_ns += prof_now() - f0;
   }
   StagedBatch B = std::move(S->staged);
-  S->staged = StagedBatch();
+  // rotate the previously consumed batch's buffers back in: per-batch large
+  // allocations (tens of MB) and their first-touch page faults measured as
+  // a top extract-phase term on config 4
+  S->staged = std::move(S->spare);
+  S->spare = StagedBatch();
   S->staged_valid = false;
   if (prof_enabled())
     S->prof_wait_ns += prof_now() - prof_t0;
@@ -4943,6 +5002,10 @@ int32_t gt_stream_step(
   }
   *out_n_obs = (int64_t)S->batch_obs.o_site.size();
   *out_n_xvals = (int64_t)S->batch_obs.x_vals.size();
+
+  // return this batch's buffers to the rotation: the next step installs them
+  // as the fill target instead of allocating tens of MB fresh per batch
+  S->spare = std::move(B);
   return 1;
 }
 
