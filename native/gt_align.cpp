@@ -1208,6 +1208,32 @@ struct SeedCands {
   int64_t base;
 };
 
+// Reused per-thread seeding scratch: find_genotype_paths runs once per
+// aligned rep (millions per region), and the nested per-position vectors
+// dominated its allocation profile. Buffers are cleared, never shrunk.
+struct SeedScratch {
+  std::vector<std::vector<uint64_t>> keys_per_pos;
+  std::vector<char> ambiguous;
+  std::vector<std::vector<Label>> h0, h1;
+
+  void prepare(int nk)
+  {
+    if ((int)keys_per_pos.size() < nk)
+    {
+      keys_per_pos.resize(nk);
+      h0.resize(nk);
+      h1.resize(nk);
+    }
+    ambiguous.assign(nk, 0);
+    for (int i = 0; i < nk; ++i)
+    {
+      keys_per_pos[i].clear();
+      h0[i].clear();
+      h1[i].clear();
+    }
+  }
+};
+
 static void find_genotype_paths(const GraphView & G, const IndexView & I,
                                 const uint8_t * codes, int len, Geno & g,
                                 const SeedCands * cands = nullptr,
@@ -1220,8 +1246,10 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
   int64_t t0 = prof ? prof_now() : 0;
 
   // per-position keys (IUPAC fork)
-  std::vector<std::vector<uint64_t>> keys_per_pos(nk);
-  std::vector<char> ambiguous(nk, 0);
+  static thread_local SeedScratch scr;
+  scr.prepare(nk);
+  auto & keys_per_pos = scr.keys_per_pos;
+  auto & ambiguous = scr.ambiguous;
   for (int i = 0; i < nk; ++i)
   {
     int p = (K - 1) * i;
@@ -1247,7 +1275,8 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
   }
 
   // exact lookups (h0) and Hamming-1 probes (h1)
-  std::vector<std::vector<Label>> h0(nk), h1(nk);
+  auto & h0 = scr.h0;
+  auto & h1 = scr.h1;
   if (cands != nullptr)
   {
     // device-filtered probing: only candidate (kpos, j) probes hit the index;
@@ -4331,6 +4360,7 @@ struct StreamCall {
   // joining the prefill thread (the EXPOSED fill cost after overlap).
   int64_t prof_fill_ns = 0, prof_stage1_ns = 0, prof_stage2_ns = 0;
   int64_t prof_wait_ns = 0;
+  int64_t prof_align_ns = 0, prof_replay_ns = 0;  // sub-phases of stage1
   int64_t prof_next_ns = 0;  // within fill: decode+parse+sort (StreamFile::next)
 };
 
@@ -4874,6 +4904,7 @@ int32_t gt_stream_step(
   }
 
   // ---- stage 1: align batch reps (parallel) ------------------------------
+  int64_t prof_ta = prof_enabled() ? prof_now() : 0;
   std::vector<std::pair<Geno, Geno>> aligned(reps.size());
   {
     auto align_range = [&](size_t lo, size_t hi) {
@@ -4923,6 +4954,9 @@ int32_t gt_stream_step(
   }
 
   // ---- stage 2: replay batch per worker ----------------------------------
+  int64_t prof_tb = prof_enabled() ? prof_now() : 0;
+  if (prof_enabled())
+    S->prof_align_ns += prof_tb - prof_ta;
   SvCtx svctx{S->is_sv ? sv_bad_v.data() : nullptr,
               S->avg_cov_store.empty() ? nullptr : S->avg_cov_store.data(),
               S->first_pos, S->depth, S->depth_ref_size, S->depth_ref_offset};
@@ -4965,7 +4999,10 @@ int32_t gt_stream_step(
 
   int64_t prof_t2 = prof_enabled() ? prof_now() : 0;
   if (prof_enabled())
+  {
     S->prof_stage1_ns += prof_t2 - prof_t1;
+    S->prof_replay_ns += prof_t2 - prof_tb;
+  }
 
   // carry the last rep's alignment for cross-batch dedup runs
   if (!reps.empty())
@@ -5103,9 +5140,12 @@ void * gt_stream_finish(void * handle,
   }
   if (prof_enabled())
     fprintf(stderr,
-            "[gt_stream] fill=%.3fs (next=%.3fs, exposed wait=%.3fs) align+replay=%.3fs\n",
+            "[gt_stream] fill=%.3fs (next=%.3fs, exposed wait=%.3fs) align+replay=%.3fs "
+            "(dedup=%.3fs align=%.3fs replay=%.3fs)\n",
             S->prof_fill_ns * 1e-9, S->prof_next_ns * 1e-9, S->prof_wait_ns * 1e-9,
-            S->prof_stage1_ns * 1e-9);
+            S->prof_stage1_ns * 1e-9,
+            (S->prof_stage1_ns - S->prof_align_ns - S->prof_replay_ns) * 1e-9,
+            S->prof_align_ns * 1e-9, S->prof_replay_ns * 1e-9);
   merge_worker_parts(R, S->parts, S->ranges, S->n_sites, S->n_samples);
   R->finalize_conn();
   *out_n_obs = (int64_t)R->o_site.size();
