@@ -47,6 +47,11 @@ def _setup_lib(lib) -> None:
     lib.gt_seed_filter_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.gt_seed_filter_free.restype = None
     lib.gt_seed_filter_free.argtypes = [ctypes.c_void_p]
+    try:  # older builds of the .so predate the bucket accelerator
+        lib.gt_seed_filter_bucket.restype = None
+        lib.gt_seed_filter_bucket.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    except AttributeError:
+        pass
     lib._align_ready = True
 
 
@@ -186,6 +191,10 @@ def _adopt_donor_filter(index, keys: np.ndarray, lib):
         lib.gt_seed_filter_add(
             dsf.handle, new_keys.ctypes.data_as(ctypes.c_void_p), len(new_keys)
         )
+    # the bitsets are superset-safe under adoption, but the prefix-bucket
+    # accelerator is exact — re-attach it to THIS index's key array
+    if hasattr(lib, "gt_seed_filter_bucket"):
+        lib.gt_seed_filter_bucket(dsf.handle, keys.ctypes.data_as(ctypes.c_void_p), len(keys))
     donor._seed_filter = None  # transfer ownership (single free via wrapper)
     return dsf
 

@@ -170,6 +170,12 @@ struct Label {
 struct SeedFilter {
   std::vector<uint32_t> exact, ham;
   int32_t bits_e = 0, bits_h = 0;
+  // prefix-bucket accelerator over the SAME sorted key array the filter was
+  // built from: bucket[b] = first key index whose top `bucket_bits` equal b.
+  // Probes that pass the bitsets then lower_bound over ~4 keys instead of a
+  // log2(n_keys)-deep cache-missing binary search.
+  std::vector<int64_t> bucket;
+  int32_t bucket_bits = 0;
 
   static inline uint32_t h1(uint64_t k, int32_t bits)
   {
@@ -1250,6 +1256,28 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
   scr.prepare(nk);
   auto & keys_per_pos = scr.keys_per_pos;
   auto & ambiguous = scr.ambiguous;
+
+  // bucket-accelerated exact-key span lookup (bit-identical to I.get)
+  const bool accel = sf != nullptr && sf->bucket_bits > 0;
+  auto iget = [&](uint64_t key, int64_t & a, int64_t & b) {
+    if (!accel)
+    {
+      I.get(key, a, b);
+      return;
+    }
+    uint64_t bkt = key >> (64 - sf->bucket_bits);
+    const uint64_t * lo = I.keys + sf->bucket[bkt];
+    const uint64_t * hi = I.keys + sf->bucket[bkt + 1];
+    const uint64_t * it = std::lower_bound(lo, hi, key);
+    if (it == hi || *it != key)
+    {
+      a = b = 0;
+      return;
+    }
+    int64_t i = it - I.keys;
+    a = I.offsets[i];
+    b = I.offsets[i + 1];
+  };
   for (int i = 0; i < nk; ++i)
   {
     int p = (K - 1) * i;
@@ -1290,7 +1318,7 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
         for (uint64_t key : keys_per_pos[i])
         {
           int64_t a, b;
-          I.get(key, a, b);
+          iget(key, a, b);
           expand_span(I, a, b, h0[i]);
         }
         while (p < cands->e && (*p - cands->base) < hi_id)
@@ -1312,7 +1340,7 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
           key = base ^ (d << (kpos * 2));
         }
         int64_t a, b;
-        I.get(key, a, b);
+        iget(key, a, b);
         expand_span(I, a, b, j == 0 ? h0[i] : h1[i]);
       }
     }
@@ -1325,7 +1353,7 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
       if (sf != nullptr && !sf->test_exact(key))
         continue;  // bitset miss -> key provably absent (no false negatives)
       int64_t a, b;
-      I.get(key, a, b);
+      iget(key, a, b);
       expand_span(I, a, b, h0[i]);
     }
     if (!ambiguous[i] && !keys_per_pos[i].empty())
@@ -1346,7 +1374,7 @@ static void find_genotype_paths(const GraphView & G, const IndexView & I,
           if (sf != nullptr && !sf->test_exact(key))
             continue;
           int64_t a, b;
-          I.get(key, a, b);
+          iget(key, a, b);
           expand_span(I, a, b, h1[i]);
         }
       }
@@ -3455,6 +3483,8 @@ void gt_build_seed_bitset(const uint64_t * keys, int64_t n_keys, uint32_t * word
   }
 }
 
+void gt_seed_filter_bucket(void * fp, const uint64_t * keys, int64_t n_keys);
+
 // Build the host-side seed filter (exact + Hamming-1-neighborhood bitsets)
 // for one index. Sized so the exact set stays ~1-2% loaded and the ham set
 // ~6% loaded (96 entries per key); the ham build is the heavy half
@@ -3471,6 +3501,7 @@ void * gt_seed_filter_build(const uint64_t * keys, int64_t n_keys, int32_t n_thr
     ++bh;
   f->bits_e = be;
   f->bits_h = bh;
+  gt_seed_filter_bucket(f, keys, n_keys);
   f->exact.assign(((size_t)1 << be) / 32, 0);
   f->ham.assign(((size_t)1 << bh) / 32, 0);
   for (int64_t i = 0; i < n_keys; ++i)
@@ -3578,9 +3609,37 @@ void * gt_seed_filter_build(const uint64_t * keys, int64_t n_keys, int32_t n_thr
 // iteration N+1 of the genotyping loop reuses iteration N's filter and adds
 // just the new keys (typically a few percent) instead of rebuilding.
 // Caller must guarantee no concurrent readers during the add.
+// (Re)build the prefix-bucket accelerator from the key array the filter will
+// actually be used against. MUST be re-called after gt_seed_filter_add /
+// donor adoption: unlike the bitsets (superset-safe), the bucket table is
+// exact — it indexes one specific sorted key array.
+void gt_seed_filter_bucket(void * fp, const uint64_t * keys, int64_t n_keys)
+{
+  SeedFilter * f = (SeedFilter *)fp;
+  int64_t n = std::max<int64_t>(1, n_keys);
+  int32_t bb = 10;
+  while (((int64_t)1 << bb) < n / 4 && bb < 22)
+    ++bb;
+  size_t nb = (size_t)1 << bb;
+  f->bucket.resize(nb + 1);
+  int64_t i = 0;
+  for (size_t b = 0; b < nb; ++b)
+  {
+    while (i < n_keys && (keys[i] >> (64 - bb)) < b)
+      ++i;
+    f->bucket[b] = i;
+  }
+  f->bucket[nb] = n_keys;
+  f->bucket_bits = bb;
+}
+
 void gt_seed_filter_add(void * fp, const uint64_t * keys, int64_t n_keys)
 {
   SeedFilter * f = (SeedFilter *)fp;
+  // the filter now covers a key set the bucket table doesn't describe;
+  // drop it until the caller re-attaches via gt_seed_filter_bucket
+  f->bucket_bits = 0;
+  f->bucket.clear();
   int32_t be = f->bits_e, bh = f->bits_h;
   uint32_t * we = f->exact.data();
   uint32_t * w = f->ham.data();
