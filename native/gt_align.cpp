@@ -539,10 +539,13 @@ static void get_locations_of_a_position(const GraphView & G, int64_t pos, const 
     locs.push_back({'R', 0, G.ref_order[0], pos - G.ref_order[0]});
     return;
   }
-  for (int64_t r = 1; r <= G.n_ref; ++r)
+  // first r in [1, n_ref] with ref_order[r] > pos (n_ref if none): binary
+  // search instead of the linear scan — this runs per walked read end and
+  // n_ref grows with the region's variant count
+  do
   {
-    if (r < G.n_ref && G.ref_order[r] <= pos)
-      continue;
+    int64_t r =
+      std::upper_bound(G.ref_order + 1, G.ref_order + G.n_ref, pos) - G.ref_order;
     int64_t rr = r - 1;
     if (pos < G.ref_order[rr] + G.ref_dna_len[rr])
     {
@@ -582,8 +585,7 @@ static void get_locations_of_a_position(const GraphView & G, int64_t pos, const 
       }
       rr -= 1;
     }
-    break;
-  }
+  } while (false);
 }
 
 // candidate sequence under construction during the walk
