@@ -67,6 +67,10 @@ def child_pipeline() -> None:
     GT_BENCH_QUICK=1 runs only the warm-up + timed 200kb section (used by
     the parent for the cross-backend comparison in detail)."""
     if os.environ.get("GT_BENCH_FORCE_CPU"):
+        # env var BEFORE the first jax import: keeps the axon PJRT plugin
+        # from initializing at all (a hung tunnel can stall plugin setup
+        # even when the selected platform is cpu)
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -370,6 +374,7 @@ def main() -> None:
         e = dict(env)
         if force_cpu:
             e["GT_BENCH_FORCE_CPU"] = "1"
+            e["JAX_PLATFORMS"] = "cpu"  # never touch the axon plugin
             backend = "cpu-fallback"
         try:
             p = subprocess.run(
@@ -398,25 +403,33 @@ def main() -> None:
     # field from it so the comparison is never null (VERDICT r3 #3).
     other_reads_per_sec = None
     if backend == "tpu":
-        try:
-            e = dict(env)
-            e["GT_BENCH_FORCE_CPU"] = "1"
-            e["GT_BENCH_QUICK"] = "1"
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                env=e,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True,
-                text=True,
-                timeout=900,
-            )
-            for line in p.stdout.splitlines():
-                if line.startswith("GT_BENCH_RESULT "):
-                    q = json.loads(line[len("GT_BENCH_RESULT ") :])
-                    other_reads_per_sec = round(q["n_reads"] / q["wall_s"], 1)
+        for comparison_try in range(2):
+            try:
+                e = dict(env)
+                e["GT_BENCH_FORCE_CPU"] = "1"
+                e["GT_BENCH_QUICK"] = "1"
+                e["JAX_PLATFORMS"] = "cpu"  # never touch the axon plugin
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child"],
+                    env=e,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    capture_output=True,
+                    text=True,
+                    timeout=900,
+                )
+                for line in p.stdout.splitlines():
+                    if line.startswith("GT_BENCH_RESULT "):
+                        q = json.loads(line[len("GT_BENCH_RESULT ") :])
+                        other_reads_per_sec = round(q["n_reads"] / q["wall_s"], 1)
+                        break
+                if other_reads_per_sec is not None:
                     break
-        except subprocess.TimeoutExpired:
-            pass
+                sys.stderr.write(
+                    "cpu comparison child produced no result:\n"
+                    + p.stdout[-1000:] + p.stderr[-1000:]
+                )
+            except subprocess.TimeoutExpired:
+                sys.stderr.write("cpu comparison child timed out (try %d)\n" % (comparison_try + 1))
     else:
         other_reads_per_sec = round(raw["n_reads"] / raw["wall_s"], 1)
 

@@ -3677,6 +3677,25 @@ int32_t gt_seed_filter_test(void * f, uint64_t key)
   return (sf->test_exact(key) ? 1 : 0) | (sf->test_ham(key) ? 2 : 0);
 }
 
+// test hook: bucket-accelerated key lookup exactly as find_genotype_paths'
+// iget performs it. Returns the index of `key` in `keys` or -1; -2 when no
+// bucket table is attached (callers must then fall back to the full search).
+int64_t gt_seed_filter_bucket_find(void * f, const uint64_t * keys, int64_t n_keys,
+                                   uint64_t key)
+{
+  const SeedFilter * sf = (const SeedFilter *)f;
+  if (sf->bucket_bits <= 0)
+    return -2;
+  (void)n_keys;
+  uint64_t bkt = key >> (64 - sf->bucket_bits);
+  const uint64_t * lo = keys + sf->bucket[bkt];
+  const uint64_t * hi = keys + sf->bucket[bkt + 1];
+  const uint64_t * it = std::lower_bound(lo, hi, key);
+  if (it == hi || *it != key)
+    return -1;
+  return it - keys;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -95,3 +95,72 @@ def test_incremental_add_covers_new_keys(lib):
             assert lib.gt_seed_filter_test(h, nb) & 2, "ham bit missing after add"
     finally:
         lib.gt_seed_filter_free(h)
+
+
+def _bucket_find_decl(lib):
+    lib.gt_seed_filter_bucket_find.restype = ctypes.c_int64
+    lib.gt_seed_filter_bucket_find.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64,
+    ]
+
+
+def test_bucket_find_matches_searchsorted(lib):
+    """The prefix-bucket accelerator must resolve every key lookup exactly as
+    a full binary search over the sorted key array would (gt_align.cpp iget)."""
+    _bucket_find_decl(lib)
+    rng = np.random.default_rng(31)
+    # adversarial mix: dense low-prefix cluster, dup-prone values, sparse tail
+    keys = np.unique(np.concatenate([
+        rng.integers(0, 2**20, size=3000, dtype=np.uint64),  # one bucket
+        rng.integers(0, 2**64, size=9000, dtype=np.uint64),
+        np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64),
+    ]))
+    keys = np.ascontiguousarray(keys)
+    h = _build(lib, keys)
+    try:
+        kp = keys.ctypes.data_as(ctypes.c_void_p)
+        # every member found at its exact index
+        for i in rng.integers(0, len(keys), 400).tolist() + [0, len(keys) - 1]:
+            assert lib.gt_seed_filter_bucket_find(h, kp, len(keys), int(keys[i])) == i
+        # non-members miss (including Hamming-1 neighbors and bucket edges)
+        probes = rng.integers(0, 2**64, size=400, dtype=np.uint64)
+        member = np.isin(probes, keys)
+        for p, m in zip(probes.tolist(), member.tolist()):
+            got = lib.gt_seed_filter_bucket_find(h, kp, len(keys), p)
+            if m:
+                assert keys[got] == p
+            else:
+                assert got == -1
+    finally:
+        lib.gt_seed_filter_free(h)
+
+
+def test_bucket_invalidated_on_add_and_reattachable(lib):
+    """Donor adoption invariant: gt_seed_filter_add drops the bucket table
+    (it describes the donor's key array, not the adopter's), and
+    gt_seed_filter_bucket re-attaches it against the new array. Regression
+    for the round-4 bug where an adopted filter kept the donor's buckets and
+    silently broke seeding (zero discovered variants)."""
+    _bucket_find_decl(lib)
+    rng = np.random.default_rng(37)
+    donor_keys = np.unique(rng.integers(0, 2**64, size=8000, dtype=np.uint64))
+    index_keys = np.unique(np.concatenate([
+        donor_keys[rng.random(len(donor_keys)) < 0.9],
+        rng.integers(0, 2**64, size=1500, dtype=np.uint64),
+    ]))
+    index_keys = np.ascontiguousarray(index_keys)
+    h = _build(lib, donor_keys)
+    try:
+        new = np.ascontiguousarray(np.setdiff1d(index_keys, donor_keys))
+        lib.gt_seed_filter_add(h, new.ctypes.data_as(ctypes.c_void_p), len(new))
+        kp = index_keys.ctypes.data_as(ctypes.c_void_p)
+        # after add: no bucket table (must report "fall back", never wrong)
+        assert lib.gt_seed_filter_bucket_find(h, kp, len(index_keys), int(index_keys[0])) == -2
+        # after re-attach: exact on the NEW array
+        lib.gt_seed_filter_bucket(h, kp, len(index_keys))
+        for i in rng.integers(0, len(index_keys), 300).tolist():
+            assert (
+                lib.gt_seed_filter_bucket_find(h, kp, len(index_keys), int(index_keys[i])) == i
+            )
+    finally:
+        lib.gt_seed_filter_free(h)
