@@ -57,6 +57,31 @@ def _warm():
                      os.path.join(tmp, "out"), processes=4)
 
 
+def config1():
+    """BASELINE config 1: the reference's bundled test/data region
+    (reference test/data/reference.fasta analog: tests/data/index_test.fa +
+    index_test.vcf.gz prior sites + test.sam), single sample, CPU-runnable.
+    Median-of-5 walls — the workload is tiny, so this measures fixed costs
+    (graph+index build, worker-free single-process pipeline)."""
+    from graphtyper_tpu.pipeline.genotype import genotype_only_with_a_vcf
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fa = os.path.join(root, "tests", "data", "index_test.fa")
+    vcf = os.path.join(root, "tests", "data", "index_test.vcf.gz")
+    sam = os.path.join(root, "tests", "data", "test.sam")
+    import tempfile
+
+    walls = []
+    for rep in range(5):
+        out = tempfile.mkdtemp(prefix="gt_cfg1_")
+        t0 = time.perf_counter()
+        genotype_only_with_a_vcf(fa, [sam], vcf, "chr1:1-100000", out)
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    print(json.dumps({"config": 1, "wall_s_median": round(walls[2], 3),
+                      "wall_s_min": round(walls[0], 3)}), flush=True)
+
+
 def config2():
     from graphtyper_tpu.pipeline.genotype import genotype_regions
     from graphtyper_tpu.utils.simulate import SimConfig
@@ -103,6 +128,9 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which == "1":
+        config1()  # tiny fixture workload: no pool warm-up needed
+        return
     _warm()
     if which in ("2", "both"):
         config2()
