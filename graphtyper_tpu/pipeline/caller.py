@@ -225,8 +225,13 @@ def call_pool(
     no_filter_on_coverage: bool = False,
     ref_path: str | None = None,
     scorer_mesh_key: str | None = None,
+    stream_spill: str | None = None,
 ) -> PoolResult:
-    """parallel_reader_genotype_only for one pool of samples."""
+    """parallel_reader_genotype_only for one pool of samples.
+
+    stream_spill: optional per-pool spill path for cross-iteration staged
+    batch reuse in the streaming caller (native_caller.py
+    run_native_call_pool_stream)."""
     from graphtyper_tpu.config import current_options as _copts
 
     # Fastest path: BAM bytes straight into the native loop (no AlignedRead
@@ -271,6 +276,7 @@ def call_pool(
                     force_both=force_align_both_orientations,
                     hq_reads=getattr(_copts(), "hq_reads", False),
                     avg_cov=sv_stream_cov,
+                    stream_spill=stream_spill,
                 )
             if fast is None:
                 sv_avg_cov = None
@@ -644,6 +650,8 @@ def call_pools(
         kw_pool = dict(kw)
         if avg_cov is not None:
             kw_pool["avg_cov_by_readlen"] = list(avg_cov[lo : lo + pool_size])
+        if kw_pool.get("stream_spill"):
+            kw_pool["stream_spill"] = f"{kw_pool['stream_spill']}.pool{lo}"
         return call_pool(graph, index, pool, **kw_pool)
 
     import time as _time

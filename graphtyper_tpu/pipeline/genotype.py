@@ -277,6 +277,16 @@ def genotype(
             is_writing_hap=not is_last,
             ref_path=ref_path,
             scorer_mesh_key=scorer_mesh_key,
+            # call iterations stream the identical record sequence: iteration
+            # 2 can spill the staged batches and iteration 3 replay them,
+            # skipping decompress+parse+extract. Opt-in (GT_STREAM_SPILL=1):
+            # on this host's virtio disk the 3.6GB-per-1Mb-cohort spill
+            # write+read measured SLOWER than re-decompressing the 4x smaller
+            # BGZF (config-4 fill 88 -> 113s despite parse dropping 34 ->
+            # 18s) — worthwhile only on fast-NVMe/tmpfs deployments.
+            stream_spill=os.path.join(tmp, "stream_spill")
+            if os.environ.get("GT_STREAM_SPILL", "0") == "1"
+            else None,
         )
         if not is_last:
             next_vcf = os.path.join(out_dir, "final.vcf.gz")

@@ -4424,6 +4424,22 @@ struct StreamCall {
 
   bool eof = false;
 
+  // staged-batch spill (cross-iteration fill reuse): call iterations 2 and
+  // 3 of the genotype loop stream the IDENTICAL record sequence from the
+  // same BAMs (the staged batch is per-record pure, emitted before any
+  // stateful dedup/gating) — iteration 2 spills each frame to disk and
+  // iteration 3 replays them, skipping decompress+parse+extract entirely.
+  // A trailer with the total record count is written only when the stream
+  // fully drains; replay validates it at attach and at drain.
+  FILE * spill_w = nullptr;
+  FILE * spill_r = nullptr;
+  std::string spill_path;
+  int64_t spill_written = 0;   // records framed so far (write mode)
+  int64_t spill_expected = -1; // trailer count (read mode)
+  int64_t spill_seen = 0;      // records replayed so far (read mode)
+  bool spill_drained = false;
+  int spill_error = 0;
+
   // prefill pipeline: the next batch staged by a background thread. Only
   // the fill path touches files/heap/current, and exactly one fill runs at
   // a time (synchronous first fill, then one prefill thread joined at the
@@ -4540,12 +4556,84 @@ const uint8_t * stream_code_table()
   return table.data();
 }
 
+constexpr uint64_t SPILL_MAGIC1 = 0x47545350494c4c31ULL;  // "GTSPILL1"
+constexpr uint64_t SPILL_MAGIC2 = 0x47545350494c4c32ULL;  // trailer
+
+static bool spill_write_frame(FILE * f, const StagedBatch & B)
+{
+  int64_t n = (int64_t)B.pos_v.size();
+  int64_t lens[5] = {n, (int64_t)B.read_codes.size(), (int64_t)B.names.size(),
+                     (int64_t)B.quals.size(), (int64_t)B.sv_bad_v.size()};
+  auto W = [&](const void * p, size_t bytes) {
+    return bytes == 0 || fwrite(p, 1, bytes, f) == bytes;
+  };
+  return W(lens, sizeof lens) &&
+         W(B.read_off.data(), (size_t)(n + 1) * 8) &&
+         W(B.name_off.data(), (size_t)(n + 1) * 8) &&
+         W(B.qual_off.data(), (size_t)(n + 1) * 8) &&
+         W(B.pos_v.data(), (size_t)n * 8) &&
+         W(B.flags_v.data(), (size_t)n * 4) && W(B.mapq_v.data(), (size_t)n * 4) &&
+         W(B.tlen_v.data(), (size_t)n * 4) && W(B.sdiff_v.data(), (size_t)n * 4) &&
+         W(B.clip_v.data(), (size_t)n * 4) && W(B.rg_v.data(), (size_t)n * 4) &&
+         W(B.same_ref.data(), (size_t)n) &&
+         W(B.sv_bad_v.data(), B.sv_bad_v.size()) &&
+         W(B.read_codes.data(), B.read_codes.size()) &&
+         W(B.names.data(), B.names.size()) &&
+         W(B.quals.data(), B.quals.size());
+}
+
+// returns 1 = frame read, 0 = clean EOF (trailer reached), -1 = corrupt
+static int spill_read_frame(FILE * f, StagedBatch & B)
+{
+  B.reset();
+  uint64_t first;
+  if (fread(&first, 1, 8, f) != 8)
+    return -1;  // a complete spill always ends with a trailer, never EOF
+  if (first == SPILL_MAGIC2)
+    return 0;
+  int64_t lens[5];
+  lens[0] = (int64_t)first;
+  if (fread(lens + 1, 1, 32, f) != 32)
+    return -1;
+  int64_t n = lens[0];
+  if (n < 0 || lens[1] < 0 || lens[2] < 0 || lens[3] < 0 || lens[4] < 0)
+    return -1;
+  auto R = [&](auto & v, int64_t count) {
+    v.resize(count);
+    return count == 0 ||
+           fread(v.data(), 1, (size_t)count * sizeof(v[0]), f) ==
+             (size_t)count * sizeof(v[0]);
+  };
+  if (!R(B.read_off, n + 1) || !R(B.name_off, n + 1) || !R(B.qual_off, n + 1) ||
+      !R(B.pos_v, n) || !R(B.flags_v, n) || !R(B.mapq_v, n) || !R(B.tlen_v, n) ||
+      !R(B.sdiff_v, n) || !R(B.clip_v, n) || !R(B.rg_v, n) || !R(B.same_ref, n) ||
+      !R(B.sv_bad_v, lens[4]) || !R(B.read_codes, lens[1]) || !R(B.names, lens[2]) ||
+      !R(B.quals, lens[3]))
+    return -1;
+  return 1;
+}
+
 // Fill one batch of records from the heap into B. Touches ONLY
 // files/heap/current/first_pos (fills are serialized: either synchronous or
 // on the single prefill thread, never both at once). Everything emitted is
 // per-record pure — dedup/gating state stays on the step thread.
 void fill_one_batch(StreamCall * S, StagedBatch & B)
 {
+  if (S->spill_r != nullptr)
+  {
+    int r = spill_read_frame(S->spill_r, B);
+    if (r <= 0)
+    {
+      if (r < 0 || S->spill_seen != S->spill_expected)
+        S->spill_error = 1;
+      S->spill_drained = true;
+      return;
+    }
+    S->spill_seen += (int64_t)B.pos_v.size();
+    if (S->spill_seen > S->spill_expected)
+      S->spill_error = 1;
+    return;
+  }
   const uint8_t * CODE = stream_code_table();
   B.reset();
   int64_t cap = S->batch_records;
@@ -4718,6 +4806,20 @@ void fill_one_batch(StreamCall * S, StagedBatch & B)
       S->srec_pool.push_back(std::move(rec));
     }
   }
+
+  if (S->spill_w != nullptr)
+  {
+    if (!spill_write_frame(S->spill_w, B))
+    {
+      // disk full / IO error: stop spilling, drop the partial file at close
+      fclose(S->spill_w);
+      S->spill_w = nullptr;
+      ::remove(S->spill_path.c_str());
+      S->spill_written = -1;
+    }
+    else
+      S->spill_written += (int64_t)B.pos_v.size();
+  }
 }
 
 }  // namespace
@@ -4867,14 +4969,16 @@ int32_t gt_stream_step(
   }
   if (!S->staged_valid)
   {
-    if (S->heap.empty())
-      return 0;
+    if (S->spill_r != nullptr ? S->spill_drained : S->heap.empty())
+      return S->spill_error ? -1 : 0;
     int64_t f0 = prof_enabled() ? prof_now() : 0;
     fill_one_batch(S, S->staged);  // first batch (or post-drain): synchronous
     S->staged_valid = true;
     if (prof_enabled())
       S->prof_fill_ns += prof_now() - f0;
   }
+  if (S->spill_error)
+    return -1;
   StagedBatch B = std::move(S->staged);
   // rotate the previously consumed batch's buffers back in: per-batch large
   // allocations (tens of MB) and their first-touch page faults measured as
@@ -4897,7 +5001,7 @@ int32_t gt_stream_step(
     const char * e = getenv("GT_STREAM_PREFILL");
     return e == nullptr || e[0] != '0';
   }();
-  if (prefill_on && !S->heap.empty())
+  if (prefill_on && (S->spill_r != nullptr ? !S->spill_drained : !S->heap.empty()))
   {
     S->prefill_active = true;
     bool prof = prof_enabled();
@@ -5164,6 +5268,58 @@ int32_t gt_stream_fetch_obs(void * handle,
 // Finish: merge worker eps/conn state into the final result and hand back a
 // CallResult handle compatible with gt_call_pool_fetch/free (observation
 // arrays will be empty — they were drained per batch).
+// Attach a staged-batch spill to an open stream (before the first step).
+// mode 1 = write (iteration 2), mode 2 = replay (iteration 3+). Returns 1 on
+// success; 0 means proceed without spill (caller streams from BAM as usual).
+int32_t gt_stream_spill(void * handle, const char * path, int32_t mode)
+{
+  StreamCall * S = (StreamCall *)handle;
+  if (mode == 1)
+  {
+    FILE * f = fopen(path, "wb");
+    if (f == nullptr)
+      return 0;
+    setvbuf(f, nullptr, _IOFBF, 4 << 20);
+    uint64_t m = SPILL_MAGIC1;
+    if (fwrite(&m, 1, 8, f) != 8)
+    {
+      fclose(f);
+      ::remove(path);
+      return 0;
+    }
+    S->spill_w = f;
+    S->spill_path = path;
+    return 1;
+  }
+  if (mode == 2)
+  {
+    FILE * f = fopen(path, "rb");
+    if (f == nullptr)
+      return 0;
+    // validate header magic and the completion trailer before trusting it
+    uint64_t m = 0;
+    if (fread(&m, 1, 8, f) != 8 || m != SPILL_MAGIC1 || fseek(f, -16, SEEK_END) != 0)
+    {
+      fclose(f);
+      return 0;
+    }
+    uint64_t m2 = 0;
+    int64_t total = -1;
+    if (fread(&m2, 1, 8, f) != 8 || fread(&total, 1, 8, f) != 8 ||
+        m2 != SPILL_MAGIC2 || total < 0 || fseek(f, 8, SEEK_SET) != 0)
+    {
+      fclose(f);
+      return 0;
+    }
+    setvbuf(f, nullptr, _IOFBF, 4 << 20);
+    S->spill_r = f;
+    S->spill_expected = total;
+    S->spill_path = path;
+    return 1;
+  }
+  return 0;
+}
+
 void * gt_stream_finish(void * handle,
                         // graph (SV leftover resolution needs ref-reach)
                         const int64_t * ref_order, const int64_t * ref_dna_start,
@@ -5184,6 +5340,21 @@ void * gt_stream_finish(void * handle,
   {
     S->prefill.join();
     S->prefill_active = false;
+  }
+  if (S->spill_w != nullptr)
+  {
+    // the spill is only valid if it holds the COMPLETE record stream
+    bool complete = S->heap.empty() && S->spill_written >= 0;
+    if (complete)
+    {
+      uint64_t m2 = SPILL_MAGIC2;
+      complete = fwrite(&m2, 1, 8, S->spill_w) == 8 &&
+                 fwrite(&S->spill_written, 1, 8, S->spill_w) == 8;
+    }
+    int rc = fclose(S->spill_w);
+    S->spill_w = nullptr;
+    if (!complete || rc != 0)
+      ::remove(S->spill_path.c_str());
   }
   CallResult * R = S->R;
   // SV: resolve unmatched mates from the persistent pending maps
@@ -5245,6 +5416,13 @@ void gt_stream_free(void * handle)
     S->prefill.join();
     S->prefill_active = false;
   }
+  if (S->spill_w != nullptr)  // finish never ran: incomplete spill
+  {
+    fclose(S->spill_w);
+    ::remove(S->spill_path.c_str());
+  }
+  if (S->spill_r != nullptr)
+    fclose(S->spill_r);
   for (auto & F : S->files)
     F.z.close_file();
   delete S->R;
