@@ -52,6 +52,18 @@ def _count_records(paths: list[str]) -> int:
     return n
 
 
+def _md5_outs(paths: list[str]) -> str:
+    """md5 of the concatenated uncompressed VCF bodies (order-stable)."""
+    import gzip
+    import hashlib
+
+    h = hashlib.md5()
+    for p in sorted(paths):
+        with gzip.open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def _index_inputs(sams) -> None:
     # production BAMs arrive indexed; index outside the timed window so the
     # bench measures genotyping, not one-time input indexing
@@ -75,11 +87,26 @@ def child_pipeline() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     quick = bool(os.environ.get("GT_BENCH_QUICK"))
+    forced = bool(os.environ.get("GT_BENCH_FORCED"))
     import tempfile
 
     from graphtyper_tpu.pipeline.genotype import genotype_regions
     from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
     from graphtyper_tpu.utils.simulate_indep import IndepConfig, simulate_indep
+
+    if forced:
+        # forced-device pipeline capture (VERDICT r4 #6): every routing
+        # threshold flipped to the device side so device-path health is
+        # tracked round-over-round at pipeline (not just flush) level.
+        # GT_HOST_APPLY_ROWS=0 and GT_SCORING_STATS are set by the parent
+        # BEFORE this process starts (workers inherit env at pool spawn).
+        from dataclasses import replace
+
+        from graphtyper_tpu.config import current_options, set_options
+
+        set_options(
+            replace(current_options(), device_seed="on", device_discovery="on")
+        )
 
     tmp = tempfile.mkdtemp(prefix="gt_bench_")
     # warm-up at the SAME workload shape (different seed): spawns the worker
@@ -98,6 +125,10 @@ def child_pipeline() -> None:
     cfg = SimConfig(region_length=REGION_LENGTH, coverage=COVERAGE, seed=1, out_format="bam")
     sim = simulate_cohort(os.path.join(tmp, "main"), cfg)
     _index_inputs(sim.sams)
+    if forced:
+        stats_f = os.environ.get("GT_SCORING_STATS", "")
+        if stats_f:
+            open(stats_f, "w").close()  # drop the warm run's telemetry
     wall = float("inf")
     for rep in range(N_TIMED_RUNS):
         t0 = time.perf_counter()
@@ -110,11 +141,26 @@ def child_pipeline() -> None:
         )
         wall = min(wall, time.perf_counter() - t0)
     n_records = _count_records(outs)
-    if quick:
-        print(
-            "GT_BENCH_RESULT "
-            + json.dumps({"n_reads": sim.n_reads, "wall_s": wall, "n_records": n_records})
-        )
+    if quick or forced:
+        res = {
+            "n_reads": sim.n_reads,
+            "wall_s": wall,
+            "n_records": n_records,
+            "md5": _md5_outs(outs),
+        }
+        if forced:
+            duty = {"device_rows": 0, "device_wall_s": 0.0, "host_rows": 0, "h2d_bytes": 0}
+            stats_f = os.environ.get("GT_SCORING_STATS", "")
+            if stats_f and os.path.exists(stats_f):
+                for line in open(stats_f):
+                    d = json.loads(line)
+                    for k in duty:
+                        duty[k] += d.get(k, 0)
+            # the stats file accumulates over all timed reps; report per-rep
+            duty = {k: (v / N_TIMED_RUNS if isinstance(v, float) else v // N_TIMED_RUNS)
+                    for k, v in duty.items()}
+            res.update(duty)
+        print("GT_BENCH_RESULT " + json.dumps(res))
         return
 
     # --- BASELINE metric 2: wall-clock per 1Mb region (same backend) -------
@@ -402,6 +448,7 @@ def main() -> None:
     # fell back to CPU, the headline IS the forced-CPU number — populate the
     # field from it so the comparison is never null (VERDICT r3 #3).
     other_reads_per_sec = None
+    cpu_md5 = None
     if backend == "tpu":
         for comparison_try in range(2):
             try:
@@ -421,6 +468,7 @@ def main() -> None:
                     if line.startswith("GT_BENCH_RESULT "):
                         q = json.loads(line[len("GT_BENCH_RESULT ") :])
                         other_reads_per_sec = round(q["n_reads"] / q["wall_s"], 1)
+                        cpu_md5 = q.get("md5")
                         break
                 if other_reads_per_sec is not None:
                     break
@@ -432,6 +480,40 @@ def main() -> None:
                 sys.stderr.write("cpu comparison child timed out (try %d)\n" % (comparison_try + 1))
     else:
         other_reads_per_sec = round(raw["n_reads"] / raw["wall_s"], 1)
+
+    # forced-device pipeline capture (VERDICT r4 #6): GT_HOST_APPLY_ROWS=0 +
+    # device_seed/device_discovery forced on; records reads/s, the device
+    # scoring duty cycle, and output-md5 agreement with the CPU-backend run
+    forced = None
+    if backend == "tpu":
+        try:
+            import tempfile
+
+            stats_f = tempfile.mktemp(prefix="gt_bench_stats_", suffix=".jsonl")
+            e = dict(env)
+            e["GT_BENCH_FORCED"] = "1"
+            e["GT_HOST_APPLY_ROWS"] = "0"
+            e["GT_FP_HOST_AGG_ROWS"] = "0"
+            e["GT_SCORING_STATS"] = stats_f
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=e,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=1500,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("GT_BENCH_RESULT "):
+                    forced = json.loads(line[len("GT_BENCH_RESULT ") :])
+                    break
+            if forced is None:
+                sys.stderr.write(
+                    "forced-device child produced no result:\n"
+                    + p.stdout[-1000:] + p.stderr[-1000:]
+                )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("forced-device child timed out\n")
 
     reads_per_sec = raw["n_reads"] / raw["wall_s"]
     kernel = raw.get("kernel", 0.0)
@@ -458,6 +540,18 @@ def main() -> None:
                     "sw_gcells_per_sec": (
                         round(raw["sw_gcells_per_sec"], 2)
                         if raw.get("sw_gcells_per_sec")
+                        else None
+                    ),
+                    "forced_device_reads_per_sec": (
+                        round(forced["n_reads"] / forced["wall_s"], 1) if forced else None
+                    ),
+                    "device_duty_s": (
+                        round(forced["device_wall_s"], 3) if forced else None
+                    ),
+                    "forced_device_rows": forced.get("device_rows") if forced else None,
+                    "forced_device_md5_match": (
+                        (forced["md5"] == cpu_md5)
+                        if forced and cpu_md5
                         else None
                     ),
                     "tunnel_healthy": tunnel_ok,
