@@ -100,6 +100,16 @@ class Options:
     # HBM gather plus its D2H round-trip over the interconnect on every
     # tested workload. "on" forces the device pass (parity tests).
     device_seed: str = "auto"
+    # device-resident alignment (ops/device_align.py): the call iteration's
+    # align stage runs as ONE jitted dispatch per read batch against the
+    # HBM-resident k-mer index + reference arena; rows resolved "clean"
+    # (single exact-seed chain, in-node tail — the parity-provable tier)
+    # synthesize their path set in C++ with seed+lattice+walk skipped, the
+    # rest fall back to the host aligner. "verify" runs BOTH on clean rows
+    # and asserts byte equality (gt_device_align_stats). "auto" resolves per
+    # environment (off over a high-latency tunnel unless forced); env
+    # GT_DEVICE_ALIGN overrides.
+    device_align: str = "auto"
     # discovery first-pass aggregation routing (ops/discovery_pileup.py):
     # "auto" runs the split extract->aggregate->gates path with the row-count
     # threshold picking numpy vs the device segment-sum; "on" forces the

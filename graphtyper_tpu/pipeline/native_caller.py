@@ -86,6 +86,10 @@ def _setup_lib(lib) -> None:
     lib.gt_prep_fetch_seqs.argtypes = [ctypes.c_void_p] * 3
     lib.gt_prep_fetch_kmers.restype = None
     lib.gt_prep_fetch_kmers.argtypes = [ctypes.c_void_p] * 4
+    lib.gt_prep_fetch_tails.restype = None
+    lib.gt_prep_fetch_tails.argtypes = [ctypes.c_void_p] * 3
+    lib.gt_device_align_stats.restype = None
+    lib.gt_device_align_stats.argtypes = [_p64] * 3
     lib.gt_call_finish.restype = ctypes.c_void_p
     lib.gt_call_finish.argtypes = (
         [ctypes.c_void_p]  # prep
@@ -95,6 +99,7 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
         + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
         + [ctypes.c_void_p, ctypes.c_int32]  # cand bit words + nk_max
+        + [ctypes.c_void_p, ctypes.c_int32]  # verdict rows + verify flag
         + [ctypes.c_int32] * 3  # n_samples hq_reads n_threads
         + [ctypes.c_void_p]  # seed filter
         + [_p64] * 5
@@ -222,6 +227,7 @@ class _PrepEntry:
         self.row_len = row_len
         self.sample_names = sample_names
         self.kmers_dev = None  # staged (hi, lo, valid) device arrays
+        self.tails_dev = None  # staged (tails, lens) device arrays
 
     @property
     def nk_max(self) -> int:
@@ -246,6 +252,22 @@ class _PrepEntry:
             )
             self.kmers_dev = stage_kmers(hi, lo, valid)
         return self.kmers_dev
+
+    def stage_tails_dev(self, lib):
+        """Tail codes + row lengths for the device aligner; staged once and
+        reused across call iterations like the kmer matrix."""
+        if self.tails_dev is None:
+            from graphtyper_tpu.ops.device_align import TAIL_PAD, stage_tails
+
+            tails = np.zeros((self.n_rows, TAIL_PAD), dtype=np.uint8)
+            lens = np.zeros(self.n_rows, dtype=np.int32)
+            lib.gt_prep_fetch_tails(
+                self.handle,
+                tails.ctypes.data_as(ctypes.c_void_p),
+                lens.ctypes.data_as(ctypes.c_void_p),
+            )
+            self.tails_dev = stage_tails(tails, lens)
+        return self.tails_dev
 
 
 # prepared pools are reused across the call iterations (the reads do not
@@ -336,6 +358,49 @@ def _device_seed_enabled(opts) -> bool:
     return getattr(opts, "device_seed", "auto") == "on"
 
 
+def device_align_mode(opts) -> str:
+    """Resolved device_align mode: "off" | "on" | "verify". The env override
+    (GT_DEVICE_ALIGN) wins so benches/tests can force either side. "auto"
+    currently resolves to off over this environment's high-latency tunnel;
+    host-attached deployments set device_align=on (see config.device_align)."""
+    import os
+
+    mode = os.environ.get("GT_DEVICE_ALIGN", "") or getattr(opts, "device_align", "auto")
+    if mode == "auto":
+        return "off"
+    return mode
+
+
+def _device_align_verdicts(na, index, entry: _PrepEntry, lib):
+    """int32 [n_rows, VERD_COLS] verdict matrix from the device aligner, or
+    None to fall back to host alignment for every rep (correctness-neutral)."""
+    from graphtyper_tpu.ops.device_align import DeviceAligner
+
+    dal = getattr(index, "_device_aligner", None)
+    if dal is None:
+        dal = DeviceAligner(na)
+        index._device_aligner = dal
+    try:
+        kmers_dev = entry.stage_kmers_dev(lib)
+        tails_dev, lens_dev = entry.stage_tails_dev(lib)
+        return dal.verdicts(kmers_dev, tails_dev, lens_dev, entry.n_rows, entry.nk_max)
+    except Exception:
+        from graphtyper_tpu.utils.log import get_logger
+
+        get_logger().warning("device alignment failed; host alignment for all reps", exc_info=True)
+        return None
+
+
+def device_align_stats() -> tuple[int, int, int]:
+    """(clean, fallback, verify_divergences) since the last call; resets."""
+    lib = get_lib()
+    if lib is None or not getattr(lib, "_call_ready", False):
+        return (0, 0, 0)
+    a, b, c = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
+    lib.gt_device_align_stats(ctypes.byref(a), ctypes.byref(b), ctypes.byref(c))
+    return (a.value, b.value, c.value)
+
+
 def _device_seed_words(index, entry: _PrepEntry, lib):
     """Packed candidate bit words from the device kernel, or None to fall
     back to host probing (kernel failure — correctness-neutral)."""
@@ -416,6 +481,11 @@ def run_native_call_pool_bam(
     if not is_sv and entry.n_rows > 0 and entry.nk_max > 0 and _device_seed_enabled(current_options()):
         cand_words = _device_seed_words(index, entry, lib)
 
+    verd_rows = None
+    dal_mode = device_align_mode(current_options())
+    if not is_sv and entry.n_rows > 0 and entry.nk_max >= 2 and dal_mode in ("on", "verify"):
+        verd_rows = _device_align_verdicts(na, index, entry, lib)
+
     if n_threads <= 0:
         from graphtyper_tpu.io.native import native_thread_count
 
@@ -475,10 +545,16 @@ def run_native_call_pool_bam(
             *outs,
         )
     else:
+        if verd_rows is not None:
+            verd_rows = np.ascontiguousarray(verd_rows, dtype=np.int32)
+            verd_ptr = ptr(verd_rows)
+        else:
+            verd_ptr = None
         handle = lib.gt_call_finish(
             entry.handle,
             *graph_site_index_args,
             cand_ptr, nk_max,
+            verd_ptr, 1 if dal_mode == "verify" else 0,
             len(sample_names), 1 if hq_reads else 0, n_threads,
             seed_filter_handle(index, lib, n_threads),
             *outs,

@@ -2367,6 +2367,125 @@ struct CandView {
   }
 };
 
+// ---------------------------------------------------------------------------
+// device-resident alignment verdicts (ops/device_align.py)
+// ---------------------------------------------------------------------------
+
+// One TPU dispatch per batch resolves each read-orientation row to either a
+// complete "clean" alignment (single exact-seed chain + in-node tail — see
+// ops/device_align.py for the parity argument) or a host fallback. Clean
+// rows synthesize their Geno here, skipping seed+lattice+walk entirely; the
+// verify mode runs both and compares byte-for-byte.
+static constexpr int VERD_COLS = 12;  // verdict, mm, nv, start, end, slot0..5, pad
+
+struct VerdView {
+  const int32_t * rows;  // [n_rows * VERD_COLS]
+  const int64_t * rep_row_fwd;  // [n_reps] row or -1
+  const int64_t * rep_row_rc;
+  int32_t verify;
+};
+
+static std::atomic<int64_t> g_dal_clean{0}, g_dal_fallback{0}, g_dal_bad{0};
+
+static bool synth_geno_from_verdict(const GraphView & G, const int32_t * vr, int len, Geno & g)
+{
+  if (vr[0] == 0)
+    return false;
+  int nv = vr[2];
+  Path p;
+  p.start = (int64_t)(uint32_t)vr[3];
+  p.end = (int64_t)(uint32_t)vr[4];
+  p.rsi = 0;
+  p.rei = len - 1;
+  p.mismatches = vr[1];
+  if (nv > 0)
+  {
+    // slots arrive in (kmer asc, label asc) order as var_id | (kmer << 24).
+    // Reproduce the lattice's path_merge ordering exactly: fold kmers LAST
+    // -> FIRST (later kmers' sites lead the var_order), same-site alleles
+    // within one kmer union (merge_with_current), across kmers intersect
+    // (path_merge); an empty intersection means the host would split paths,
+    // so it falls back.
+    int maxk = 0;
+    for (int s = 0; s < nv; ++s)
+    {
+      if (vr[5 + s] < 0)
+        return false;
+      maxk = std::max(maxk, vr[5 + s] >> 24);
+    }
+    for (int k = maxk; k >= 0; --k)
+    {
+      int64_t ko[6];
+      std::vector<uint16_t> kn[6];
+      int nko = 0;
+      for (int s = 0; s < nv; ++s)
+      {
+        if ((vr[5 + s] >> 24) != k)
+          continue;
+        int64_t v = vr[5 + s] & 0xFFFFFF;
+        if (v >= G.n_var)
+          return false;
+        int64_t order = G.var_order[v];
+        uint16_t num = (uint16_t)G.variant_num(v);
+        bool found = false;
+        for (int q = 0; q < nko; ++q)
+          if (ko[q] == order)
+          {
+            nums_insert(kn[q], num);
+            found = true;
+            break;
+          }
+        if (!found)
+        {
+          ko[nko] = order;
+          kn[nko].assign(1, num);
+          ++nko;
+        }
+      }
+      for (int q = 0; q < nko; ++q)
+      {
+        bool found = false;
+        for (size_t w = 0; w < p.var_order.size(); ++w)
+          if (p.var_order[w] == ko[q])
+          {
+            std::vector<uint16_t> inter;
+            std::set_intersection(p.nums[w].begin(), p.nums[w].end(), kn[q].begin(),
+                                  kn[q].end(), std::back_inserter(inter));
+            if (inter.empty())
+              return false;
+            p.nums[w] = std::move(inter);
+            found = true;
+            break;
+          }
+        if (!found)
+        {
+          p.var_order.push_back(ko[q]);
+          p.nums.push_back(std::move(kn[q]));
+        }
+      }
+    }
+  }
+  g.paths.clear();
+  g.paths.push_back(std::move(p));
+  g.longest = len;
+  return true;
+}
+
+static bool geno_equal(const Geno & a, const Geno & b)
+{
+  if (a.paths.size() != b.paths.size() || a.longest != b.longest)
+    return false;
+  for (size_t i = 0; i < a.paths.size(); ++i)
+  {
+    const Path & p = a.paths[i];
+    const Path & q = b.paths[i];
+    if (p.start != q.start || p.end != q.end || p.rsi != q.rsi || p.rei != q.rei ||
+        p.mismatches != q.mismatches || p.var_order != q.var_order || p.nums != q.nums)
+      return false;
+  }
+  return true;
+}
+
 static void * run_call_core(
   // graph
   const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
@@ -2393,7 +2512,7 @@ static void * run_call_core(
   int32_t n_threads,
   // precomputed dedup (optional; both or neither) and seed candidates
   const int64_t * reps_in, int64_t n_reps_in, const int64_t * rep_of_in,
-  const CandView * cand, const SeedFilter * sf,
+  const CandView * cand, const SeedFilter * sf, const VerdView * verd,
   // SV mode (nullable): is_good_sv_read verdicts + coverage bins + depth
   const SvCtx * sv,
   // out sizes
@@ -2417,6 +2536,8 @@ static void * run_call_core(
   std::vector<int64_t> reps_own, rep_of_own;
   std::vector<uint8_t> skip;  // SV: new-key reads rejected by their bin
   bool cov_filter = sv != nullptr && sv->avg_cov != nullptr;
+  if (reps_in == nullptr || sv != nullptr)
+    verd = nullptr;  // verdict rows are indexed by the PREP's rep ids
   if (reps_in == nullptr || sv != nullptr)
   {
     rep_of_own.assign(n_reads, -1);
@@ -2511,13 +2632,39 @@ static void * run_call_core(
               c2 = &sc2;
             }
           }
-          find_genotype_paths(G, I, codes, len, g1, c1, sf);
+          // device-verdict fast path: clean rows skip seed+lattice+walk
+          auto try_device = [&](int64_t row, const uint8_t * cp, Geno & g) -> bool {
+            if (verd == nullptr || row < 0)
+              return false;
+            if (!synth_geno_from_verdict(G, verd->rows + row * VERD_COLS, len, g))
+            {
+              g_dal_fallback.fetch_add(1, std::memory_order_relaxed);
+              return false;
+            }
+            if (verd->verify)
+            {
+              Geno ref;
+              ref.read_length = len;
+              find_genotype_paths(G, I, cp, len, ref, nullptr, sf);
+              if (!geno_equal(g, ref))
+              {
+                g_dal_bad.fetch_add(1, std::memory_order_relaxed);
+                g = std::move(ref);  // host result wins: correctness preserved
+                return true;
+              }
+            }
+            g_dal_clean.fetch_add(1, std::memory_order_relaxed);
+            return true;
+          };
+          if (!try_device(verd != nullptr ? verd->rep_row_fwd[q] : -1, codes, g1))
+            find_genotype_paths(G, I, codes, len, g1, c1, sf);
           if (!proper_geometry || force_both)
           {
             rcodes.resize(len);
             for (int i = 0; i < len; ++i)
               rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
-            find_genotype_paths(G, I, rcodes.data(), len, g2, c2, sf);
+            if (!try_device(verd != nullptr ? verd->rep_row_rc[q] : -1, rcodes.data(), g2))
+              find_genotype_paths(G, I, rcodes.data(), len, g2, c2, sf);
           }
         }
       }
@@ -2695,7 +2842,7 @@ void * gt_call_pool(
     flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
     quals, qual_off, rg_idx,
     n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
-    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr,
+    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -2747,7 +2894,7 @@ void * gt_call_pool_sv(
     flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
     quals, qual_off, rg_idx,
     n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
-    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, &sv,
+    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr, &sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3215,7 +3362,7 @@ static void * finish_from_prep(
   const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
   const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
-  const CandView * cand, const SeedFilter * sf, const SvCtx * sv,
+  const CandView * cand, const SeedFilter * sf, const VerdView * verd, const SvCtx * sv,
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
 {
@@ -3232,7 +3379,7 @@ static void * finish_from_prep(
     P.quals.data(), P.qual_off.data(),
     P.rg.data(),
     n_samples, P.sam_flag_filter, P.force_both, hq_reads, n_threads,
-    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand, sf, sv,
+    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand, sf, verd, sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3274,7 +3421,7 @@ void * gt_call_pool_bam(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr,
+    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3378,6 +3525,50 @@ void gt_prep_fetch_kmers(void * prep, uint32_t * hi_out, uint32_t * lo_out,
   }
 }
 
+// Per-row tail matrix for the device aligner: the read bases AFTER the last
+// full stride-(K-1) kmer (read index 31*nk_r + 1 ..), padded with 15, plus
+// per-row read lengths. TAIL_PAD=32 covers the maximum tail (30: one more
+// kmer would fit at 31).
+void gt_prep_fetch_tails(void * prep, uint8_t * tails_out, int32_t * lens_out)
+{
+  PrepPool * P = (PrepPool *)prep;
+  int64_t n_rows = (int64_t)P->row_rep.size();
+  std::vector<uint8_t> rcodes;
+  for (int64_t row = 0; row < n_rows; ++row)
+  {
+    int64_t r = P->reps[P->row_rep[row]];
+    const uint8_t * codes = P->read_codes.data() + P->read_off[r];
+    int len = (int)(P->read_off[r + 1] - P->read_off[r]);
+    if (P->row_is_rc[row])
+    {
+      rcodes.resize(len);
+      for (int i = 0; i < len; ++i)
+        rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
+      codes = rcodes.data();
+    }
+    lens_out[row] = len;
+    uint8_t * dst = tails_out + row * 32;
+    memset(dst, 15, 32);
+    if (len >= K)
+    {
+      int nk_r = 1 + (len - K) / (K - 1);
+      int tail_start = 31 * nk_r + 1;
+      for (int i = tail_start; i < len && i - tail_start < 32; ++i)
+        dst[i - tail_start] = codes[i];
+    }
+  }
+}
+
+// Device-align telemetry since the last call: rows synthesized from clean
+// verdicts, rows that fell back to host alignment, and (verify mode only)
+// clean rows whose synthesized Geno diverged from find_genotype_paths.
+void gt_device_align_stats(int64_t * out_clean, int64_t * out_fallback, int64_t * out_bad)
+{
+  *out_clean = g_dal_clean.exchange(0);
+  *out_fallback = g_dal_fallback.exchange(0);
+  *out_bad = g_dal_bad.exchange(0);
+}
+
 void * gt_call_finish(
   void * prep,
   // graph
@@ -3395,6 +3586,11 @@ void * gt_call_finish(
   // device seed candidate bitmask ([n_rows, prow] uint32 words, prow =
   // ceil(nk_max*97/32)); null -> host probing of all 97 keys per kmer
   const uint32_t * cand_words, int32_t nk_max,
+  // device alignment verdicts ([n_rows, VERD_COLS] int32, ops/device_align
+  // layout); null -> host alignment for every rep. verd_verify != 0 runs
+  // find_genotype_paths on clean rows too and counts divergences
+  // (gt_device_align_stats); the host result wins on divergence.
+  const int32_t * verd_rows, int32_t verd_verify,
   // options
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
   // optional seed filter handle from gt_seed_filter_build (nullable)
@@ -3412,6 +3608,13 @@ void * gt_call_finish(
     cv = {cand_words, prow, nk_max, P->rep_row_fwd.data(), P->rep_row_rc.data()};
     cvp = &cv;
   }
+  VerdView vv;
+  VerdView * vvp = nullptr;
+  if (verd_rows != nullptr)
+  {
+    vv = {verd_rows, P->rep_row_fwd.data(), P->rep_row_rc.data(), verd_verify};
+    vvp = &vv;
+  }
   return finish_from_prep(
     *P,
     ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
@@ -3419,7 +3622,7 @@ void * gt_call_finish(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, cvp, (const SeedFilter *)seed_filter, nullptr,
+    n_samples, hq_reads, n_threads, cvp, (const SeedFilter *)seed_filter, vvp, nullptr,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3460,7 +3663,7 @@ void * gt_call_finish_sv(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, &sv,
+    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr, &sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 

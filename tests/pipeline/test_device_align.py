@@ -1,0 +1,113 @@
+"""Device-resident alignment (ops/device_align.py + gt_call_finish verdict
+path): clean rows synthesize their path set with seed+lattice+walk skipped.
+
+Two contracts:
+  * verify mode (GT_DEVICE_ALIGN=verify) runs find_genotype_paths on every
+    clean row too and counts divergences — must be ZERO on every workload
+    (the clean-tier rules are chosen to make divergence impossible; a
+    nonzero count is a kernel bug, not noise).
+  * "on" mode output state must equal the host-aligned state bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+
+from graphtyper_tpu.config import current_options, replace, set_options
+from graphtyper_tpu.graph.build import construct_graph
+from graphtyper_tpu.graph.coords import GenomicRegion
+from graphtyper_tpu.index.build import index_graph
+from graphtyper_tpu.pipeline import native_caller
+from graphtyper_tpu.pipeline.caller import call_pool
+from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+pytestmark = pytest.mark.skipif(
+    not native_caller.available(), reason="native library not built"
+)
+
+
+def _run(sim, cfg, mode: str):
+    graph = construct_graph(sim.fasta, sim.vcf, f"{cfg.chrom}:1-{cfg.region_length}", use_index=True)
+    index = index_graph(graph)
+    region = GenomicRegion.parse(f"{cfg.chrom}:1-{cfg.region_length}")
+    old = current_options()
+    set_options(replace(old, native_caller="on", device_scoring="on", device_align=mode))
+    try:
+        native_caller.device_align_stats()  # reset counters
+        res = call_pool(graph, index, sim.sams, region=region, is_writing_hap=True)
+        return res, native_caller.device_align_stats()
+    finally:
+        set_options(old)
+
+
+def _assert_state_equal(a, b):
+    assert a.num_records == b.num_records
+    assert a.num_duplicated == b.num_duplicated
+    for sh, sd in zip(a.scorer.sites, b.scorer.sites):
+        for hh, hd in zip(sh.hap_samples, sd.hap_samples):
+            np.testing.assert_array_equal(hh.log_score, hd.log_score)
+            np.testing.assert_array_equal(hh.gt_coverage, hd.gt_coverage)
+            assert (hh.ambiguous_depth, hh.ambiguous_depth_alt, hh.alt_proper_pair_depth) == (
+                hd.ambiguous_depth,
+                hd.ambiguous_depth_alt,
+                hd.alt_proper_pair_depth,
+            )
+        vh, vd = sh.var_stats, sd.var_stats
+        assert vh.clipped_reads == vd.clipped_reads
+        assert vh.mapq_squared == vd.mapq_squared
+        for ah, ad in zip(vh.per_allele, vd.per_allele):
+            assert (ah.clipped_bp, ah.mapq_squared, ah.mismatches, ah.score_diff) == (
+                ad.clipped_bp,
+                ad.mapq_squared,
+                ad.mismatches,
+                ad.score_diff,
+            )
+    assert dict(a.ph) == dict(b.ph)
+    for va, vb in zip(a.vcf.variants, b.vcf.variants):
+        assert va.abs_pos == vb.abs_pos and va.seqs == vb.seqs
+        for ca, cb in zip(va.calls, vb.calls):
+            np.testing.assert_array_equal(ca.phred, cb.phred)
+            np.testing.assert_array_equal(ca.coverage, cb.coverage)
+
+
+@pytest.mark.parametrize(
+    "recipe",
+    [
+        dict(region_length=9000, coverage=22.0, n_samples=2, seed=41, error_rate=0.001),
+        # error-heavy + indel-rich: most rows fall back, the rest must agree
+        dict(
+            region_length=7000,
+            coverage=18.0,
+            n_samples=2,
+            seed=42,
+            error_rate=0.01,
+            snp_rate=1 / 120.0,
+            indel_rate=1 / 600.0,
+        ),
+    ],
+)
+def test_device_align_verify_zero_divergence(tmp_path, recipe):
+    cfg = SimConfig(out_format="bam", **recipe)
+    sim = simulate_cohort(str(tmp_path), cfg)
+    res, (clean, fallback, bad) = _run(sim, cfg, "verify")
+    assert clean > 0, "clean tier never engaged — kernel inert"
+    assert bad == 0, f"{bad} clean rows diverged from find_genotype_paths"
+    # host result wins in verify mode, so this run IS host-parity by
+    # construction; compare against a plain host run anyway (guards the
+    # plumbing around the verdict path)
+    off, _ = _run(sim, cfg, "off")
+    _assert_state_equal(res, off)
+
+
+def test_device_align_on_state_parity(tmp_path):
+    cfg = SimConfig(
+        region_length=9000, coverage=22.0, n_samples=2, seed=43, error_rate=0.002,
+        out_format="bam",
+    )
+    sim = simulate_cohort(str(tmp_path), cfg)
+    on, (clean, fallback, bad) = _run(sim, cfg, "on")
+    assert clean > 0
+    assert clean + fallback > 0 and clean / (clean + fallback) > 0.3, (
+        f"clean fraction too low: {clean}/{clean + fallback}"
+    )
+    off, _ = _run(sim, cfg, "off")
+    _assert_state_equal(on, off)
