@@ -57,9 +57,10 @@ K = 32
 LABEL_CAP = 6  # per-kmer gathered labels; bigger spans fall back
 VAR_SLOTS = 6  # chain variant payload slots; more crossed vars fall back
 TAIL_PAD = 32  # >= max tail length (30: one more kmer fits at 31)
-OUT_COLS = 12  # verdict, mm, nvars, start, end, slot0..5, pad
+OUT_COLS = 9  # meta (verdict | mm<<1 | nv<<4), start, end, slot0..5
 SPECIAL_START = 0xD0000000
 VAR_ID_BITS = 24  # slot encoding: var_id | (kmer_index << 24)
+BUCKET_BITS = 14  # prefix-bucket accelerator over the sorted key table
 
 
 def _ceil_log2(n: int) -> int:
@@ -67,7 +68,7 @@ def _ceil_log2(n: int) -> int:
     return int(n - 1).bit_length()
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=16)
 def _jitted_verdicts(nk: int, key_steps: int, ref_steps: int):
     from graphtyper_tpu.utils.jax_cache import ensure_compilation_cache
 
@@ -77,14 +78,20 @@ def _jitted_verdicts(nk: int, key_steps: int, ref_steps: int):
     return jax.jit(partial(_verdicts_impl, nk=nk, key_steps=key_steps, ref_steps=ref_steps))
 
 
-def _lower_bound_u64(q_hi, q_lo, keys_hi, keys_lo, steps: int):
+def _lower_bound_u64(q_hi, q_lo, keys_hi, keys_lo, steps: int, bounds=None):
     """Vectorized lower_bound over a sorted uint64 array stored as uint32
-    halves: first index i with keys[i] >= q. Shapes broadcast over q."""
+    halves: first index i with keys[i] >= q. Shapes broadcast over q.
+    `bounds` (lo0, hi0) narrows the search range per query (prefix-bucket
+    accelerator — the device twin of native/gt_align.cpp SeedFilter.bucket),
+    cutting the dependent-gather chain from ~20 steps to ~6."""
     import jax.numpy as jnp
 
     n = keys_hi.shape[0]
-    lo = jnp.zeros(q_hi.shape, jnp.int32)
-    hi = jnp.full(q_hi.shape, n, jnp.int32)
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        lo = jnp.zeros(q_hi.shape, jnp.int32)
+        hi = jnp.full(q_hi.shape, n, jnp.int32)
     for _ in range(steps):
         mid = (lo + hi) >> 1
         midc = jnp.minimum(mid, n - 1)
@@ -109,6 +116,7 @@ def _verdicts_impl(
     lab_start,  # [n_labels] uint32
     lab_end,  # [n_labels] uint32
     lab_var,  # [n_labels] int32 (-1 = no variant)
+    bucket,  # [2^BUCKET_BITS + 1] int32 prefix-bucket over the key table
     ref_order,  # [n_ref] uint32 reference node start positions (sorted)
     ref_len,  # [n_ref] int32 node dna lengths
     ref_start,  # [n_ref] int32 node arena offsets
@@ -131,7 +139,10 @@ def _verdicts_impl(
     kmask = karange < nk_r[:, None]  # [S, nk] kmers the read actually has
 
     # ---- exact index probe per kmer -------------------------------------
-    pos = _lower_bound_u64(hi, lo, keys_hi, keys_lo, key_steps)  # [S, nk]
+    b = (hi >> jnp.uint32(32 - BUCKET_BITS)).astype(jnp.int32)
+    pos = _lower_bound_u64(
+        hi, lo, keys_hi, keys_lo, key_steps, bounds=(bucket[b], bucket[b + 1])
+    )  # [S, nk]
     posc = jnp.minimum(pos, max(0, n_keys - 1))
     found = (pos < n_keys) & (keys_hi[posc] == hi) & (keys_lo[posc] == lo)
     a = offsets[posc]
@@ -230,16 +241,18 @@ def _verdicts_impl(
     )
 
     end = jnp.where(has_tail, chain_end + tail_len.astype(jnp.uint32), chain_end)
+    meta = (
+        verdict.astype(jnp.int32)
+        | (jnp.minimum(mm, 7) << 1)
+        | (jnp.minimum(nv, VAR_SLOTS) << 4)
+    )
     out = jnp.stack(
         [
-            verdict.astype(jnp.int32),
-            mm,
-            jnp.minimum(nv, VAR_SLOTS),
+            meta,
             start.astype(jnp.int32),  # bitcast; host reads back as uint32
             end.astype(jnp.int32),
         ]
-        + [slots[:, j] for j in range(VAR_SLOTS)]
-        + [jnp.zeros(S, jnp.int32)],
+        + [slots[:, j] for j in range(VAR_SLOTS)],
         axis=1,
     )
     return out
@@ -256,8 +269,16 @@ class DeviceAligner:
         keys = np.asarray(na.keys, dtype=np.uint64)
         self.n_keys = len(keys)
         self.n_ref = len(na.ref_order)
-        self.keys_hi = jax.device_put((keys >> np.uint64(32)).astype(np.uint32))
+        hi_host = (keys >> np.uint64(32)).astype(np.uint32)
+        self.keys_hi = jax.device_put(hi_host)
         self.keys_lo = jax.device_put((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        # prefix buckets over the top BUCKET_BITS of each key: search only
+        # within the (small) bucket span instead of the whole table
+        tops = (hi_host >> np.uint32(32 - BUCKET_BITS)).astype(np.int64)
+        bucket = np.searchsorted(tops, np.arange((1 << BUCKET_BITS) + 1)).astype(np.int32)
+        span = int((bucket[1:] - bucket[:-1]).max()) if self.n_keys else 1
+        self.key_steps = _ceil_log2(span + 1)
+        self.bucket = jax.device_put(bucket)
         self.offsets = jax.device_put(np.asarray(na.offsets, dtype=np.int32))
         self.lab_start = jax.device_put(np.asarray(na.lab_start, dtype=np.uint32))
         self.lab_end = jax.device_put(np.asarray(na.lab_end, dtype=np.uint32))
@@ -269,13 +290,14 @@ class DeviceAligner:
         self.ref_start = jax.device_put(np.asarray(na.ref_dna_start, dtype=np.int32))
         self.ref_arena = jax.device_put(np.asarray(na.ref_arena, dtype=np.uint8))
 
-    def verdicts(self, kmers_dev, tails_dev, lens_dev, n_rows: int, nk: int) -> np.ndarray:
-        """kmers_dev = (hi, lo, valid) [S, nk] device arrays; tails_dev
-        [S, TAIL_PAD] uint8; lens_dev [S] int32 (all row-padded). Returns
-        host int32 [n_rows, OUT_COLS]."""
+    def verdicts_async(self, kmers_dev, tails_dev, lens_dev, nk: int):
+        """Dispatch the verdict kernel; returns the (async) device array.
+        Resolve with np.asarray(...)[:n_rows]. Used by the streaming caller
+        to overlap the device round-trip with the host's fill + align of
+        neighboring batches."""
         hi, lo, valid = kmers_dev
-        fn = _jitted_verdicts(nk, _ceil_log2(self.n_keys + 1), _ceil_log2(self.n_ref + 1))
-        out = fn(
+        fn = _jitted_verdicts(nk, self.key_steps, _ceil_log2(self.n_ref + 1))
+        return fn(
             hi,
             lo,
             valid,
@@ -287,11 +309,18 @@ class DeviceAligner:
             self.lab_start,
             self.lab_end,
             self.lab_var,
+            self.bucket,
             self.ref_order,
             self.ref_len,
             self.ref_start,
             self.ref_arena,
         )
+
+    def verdicts(self, kmers_dev, tails_dev, lens_dev, n_rows: int, nk: int) -> np.ndarray:
+        """kmers_dev = (hi, lo, valid) [S, nk] device arrays; tails_dev
+        [S, TAIL_PAD] uint8; lens_dev [S] int32 (all row-padded). Returns
+        host int32 [n_rows, OUT_COLS]."""
+        out = self.verdicts_async(kmers_dev, tails_dev, lens_dev, nk)
         out.block_until_ready()
         return np.asarray(out)[:n_rows]
 

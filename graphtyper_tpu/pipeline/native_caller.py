@@ -889,7 +889,12 @@ def _setup_stream(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # sites
         + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
         + [ctypes.c_void_p]  # seed filter
+        + [ctypes.c_void_p, ctypes.c_int32]  # verdict rows + verify flag
         + [_p64] * 2
+    )
+    lib.gt_stream_stage.restype = ctypes.c_int32
+    lib.gt_stream_stage.argtypes = (
+        [ctypes.c_void_p] + [ctypes.c_void_p] * 5 + [ctypes.c_int32] * 2
     )
     lib.gt_stream_fetch_obs.restype = ctypes.c_int32
     lib.gt_stream_fetch_obs.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 17
@@ -1084,21 +1089,127 @@ def run_native_call_pool_stream(
 
     n_obs = ctypes.c_int64()
     n_xvals = ctypes.c_int64()
+
+    gargs = (
+        ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
+        ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
+        ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
+        ptr(na.var_out_ref), len(na.var_order), ptr(na.var_arena),
+        ptr(na.sp_ref_reach), ptr(na.sp_actual), len(na.sp_ref_reach),
+        ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
+        ptr(na.keys), len(na.keys), ptr(na.offsets),
+        ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
+        seed_filter_handle(index, lib, n_threads),
+    )
+
+    # Device-align pipeline (non-SV): gt_stream_stage dedups batch N and
+    # exports its rep rows; the verdict kernel for batch N runs on the device
+    # WHILE the host prefill thread decodes batch N+1 and gt_stream_step
+    # aligns/replays batch N-1 — the device round-trip rides entirely inside
+    # host work it does not block. Two batches stay staged ahead.
+    dal = None
+    dal_mode = "off"
+    pending = None
+    stage_eof = False
+    if not is_sv:
+        from graphtyper_tpu.config import current_options
+
+        dal_mode = device_align_mode(current_options())
+        if dal_mode in ("on", "verify"):
+            from graphtyper_tpu.ops.device_align import DeviceAligner
+
+            dal = getattr(index, "_device_aligner", None)
+            if dal is None:
+                try:
+                    dal = DeviceAligner(na)
+                    index._device_aligner = dal
+                except Exception:
+                    from graphtyper_tpu.utils.log import get_logger
+
+                    get_logger().warning(
+                        "device aligner init failed; host alignment", exc_info=True
+                    )
+                    dal = None
+            if dal is not None:
+                from collections import deque
+
+                pending = deque()
+
+    NK_CAP = 8
+    cap_rows = 2 * batch_records + 16
+
+    def do_stage() -> bool:
+        """Stage + dispatch one batch; False on spill error."""
+        nonlocal stage_eof
+        from graphtyper_tpu.ops.device_align import TAIL_PAD, stage_tails
+        from graphtyper_tpu.ops.seed_probe import stage_kmers
+
+        hi = np.empty((cap_rows, NK_CAP), np.uint32)
+        lo = np.empty((cap_rows, NK_CAP), np.uint32)
+        valid = np.empty((cap_rows, NK_CAP), np.uint8)
+        tails = np.empty((cap_rows, TAIL_PAD), np.uint8)
+        lens = np.empty(cap_rows, np.int32)
+        rcs = lib.gt_stream_stage(
+            handle, ptr(hi), ptr(lo), ptr(valid), ptr(tails), ptr(lens),
+            cap_rows, NK_CAP,
+        )
+        if rcs == -1:
+            stage_eof = True
+            return True
+        if rcs == -2:
+            return False
+        if rcs == -3:
+            pending.append((None, 0))
+            return True
+        fut = None
+        try:
+            # ship only the kmer columns this batch actually uses (151bp
+            # reads need 4, not NK_CAP=8 — halves the per-batch H2D)
+            nk_eff = NK_CAP
+            if rcs > 0:
+                max_len = int(lens[:rcs].max())
+                nk_eff = max(2, min(NK_CAP, 1 + (max_len - 32) // 31)) if max_len >= 32 else 2
+            kd = stage_kmers(hi[:rcs, :nk_eff], lo[:rcs, :nk_eff], valid[:rcs, :nk_eff])
+            td, ld = stage_tails(tails[:rcs], lens[:rcs])
+            fut = dal.verdicts_async(kd, td, ld, nk_eff)
+        except Exception:
+            from graphtyper_tpu.utils.log import get_logger
+
+            get_logger().warning("device align dispatch failed; host alignment", exc_info=True)
+        pending.append((fut, rcs))
+        return True
+
     try:
         while True:
-            rc = lib.gt_stream_step(
-                handle,
-                ptr(na.ref_order), ptr(na.ref_dna_start), ptr(na.ref_dna_len),
-                ptr(na.ref_var_first), len(na.ref_order), ptr(na.ref_arena),
-                ptr(na.var_order), ptr(na.var_dna_start), ptr(na.var_dna_len),
-                ptr(na.var_out_ref), len(na.var_order), ptr(na.var_arena),
-                ptr(na.sp_ref_reach), ptr(na.sp_actual), len(na.sp_ref_reach),
-                ptr(site_order), ptr(site_cnum), ptr(site_is_snp), len(site_order),
-                ptr(na.keys), len(na.keys), ptr(na.offsets),
-                ptr(na.lab_start), ptr(na.lab_end), ptr(na.lab_var),
-                seed_filter_handle(index, lib, n_threads),
-                ctypes.byref(n_obs), ctypes.byref(n_xvals),
-            )
+            verd_keepalive = None
+            verd_ptr = None
+            verify = 0
+            if pending is not None:
+                spill_fail = False
+                while not stage_eof and len(pending) < 2:
+                    if not do_stage():
+                        spill_fail = True
+                        break
+                if pending:
+                    fut, vrows = pending.popleft()
+                    if fut is not None:
+                        verd_keepalive = np.ascontiguousarray(
+                            np.asarray(fut)[:vrows], dtype=np.int32
+                        )
+                        verd_ptr = ptr(verd_keepalive)
+                        verify = 1 if dal_mode == "verify" else 0
+                if spill_fail:
+                    rc = -1
+                else:
+                    rc = lib.gt_stream_step(
+                        handle, *gargs, verd_ptr, verify,
+                        ctypes.byref(n_obs), ctypes.byref(n_xvals),
+                    )
+            else:
+                rc = lib.gt_stream_step(
+                    handle, *gargs, None, 0,
+                    ctypes.byref(n_obs), ctypes.byref(n_xvals),
+                )
             if rc == 0:
                 break
             if rc < 0:  # spill replay inconsistency: discard and re-stream

@@ -2376,7 +2376,7 @@ struct CandView {
 // ops/device_align.py for the parity argument) or a host fallback. Clean
 // rows synthesize their Geno here, skipping seed+lattice+walk entirely; the
 // verify mode runs both and compares byte-for-byte.
-static constexpr int VERD_COLS = 12;  // verdict, mm, nv, start, end, slot0..5, pad
+static constexpr int VERD_COLS = 9;  // meta (verdict | mm<<1 | nv<<4), start, end, slot0..5
 
 struct VerdView {
   const int32_t * rows;  // [n_rows * VERD_COLS]
@@ -2389,15 +2389,15 @@ static std::atomic<int64_t> g_dal_clean{0}, g_dal_fallback{0}, g_dal_bad{0};
 
 static bool synth_geno_from_verdict(const GraphView & G, const int32_t * vr, int len, Geno & g)
 {
-  if (vr[0] == 0)
+  if ((vr[0] & 1) == 0)
     return false;
-  int nv = vr[2];
+  int nv = (vr[0] >> 4) & 15;
   Path p;
-  p.start = (int64_t)(uint32_t)vr[3];
-  p.end = (int64_t)(uint32_t)vr[4];
+  p.start = (int64_t)(uint32_t)vr[1];
+  p.end = (int64_t)(uint32_t)vr[2];
   p.rsi = 0;
   p.rei = len - 1;
-  p.mismatches = vr[1];
+  p.mismatches = (vr[0] >> 1) & 7;
   if (nv > 0)
   {
     // slots arrive in (kmer asc, label asc) order as var_id | (kmer << 24).
@@ -2409,9 +2409,9 @@ static bool synth_geno_from_verdict(const GraphView & G, const int32_t * vr, int
     int maxk = 0;
     for (int s = 0; s < nv; ++s)
     {
-      if (vr[5 + s] < 0)
+      if (vr[3 + s] < 0)
         return false;
-      maxk = std::max(maxk, vr[5 + s] >> 24);
+      maxk = std::max(maxk, vr[3 + s] >> 24);
     }
     for (int k = maxk; k >= 0; --k)
     {
@@ -2420,9 +2420,9 @@ static bool synth_geno_from_verdict(const GraphView & G, const int32_t * vr, int
       int nko = 0;
       for (int s = 0; s < nv; ++s)
       {
-        if ((vr[5 + s] >> 24) != k)
+        if ((vr[3 + s] >> 24) != k)
           continue;
-        int64_t v = vr[5 + s] & 0xFFFFFF;
+        int64_t v = vr[3 + s] & 0xFFFFFF;
         if (v >= G.n_var)
           return false;
         int64_t order = G.var_order[v];
@@ -4643,6 +4643,18 @@ struct StreamCall {
   bool spill_drained = false;
   int spill_error = 0;
 
+  // device-align pipeline: batches staged (dedup done, rep rows computed)
+  // awaiting their device verdicts; gt_stream_stage pushes, gt_stream_step
+  // pops in order. At most a couple in flight (Python stages one ahead).
+  struct PendingBatch {
+    StagedBatch B;
+    std::vector<int64_t> reps, rep_of;
+    std::vector<uint8_t> skip;
+    std::vector<int64_t> rep_row_fwd, rep_row_rc, row_rep;
+    std::vector<uint8_t> row_is_rc;
+  };
+  std::deque<PendingBatch> pending_q;
+
   // prefill pipeline: the next batch staged by a background thread. Only
   // the fill path touches files/heap/current, and exactly one fill runs at
   // a time (synchronous first fill, then one prefill thread joined at the
@@ -5137,33 +5149,11 @@ void * gt_stream_open(const char * const * paths, const int32_t * sample_of, int
 // Process ONE batch through stage 1 + stage 2 with the given graph/index.
 // Returns 1 with the batch's observation-row counts (drain them with
 // gt_stream_fetch_obs before the next step), or 0 at end of stream.
-int32_t gt_stream_step(
-  void * handle,
-  // graph
-  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
-  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
-  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
-  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
-  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
-  // sites
-  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
-  int64_t n_sites,
-  // index
-  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
-  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
-  // optional seed filter handle from gt_seed_filter_build (nullable)
-  void * seed_filter,
-  int64_t * out_n_obs, int64_t * out_n_xvals)
+// Stage one batch: take the prefilled staged buffers, kick the next prefill,
+// and run the stateful dedup (cross-batch carry, SV gates/bins). Returns 1
+// on success (P filled), 0 when the stream is drained, -1 on spill error.
+static int stream_stage_one(StreamCall * S, StreamCall::PendingBatch & P)
 {
-  StreamCall * S = (StreamCall *)handle;
-  GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
-              var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
-              sp_ref_reach, sp_actual, n_special, S->is_sv != 0};
-  IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
-  const SeedFilter * sf = (const SeedFilter *)seed_filter;
-  SiteView SV{site_order, site_cnum, site_is_snp, n_sites};
-
-  // ---- take the staged batch (prefilled in the background) ---------------
   int64_t prof_t0 = prof_enabled() ? prof_now() : 0;
   if (S->prefill_active)
   {
@@ -5182,7 +5172,7 @@ int32_t gt_stream_step(
   }
   if (S->spill_error)
     return -1;
-  StagedBatch B = std::move(S->staged);
+  P.B = std::move(S->staged);
   // rotate the previously consumed batch's buffers back in: per-batch large
   // allocations (tens of MB) and their first-touch page faults measured as
   // a top extract-phase term on config 4
@@ -5193,7 +5183,7 @@ int32_t gt_stream_step(
     S->prof_wait_ns += prof_now() - prof_t0;
 
   // kick off the next batch's fill; it runs concurrently with this batch's
-  // align/replay stages below AND with the Python-side scoring work between
+  // align/replay stages AND with the Python-side scoring/device work between
   // steps (fill owns files/heap/first_pos exclusively until joined).
   // Interleaved A/B on BASELINE config 4 (4-core host fully saturated by 4
   // region workers): neutral within noise (off 41.4/39.0s, on 38.9/39.1s);
@@ -5217,6 +5207,223 @@ int32_t gt_stream_step(
     });
   }
 
+  StagedBatch & B = P.B;
+  int64_t n = (int64_t)B.pos_v.size();
+
+  // ---- dedup within batch, with cross-batch carry ------------------------
+  // rep_of[i] >= 0 indexes this batch's reps; -1 = carried rep from the
+  // previous batch; -2 = filtered record. SV mode replays run_call_core's
+  // gate order exactly: sv_bad reads are transparent to the dedup carry,
+  // duplicates always update their coverage bin, new keys are bin-gated.
+  std::vector<int64_t> & reps = P.reps;
+  std::vector<int64_t> & rep_of = P.rep_of;
+  reps.clear();
+  rep_of.assign(n, -2);
+  P.skip.assign(S->is_sv ? n : 0, 0);
+  bool cov_filter = S->is_sv && !S->avg_cov_store.empty();
+  auto bin_update = [&](int32_t s, int64_t p) -> bool {
+    double ac = S->avg_cov_store[s];
+    if (ac <= 0.0)
+      return true;
+    int64_t max_bin = std::min<int64_t>(0xFFFF, (int64_t)(ac * 50.0 * 3.0 + 0.5));
+    int64_t b = (p - S->first_pos) / 50;
+    int32_t & cnt = S->bins[s][b];
+    if (cnt > max_bin)
+      return false;
+    cnt += 1;
+    return true;
+  };
+  for (int64_t r = 0; r < n; ++r)
+  {
+    if (B.flags_v[r] & S->sam_flag_filter)
+      continue;
+    if (S->is_sv && B.sv_bad_v[r])
+      continue;
+    int64_t len = B.read_off[r + 1] - B.read_off[r];
+    bool same = S->have_prev && B.pos_v[r] == S->prev_pos &&
+                len == (int64_t)S->prev_codes.size() &&
+                memcmp(B.read_codes.data() + B.read_off[r], S->prev_codes.data(), len) == 0;
+    if (same)
+    {
+      if (cov_filter)
+        bin_update(B.rg_v[r], B.pos_v[r]);  // duplicates update, never reject
+      rep_of[r] = reps.empty() ? -1 : (int64_t)reps.size() - 1;
+      S->R->num_duplicated += 1;
+      S->R->num_records += 1;
+      continue;
+    }
+    if (cov_filter && !bin_update(B.rg_v[r], B.pos_v[r]))
+    {
+      P.skip[r] = 1;  // prev carry unchanged, like Python's prev_key
+      rep_of[r] = -2;
+      continue;
+    }
+    reps.push_back(r);
+    S->prev_pos = B.pos_v[r];
+    S->prev_codes.assign(B.read_codes.begin() + B.read_off[r],
+                         B.read_codes.begin() + B.read_off[r + 1]);
+    S->have_prev = true;
+    rep_of[r] = (int64_t)reps.size() - 1;
+    S->R->num_records += 1;
+  }
+  return 1;
+}
+
+// Stage the next batch for the device-align pipeline: runs the stateful
+// dedup, computes per-rep orientation rows (like compute_reps_rows, batch-
+// local), and exports the device aligner's inputs — exact kmer keys as
+// uint32 halves ([cap_rows, nk_cap]), tail codes ([cap_rows, 32]) and row
+// lengths. Returns n_rows (>= 0), -1 when the stream is drained, -2 on
+// spill error, -3 if cap_rows is too small (caller falls back to plain
+// stepping — the batch stays queued with rows empty).
+int32_t gt_stream_stage(
+  void * handle,
+  uint32_t * hi_out, uint32_t * lo_out, uint8_t * valid_out,
+  uint8_t * tails_out, int32_t * lens_out,
+  int32_t cap_rows, int32_t nk_cap)
+{
+  StreamCall * S = (StreamCall *)handle;
+  StreamCall::PendingBatch P;
+  int rc = stream_stage_one(S, P);
+  if (rc <= 0)
+    return rc == 0 ? -1 : -2;
+  StagedBatch & B = P.B;
+  int64_t n_reps = (int64_t)P.reps.size();
+  P.rep_row_fwd.assign(n_reps, -1);
+  P.rep_row_rc.assign(n_reps, -1);
+  int64_t n_rows = 0;
+  for (int64_t q = 0; q < n_reps; ++q)
+  {
+    int64_t r = P.reps[q];
+    int len = (int)(B.read_off[r + 1] - B.read_off[r]);
+    if (len < 2 * K - 1)
+      continue;
+    P.rep_row_fwd[q] = n_rows++;
+    bool proper_geometry =
+      (B.flags_v[r] & IS_PAIRED) == 0 ||
+      (B.same_ref[r] && -1200 < B.tlen_v[r] && B.tlen_v[r] < 1200 &&
+       ((B.flags_v[r] & 0x10) != 0) != ((B.flags_v[r] & 0x20) != 0));
+    if (!proper_geometry || S->force_both)
+      P.rep_row_rc[q] = n_rows++;
+  }
+  if (n_rows > cap_rows)
+  {
+    P.rep_row_fwd.clear();
+    P.rep_row_rc.clear();
+    S->pending_q.push_back(std::move(P));
+    return -3;
+  }
+  // fill the device input matrices
+  std::vector<uint8_t> rcodes;
+  for (int64_t q = 0; q < n_reps; ++q)
+  {
+    for (int pass = 0; pass < 2; ++pass)
+    {
+      int64_t row = pass == 0 ? P.rep_row_fwd[q] : P.rep_row_rc[q];
+      if (row < 0)
+        continue;
+      int64_t r = P.reps[q];
+      const uint8_t * codes = B.read_codes.data() + B.read_off[r];
+      int len = (int)(B.read_off[r + 1] - B.read_off[r]);
+      if (pass == 1)
+      {
+        rcodes.resize(len);
+        for (int i = 0; i < len; ++i)
+          rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
+        codes = rcodes.data();
+      }
+      lens_out[row] = len;
+      int nk_r = 1 + (len - K) / (K - 1);
+      for (int i = 0; i < nk_cap; ++i)
+      {
+        int64_t o = row * nk_cap + i;
+        int p = (K - 1) * i;
+        if (i >= nk_r || p + K > len)
+        {
+          hi_out[o] = lo_out[o] = 0;
+          valid_out[o] = 0;
+          continue;
+        }
+        uint64_t key = 0;
+        bool amb = false;
+        for (int j = p; j < p + K; ++j)
+        {
+          if (codes[j] >= 4)
+          {
+            amb = true;
+            break;
+          }
+          key = (key << 2) | codes[j];
+        }
+        hi_out[o] = amb ? 0 : (uint32_t)(key >> 32);
+        lo_out[o] = amb ? 0 : (uint32_t)key;
+        valid_out[o] = amb ? 0 : 1;
+      }
+      uint8_t * dst = tails_out + row * 32;
+      memset(dst, 15, 32);
+      // a read longer than nk_cap full kmers cannot be verified clean by the
+      // device (its kmer matrix is truncated): leave its kmers invalid so it
+      // falls back (valid_out above already handles i >= nk_cap via loop cap)
+      if (nk_r <= nk_cap)
+      {
+        int tail_start = 31 * nk_r + 1;
+        for (int i = tail_start; i < len && i - tail_start < 32; ++i)
+          dst[i - tail_start] = codes[i];
+      }
+      else
+        for (int i = 0; i < nk_cap; ++i)
+          valid_out[row * nk_cap + i] = 0;
+    }
+  }
+  S->pending_q.push_back(std::move(P));
+  return (int32_t)n_rows;
+}
+
+int32_t gt_stream_step(
+  void * handle,
+  // graph
+  const int64_t * ref_order, const int64_t * ref_dna_start, const int64_t * ref_dna_len,
+  const int64_t * ref_var_first, int64_t n_ref, const uint8_t * ref_arena,
+  const int64_t * var_order, const int64_t * var_dna_start, const int64_t * var_dna_len,
+  const int64_t * var_out_ref, int64_t n_var, const uint8_t * var_arena,
+  const int64_t * sp_ref_reach, const int64_t * sp_actual, int64_t n_special,
+  // sites
+  const int64_t * site_order, const int64_t * site_cnum, const uint8_t * site_is_snp,
+  int64_t n_sites,
+  // index
+  const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
+  const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
+  // optional seed filter handle from gt_seed_filter_build (nullable)
+  void * seed_filter,
+  // device alignment verdicts for the PENDING batch staged by
+  // gt_stream_stage ([n_rows, VERD_COLS] int32; nullable)
+  const int32_t * verd_rows, int32_t verd_verify,
+  int64_t * out_n_obs, int64_t * out_n_xvals)
+{
+  StreamCall * S = (StreamCall *)handle;
+  GraphView G{ref_order, ref_dna_start, ref_dna_len, ref_var_first, n_ref, ref_arena,
+              var_order, var_dna_start, var_dna_len, var_out_ref, n_var, var_arena,
+              sp_ref_reach, sp_actual, n_special, S->is_sv != 0};
+  IndexView I{keys, n_keys, offsets, lab_start, lab_end, lab_var};
+  const SeedFilter * sf = (const SeedFilter *)seed_filter;
+  SiteView SV{site_order, site_cnum, site_is_snp, n_sites};
+
+  StreamCall::PendingBatch P;
+  bool from_queue = !S->pending_q.empty();
+  if (from_queue)
+  {
+    P = std::move(S->pending_q.front());
+    S->pending_q.pop_front();
+  }
+  else
+  {
+    int rc = stream_stage_one(S, P);
+    if (rc <= 0)
+      return rc == 0 ? 0 : -1;
+    verd_rows = nullptr;  // rows were never computed for this batch
+  }
+  StagedBatch & B = P.B;
+
   auto & read_codes = B.read_codes;
   auto & names = B.names;
   auto & quals = B.quals;
@@ -5235,60 +5442,8 @@ int32_t gt_stream_step(
 
   int64_t n = (int64_t)pos_v.size();
   int64_t prof_t1 = prof_enabled() ? prof_now() : 0;
-
-  // ---- dedup within batch, with cross-batch carry ------------------------
-  // rep_of[i] >= 0 indexes this batch's reps; -1 = carried rep from the
-  // previous batch; -2 = filtered record. SV mode replays run_call_core's
-  // gate order exactly: sv_bad reads are transparent to the dedup carry,
-  // duplicates always update their coverage bin, new keys are bin-gated.
-  std::vector<int64_t> reps;
-  std::vector<int64_t> rep_of(n, -2);
-  std::vector<uint8_t> skip(S->is_sv ? n : 0, 0);
-  bool cov_filter = S->is_sv && !S->avg_cov_store.empty();
-  auto bin_update = [&](int32_t s, int64_t p) -> bool {
-    double ac = S->avg_cov_store[s];
-    if (ac <= 0.0)
-      return true;
-    int64_t max_bin = std::min<int64_t>(0xFFFF, (int64_t)(ac * 50.0 * 3.0 + 0.5));
-    int64_t b = (p - S->first_pos) / 50;
-    int32_t & cnt = S->bins[s][b];
-    if (cnt > max_bin)
-      return false;
-    cnt += 1;
-    return true;
-  };
-  for (int64_t r = 0; r < n; ++r)
-  {
-    if (flags_v[r] & S->sam_flag_filter)
-      continue;
-    if (S->is_sv && sv_bad_v[r])
-      continue;
-    int64_t len = read_off[r + 1] - read_off[r];
-    bool same = S->have_prev && pos_v[r] == S->prev_pos &&
-                len == (int64_t)S->prev_codes.size() &&
-                memcmp(read_codes.data() + read_off[r], S->prev_codes.data(), len) == 0;
-    if (same)
-    {
-      if (cov_filter)
-        bin_update(rg_v[r], pos_v[r]);  // duplicates update, never reject
-      rep_of[r] = reps.empty() ? -1 : (int64_t)reps.size() - 1;
-      S->R->num_duplicated += 1;
-      S->R->num_records += 1;
-      continue;
-    }
-    if (cov_filter && !bin_update(rg_v[r], pos_v[r]))
-    {
-      skip[r] = 1;  // prev carry unchanged, like Python's prev_key
-      rep_of[r] = -2;
-      continue;
-    }
-    reps.push_back(r);
-    S->prev_pos = pos_v[r];
-    S->prev_codes.assign(read_codes.begin() + read_off[r], read_codes.begin() + read_off[r + 1]);
-    S->have_prev = true;
-    rep_of[r] = (int64_t)reps.size() - 1;
-    S->R->num_records += 1;
-  }
+  std::vector<int64_t> & reps = P.reps;
+  std::vector<int64_t> & rep_of = P.rep_of;
 
   // ---- stage 1: align batch reps (parallel) ------------------------------
   int64_t prof_ta = prof_enabled() ? prof_now() : 0;
@@ -5296,6 +5451,29 @@ int32_t gt_stream_step(
   {
     auto align_range = [&](size_t lo, size_t hi) {
       std::vector<uint8_t> rcodes;
+      auto try_device = [&](int64_t row, const uint8_t * cp, int len, Geno & g) -> bool {
+        if (verd_rows == nullptr || row < 0)
+          return false;
+        if (!synth_geno_from_verdict(G, verd_rows + row * VERD_COLS, len, g))
+        {
+          g_dal_fallback.fetch_add(1, std::memory_order_relaxed);
+          return false;
+        }
+        if (verd_verify)
+        {
+          Geno ref;
+          ref.read_length = len;
+          find_genotype_paths(G, I, cp, len, ref, nullptr, sf);
+          if (!geno_equal(g, ref))
+          {
+            g_dal_bad.fetch_add(1, std::memory_order_relaxed);
+            g = std::move(ref);  // host result wins: correctness preserved
+            return true;
+          }
+        }
+        g_dal_clean.fetch_add(1, std::memory_order_relaxed);
+        return true;
+      };
       for (size_t qq = lo; qq < hi; ++qq)
       {
         int64_t r = reps[qq];
@@ -5310,13 +5488,17 @@ int32_t gt_stream_step(
             (flags_v[r] & IS_PAIRED) == 0 ||
             (same_ref[r] && -1200 < tlen_v[r] && tlen_v[r] < 1200 &&
              ((flags_v[r] & 0x10) != 0) != ((flags_v[r] & 0x20) != 0));
-          find_genotype_paths(G, I, codes, len, g1, nullptr, sf);
+          int64_t row1 = verd_rows != nullptr ? P.rep_row_fwd[qq] : -1;
+          if (!try_device(row1, codes, len, g1))
+            find_genotype_paths(G, I, codes, len, g1, nullptr, sf);
           if (!proper_geometry || S->force_both)
           {
             rcodes.resize(len);
             for (int i = 0; i < len; ++i)
               rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
-            find_genotype_paths(G, I, rcodes.data(), len, g2, nullptr, sf);
+            int64_t row2 = verd_rows != nullptr ? P.rep_row_rc[qq] : -1;
+            if (!try_device(row2, rcodes.data(), len, g2))
+              find_genotype_paths(G, I, rcodes.data(), len, g2, nullptr, sf);
           }
         }
       }

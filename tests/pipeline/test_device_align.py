@@ -25,12 +25,20 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _run(sim, cfg, mode: str):
+def _run(sim, cfg, mode: str, streaming: str = "auto"):
     graph = construct_graph(sim.fasta, sim.vcf, f"{cfg.chrom}:1-{cfg.region_length}", use_index=True)
     index = index_graph(graph)
     region = GenomicRegion.parse(f"{cfg.chrom}:1-{cfg.region_length}")
     old = current_options()
-    set_options(replace(old, native_caller="on", device_scoring="on", device_align=mode))
+    set_options(
+        replace(
+            old,
+            native_caller="on",
+            device_scoring="on",
+            device_align=mode,
+            streaming_caller=streaming,
+        )
+    )
     try:
         native_caller.device_align_stats()  # reset counters
         res = call_pool(graph, index, sim.sams, region=region, is_writing_hap=True)
@@ -96,6 +104,51 @@ def test_device_align_verify_zero_divergence(tmp_path, recipe):
     # plumbing around the verdict path)
     off, _ = _run(sim, cfg, "off")
     _assert_state_equal(res, off)
+
+
+def test_device_align_streaming_parity(tmp_path):
+    """The streaming caller's stage/step pipeline (gt_stream_stage dispatching
+    the verdict kernel one batch ahead) must match the plain host stream
+    state-for-state, including cross-batch dedup carries (tiny batches force
+    many batch boundaries)."""
+    import os
+
+    cfg = SimConfig(
+        region_length=9000, coverage=22.0, n_samples=3, seed=44, error_rate=0.002,
+        out_format="bam",
+    )
+    sim = simulate_cohort(str(tmp_path), cfg)
+    os.environ["GT_STREAM_BATCH"] = "4096"  # force multiple staged batches
+    try:
+        graph = construct_graph(sim.fasta, sim.vcf, f"{cfg.chrom}:1-9000", use_index=True)
+        index = index_graph(graph)
+        region = GenomicRegion.parse(f"{cfg.chrom}:1-9000")
+
+        def run(mode):
+            old = current_options()
+            set_options(replace(old, device_align=mode, streaming_caller="on"))
+            try:
+                native_caller.device_align_stats()
+                r = native_caller.run_native_call_pool_stream(
+                    graph, index, sim.sams, region, batch_records=4096
+                )
+                assert r is not None
+                sample_names, scorer, n_rec, n_dup, _ = r
+                scorer.finalize()
+                return (scorer, n_rec, n_dup), native_caller.device_align_stats()
+            finally:
+                set_options(old)
+
+        (sc_on, rec_on, dup_on), (clean, fb, bad) = run("verify")
+        assert clean > 0 and bad == 0, f"clean={clean} bad={bad}"
+        (sc_off, rec_off, dup_off), _ = run("off")
+        assert (rec_on, dup_on) == (rec_off, dup_off)
+        for sh, sd in zip(sc_off.sites, sc_on.sites):
+            for hh, hd in zip(sh.hap_samples, sd.hap_samples):
+                np.testing.assert_array_equal(hh.log_score, hd.log_score)
+                np.testing.assert_array_equal(hh.gt_coverage, hd.gt_coverage)
+    finally:
+        os.environ.pop("GT_STREAM_BATCH", None)
 
 
 def test_device_align_on_state_parity(tmp_path):
