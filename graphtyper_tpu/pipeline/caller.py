@@ -243,7 +243,6 @@ def call_pool(
         and _copts().device_scoring != "off"
         and not getattr(_copts(), "stats", "")
         and not getattr(_copts(), "primer_bedpe", "")
-        and scorer_mesh_key is None
         and region is not None
     ):
         from graphtyper_tpu.pipeline import native_caller as nc
@@ -277,6 +276,7 @@ def call_pool(
                     hq_reads=getattr(_copts(), "hq_reads", False),
                     avg_cov=sv_stream_cov,
                     stream_spill=stream_spill,
+                    mesh_key=scorer_mesh_key,
                 )
             if fast is None:
                 sv_avg_cov = None
@@ -296,6 +296,7 @@ def call_pool(
                     hq_reads=getattr(_copts(), "hq_reads", False),
                     avg_cov=sv_avg_cov,
                     ref_path=ref_path,
+                    mesh_key=scorer_mesh_key,
                 )
             if fast is not None:
                 sample_names, scorer, num_records, num_duplicated, fast_depth = fast

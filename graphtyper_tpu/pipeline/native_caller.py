@@ -431,6 +431,7 @@ def run_native_call_pool_bam(
     n_threads: int = 0,
     avg_cov: list | None = None,
     ref_path: str | None = None,
+    mesh_key: str | None = None,
 ):
     """Fully array-native pool call: BAM bytes go straight into C++ (decode +
     pool sort + dedup + pairing + extraction); no AlignedRead objects are
@@ -464,7 +465,7 @@ def run_native_call_pool_bam(
     from graphtyper_tpu.config import current_options
     from graphtyper_tpu.typer.scoring import SiteScorer
 
-    scorer = SiteScorer(graph, sample_names, hq_reads=hq_reads)
+    scorer = SiteScorer(graph, sample_names, hq_reads=hq_reads, mesh_key=mesh_key)
     if scorer.batcher is None:
         return None
 
@@ -959,6 +960,7 @@ def run_native_call_pool_stream(
     batch_records: int = 1 << 18,
     avg_cov: list | None = None,
     stream_spill: str | None = None,
+    mesh_key: str | None = None,
 ):
     """Bounded-memory pooled call: N BAM files merge through a C++ BGZF
     stream + heap (the reference's hts_parallel_reader design), fixed-size
@@ -1008,7 +1010,7 @@ def run_native_call_pool_stream(
     from graphtyper_tpu.typer.native_align import NativeAligner, seed_filter_handle
     from graphtyper_tpu.typer.scoring import SiteScorer
 
-    scorer = SiteScorer(graph, sample_names, hq_reads=hq_reads)
+    scorer = SiteScorer(graph, sample_names, hq_reads=hq_reads, mesh_key=mesh_key)
     if scorer.batcher is None:
         return None
     na = NativeAligner(graph, index)

@@ -102,3 +102,60 @@ def test_sharded_production_scoring_parity(tmp_path):
         s.hap_samples[0].log_score.max() > 0 or s.hap_samples[1].log_score.max() > 0
         for s in single.scorer.sites
     )
+
+
+def test_native_caller_composes_with_mesh_scorer(tmp_path):
+    """VERDICT r4 #3: the production native caller must run WITH the mesh
+    scorer (pipeline/caller.py no longer bypasses the fast path when a
+    scorer_mesh_key is registered); the sharded apply consumes the rows the
+    native loop emits. Asserts engagement, mesh routing, and bit parity."""
+    import numpy as np
+
+    from graphtyper_tpu.graph.build import construct_graph
+    from graphtyper_tpu.graph.coords import GenomicRegion
+    from graphtyper_tpu.index.build import index_graph
+    from graphtyper_tpu.ops.site_scoring import register_mesh
+    from graphtyper_tpu.parallel.mesh import make_mesh
+    from graphtyper_tpu.pipeline import native_caller as nc
+    from graphtyper_tpu.pipeline.caller import call_pool
+    from graphtyper_tpu.utils.simulate import SimConfig, simulate_cohort
+
+    if not nc.available():
+        pytest.skip("native library unavailable")
+
+    # out_format="bam": the native fast path takes BAM/CRAM bytes only
+    cfg = SimConfig(
+        region_length=4000, coverage=10.0, n_samples=2, seed=47, out_format="bam"
+    )
+    sim = simulate_cohort(str(tmp_path), cfg)
+    region_str = f"{cfg.chrom}:1-{cfg.region_length}"
+    graph = construct_graph(sim.fasta, sim.vcf, region_str, use_index=True)
+    index = index_graph(graph)
+    region = GenomicRegion.parse(region_str)
+
+    calls = []
+    orig = nc.run_native_call_pool_bam
+
+    def spy(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        calls.append((kwargs.get("mesh_key"), out is not None))
+        return out
+
+    single = call_pool(graph, index, sim.sams, region=region)
+    graph2 = construct_graph(sim.fasta, sim.vcf, region_str, use_index=True)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    key = register_mesh(mesh)
+    nc.run_native_call_pool_bam = spy
+    try:
+        sharded = call_pool(graph2, index, sim.sams, region=region, scorer_mesh_key=key)
+    finally:
+        nc.run_native_call_pool_bam = orig
+
+    # the native fast path engaged, received the mesh key, and succeeded
+    assert calls and calls[0] == (key, True), calls
+    assert sharded.scorer.batcher is not None
+    assert sharded.scorer.batcher.mesh_key == key
+    for a, b in zip(single.scorer.sites, sharded.scorer.sites):
+        for ha, hb in zip(a.hap_samples, b.hap_samples):
+            np.testing.assert_array_equal(ha.log_score, hb.log_score)
+            np.testing.assert_array_equal(ha.gt_coverage, hb.gt_coverage)
