@@ -309,9 +309,8 @@ def sw_secondary() -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
+    from graphtyper_tpu.ops.sw_rot import sw_align_rot
 
-    block_b, R = 128, 8
     B, M, N = 4096, 152, 256
     rng = np.random.default_rng(0)
     q = rng.integers(0, 4, (B, M)).astype(np.uint8)
@@ -328,9 +327,7 @@ def sw_secondary() -> float:
         @jax.jit
         def many(qd, ql, dd, dl):
             def body(c, i):
-                s, b, e = sw_align_pallas(
-                    jnp.roll(qd, i, axis=0), ql, dd, dl, block_b=block_b, rows_per_step=R
-                )
+                s, b, e = sw_align_rot(jnp.roll(qd, i, axis=0), ql, dd, dl)
                 return c + s.sum() + b.sum() + e.sum(), None
 
             return jax.lax.scan(body, jnp.int32(0), jnp.arange(n_steps))[0]

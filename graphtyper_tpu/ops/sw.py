@@ -10,8 +10,10 @@ The DP is vectorized across a batch of (query, database) pairs and across
 database positions; rows (query bases) are sequential. The within-row gap
 dependency resolves with the prefix-max trick:
     E(i,j) = max_k<=j-1 (H'(i,k) + k*ge) - go - (j-1)*ge
-which is exact for affine gaps when go >= ge. The same row-scan structure is
-what the Pallas TPU kernel (ops/sw_pallas.py) implements.
+which is exact for affine gaps when go >= ge. The production TPU kernel is
+the rotated-layout Pallas implementation (ops/sw_rot.py: batch across the
+vector register, database columns sequential, E/F as register carries);
+ops/sw_pallas.py keeps the earlier row-scan kernel for comparison benches.
 
 Returns per pair: score, database begin/end of the aligned span, and query
 clip lengths.
@@ -113,7 +115,7 @@ def align_batch(
             device = B >= 768 and _tpu_available()
     if device:
         try:
-            from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
+            from graphtyper_tpu.ops.sw_rot import sw_align_rot
 
             # shape bucketing: the query dim pads to 64-multiples (reads are
             # near-constant length) and the database dim geometrically
@@ -129,7 +131,7 @@ def align_batch(
                 raise _ShapeDisabled()
             q = queries if Mp == M else np.pad(queries, ((0, 0), (0, Mp - M)), constant_values=5)
             d = databases if Np == N else np.pad(databases, ((0, 0), (0, Np - N)), constant_values=5)
-            s, bg, en = sw_align_pallas(
+            s, bg, en = sw_align_rot(
                 q, q_lens, d, d_lens, match, mismatch, gap_open, gap_extend, clip
             )
             return SWResult(

@@ -1,9 +1,13 @@
-"""Microbench + hardware parity check for the Pallas SW kernel.
+"""Microbench + hardware parity check for the Pallas SW kernels.
 
 Times inside jit via lax.scan run-length differencing (per-call dispatch
 and readback over the axon tunnel would otherwise dominate), and checks
 score/begin/end parity against the host DP on random batches on the real
-device. Run from the repo root: python tools/bench_sw.py [block_b] [R].
+device. Run from the repo root:
+
+    python tools/bench_sw.py                # rotated kernel (production)
+    python tools/bench_sw.py --rot RB CU    # rotated kernel, custom blocking
+    python tools/bench_sw.py --row [bb] [R] # legacy row-scan kernel
 """
 
 import os
@@ -21,9 +25,30 @@ def main():
 
     from graphtyper_tpu.ops.sw import align_batch
     from graphtyper_tpu.ops.sw_pallas import sw_align_pallas
+    from graphtyper_tpu.ops.sw_rot import sw_align_rot
 
-    block_b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    argv = sys.argv[1:]
+    use_row = argv and argv[0] == "--row"
+    if use_row:
+        argv = argv[1:]
+    elif argv and argv[0] == "--rot":
+        argv = argv[1:]
+    if use_row:
+        block_b = int(argv[0]) if argv else 128
+        R = int(argv[1]) if len(argv) > 1 else 8
+
+        def kern(qd, ql, dd, dl):
+            return sw_align_pallas(qd, ql, dd, dl, block_b=block_b, rows_per_step=R)
+
+        label = f"row-scan kernel (block_b={block_b}, R={R})"
+    else:
+        rb = int(argv[0]) if argv else 4
+        cu = int(argv[1]) if len(argv) > 1 else 16
+
+        def kern(qd, ql, dd, dl):
+            return sw_align_rot(qd, ql, dd, dl, r_block=rb, col_unroll=cu)
+
+        label = f"rotated kernel (r_block={rb}, col_unroll={cu})"
     B, M, N = 4096, 152, 256
     rng = np.random.default_rng(0)
     q = rng.integers(0, 4, (B, M)).astype(np.uint8)
@@ -42,24 +67,21 @@ def main():
     print("backend:", jax.default_backend())
 
     # ---- parity on hardware ----
-    s, bg, en = sw_align_pallas(
-        jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(d), jnp.asarray(dlens),
-        block_b=block_b, rows_per_step=R,
+    s, bg, en = kern(
+        jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(d), jnp.asarray(dlens)
     )
     host = align_batch(q, qlens, d, dlens, device=False)
     np.testing.assert_array_equal(np.asarray(s), host.score)
     np.testing.assert_array_equal(np.asarray(bg), host.database_begin)
     np.testing.assert_array_equal(np.asarray(en), host.database_end)
-    print(f"parity OK on {B} alignments (block_b={block_b}, R={R})")
+    print(f"parity OK on {B} alignments: {label}")
 
     # ---- throughput: scan-differenced ----
     def make_many(n_steps):
         @jax.jit
         def many(qd, ql, dd, dl):
             def body(c, i):
-                s, b, e = sw_align_pallas(
-                    jnp.roll(qd, i, axis=0), ql, dd, dl, block_b=block_b, rows_per_step=R
-                )
+                s, b, e = kern(jnp.roll(qd, i, axis=0), ql, dd, dl)
                 return c + s.sum() + b.sum() + e.sum(), None
 
             return jax.lax.scan(body, jnp.int32(0), jnp.arange(n_steps))[0]
