@@ -153,6 +153,67 @@ def lr_pileup_scalar(reads, region_begin: int, ref_size: int, opts: Options) -> 
     return counts, qualsums
 
 
+def lr_snp_candidates(
+    total_counts: np.ndarray, total_qs: np.ndarray, ref_codes: np.ndarray
+) -> set[tuple[int, int]]:
+    """SNP candidates from merged qualsum gaps (caller.cpp:3246-3290),
+    vectorized over positions (per-position stable argsort of the 4 bases).
+    Gates: top base (first) needs bc>=3 and a qualsum gap >=30 over second
+    OR >=50 over third; the runner-up (second) needs bc>=4, gap >=50 over
+    third, and a STRICT >0.3 share of the total qualsum. Returns
+    {(region-local pos, base code)}."""
+    ref_size = total_qs.shape[0]
+    order = np.argsort(total_qs, axis=1, kind="stable")  # [L, 4] ascending
+    first = order[:, 3]
+    second = order[:, 2]
+    third = order[:, 1]
+    rows = np.arange(ref_size)
+    qs_f = total_qs[rows, first]
+    qs_s = total_qs[rows, second]
+    qs_t = total_qs[rows, third]
+    bc_f = total_counts[rows, first]
+    bc_s = total_counts[rows, second]
+    qsum = total_qs.sum(axis=1)
+    ref_ok = ref_codes[:ref_size] < 4
+    ref_idx_arr = np.where(ref_ok, ref_codes[:ref_size], 255).astype(np.int64)
+    cond1 = ref_ok & (first != ref_idx_arr) & (bc_f >= 3) & (
+        ((qs_f - qs_s) >= 30) | ((qs_f - qs_t) >= 50)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(qsum > 0, qs_s / np.maximum(qsum, 1), 0.0)
+    cond2 = ref_ok & (second != ref_idx_arr) & (bc_s >= 4) & ((qs_s - qs_t) >= 50) & (
+        qsum > 0
+    ) & (ratio > 0.3)
+    snp_events: set[tuple[int, int]] = set()
+    for p in np.nonzero(cond1)[0]:
+        snp_events.add((int(p), int(first[p])))
+    for p in np.nonzero(cond2)[0]:
+        snp_events.add((int(p), int(second[p])))
+    return snp_events
+
+
+def lr_pl_from_pileup(bc: np.ndarray, qs: np.ndarray, seq_b2i: list[int]) -> np.ndarray:
+    """PL triangle straight from one position's pileup (caller.cpp:3389-3423):
+    hom(y) = total_qs - qs[y]; het(x,y) = total_qs - qs[x] - qs[y]
+    + 3*(bc[x] + bc[y]); normalized so the best entry is 0, clamped 255."""
+    cnum = len(seq_b2i)
+    total_qualsum = int(qs.sum())
+    new_phred = np.zeros(cnum * (cnum + 1) // 2, dtype=np.int64)
+    i = 0
+    for y in range(cnum):
+        for x in range(y + 1):
+            if x == y:
+                new_phred[i] = total_qualsum - int(qs[seq_b2i[y]])
+            else:
+                xi, yi = seq_b2i[x], seq_b2i[y]
+                new_phred[i] = (
+                    total_qualsum - int(qs[xi]) - int(qs[yi]) + 3 * (int(bc[xi]) + int(bc[yi]))
+                )
+            i += 1
+    new_phred -= new_phred.min()
+    return np.minimum(new_phred, 255)
+
+
 def streamlined_lr_genotyping(
     hts_paths: list[str], ref_path: str, region_str: str, opts: Options | None = None
 ) -> VcfOutput:
@@ -190,40 +251,14 @@ def streamlined_lr_genotyping(
             counts_by_sample.append(counts)
             qs_by_sample.append(qs)
 
-    # SNP candidates from merged qualsum gaps (caller.cpp:3246-3290),
-    # vectorized over positions (per-position stable argsort of the 4 bases)
     total_counts = counts_by_sample[0].copy()
     for a in counts_by_sample[1:]:
         total_counts += a
     total_qs = qs_by_sample[0].copy()
     for a in qs_by_sample[1:]:
         total_qs += a
-    order = np.argsort(total_qs, axis=1, kind="stable")  # [L, 4] ascending
-    first = order[:, 3]
-    second = order[:, 2]
-    third = order[:, 1]
-    rows = np.arange(ref_size)
-    qs_f = total_qs[rows, first]
-    qs_s = total_qs[rows, second]
-    qs_t = total_qs[rows, third]
-    bc_f = total_counts[rows, first]
-    bc_s = total_counts[rows, second]
-    qsum = total_qs.sum(axis=1)
-    ref_ok = ref_codes[:ref_size] < 4
-    ref_idx_arr = np.where(ref_ok, ref_codes[:ref_size], 255).astype(np.int64)
-    cond1 = ref_ok & (first != ref_idx_arr) & (bc_f >= 3) & (
-        ((qs_f - qs_s) >= 30) | ((qs_f - qs_t) >= 50)
-    )
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = np.where(qsum > 0, qs_s / np.maximum(qsum, 1), 0.0)
-    cond2 = ref_ok & (second != ref_idx_arr) & (bc_s >= 4) & ((qs_s - qs_t) >= 50) & (
-        qsum > 0
-    ) & (ratio > 0.3)
-    snp_events: set[tuple[int, int]] = set()  # (region-local pos, base code)
-    for p in np.nonzero(cond1)[0]:
-        snp_events.add((int(p), int(first[p])))
-    for p in np.nonzero(cond2)[0]:
-        snp_events.add((int(p), int(second[p])))
+    # (region-local pos, base code)
+    snp_events = lr_snp_candidates(total_counts, total_qs, ref_codes)
 
     vcf = VcfOutput(sample_names=sample_names)
     by_pos: dict[int, list[int]] = {}
@@ -252,21 +287,7 @@ def streamlined_lr_genotyping(
                     call.coverage[seq_b2i.index(y)] += int(bc[y])
                 else:
                     call.ambiguous_depth += int(bc[y])
-            total_qualsum = int(qs.sum())
-            new_phred = np.zeros(cnum * (cnum + 1) // 2, dtype=np.int64)
-            i = 0
-            for y in range(cnum):
-                for x in range(y + 1):
-                    if x == y:
-                        new_phred[i] = total_qualsum - int(qs[seq_b2i[y]])
-                    else:
-                        xi, yi = seq_b2i[x], seq_b2i[y]
-                        new_phred[i] = (
-                            total_qualsum - int(qs[xi]) - int(qs[yi]) + 3 * (int(bc[xi]) + int(bc[yi]))
-                        )
-                    i += 1
-            new_phred -= new_phred.min()
-            call.phred = np.minimum(new_phred, 255)
+            call.phred = lr_pl_from_pileup(bc, qs, seq_b2i)
             variant.calls.append(call)
         variant.generate_infos(is_sv_graph=False)
         variant.infos.pop("MQ", None)
