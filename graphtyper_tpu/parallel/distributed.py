@@ -350,6 +350,24 @@ def genotype_distributed(
         index = index_graph(graph, seed_filter_donor=prev_index)
         prev_index = index
         _mark(f"graph_index_it{i}")
+        # rep-sharded align exchange (GT_REP_SHARD=1, parallel/rep_shard.py):
+        # hosts split the cohort's deduplicated oriented-sequence space, so
+        # the align stage divides ~linearly instead of replicating the
+        # near-constant rep set on every host
+        rep_oracle = None
+        if os.environ.get("GT_REP_SHARD", "") == "1" and n_hosts > 1:
+            from graphtyper_tpu.pipeline import native_caller as _nc
+            from graphtyper_tpu.pipeline.caller import SAM_FLAG_FILTER, split_pools
+            from graphtyper_tpu.parallel import rep_shard
+
+            if _nc.available():
+                my_seqs = rep_shard.local_row_seqs(
+                    split_pools(my_sams), padded, SAM_FLAG_FILTER, ref_path=ref_path
+                )
+                rep_oracle = rep_shard.build_oracle(
+                    graph, index, my_seqs, _allgather_bytes, n_hosts, host
+                )
+                _mark(f"rep_exchange_it{i}")
         result = call_pools(
             graph, index, my_sams,
             region=padded,
@@ -357,6 +375,7 @@ def genotype_distributed(
             is_writing_calls_vcf=is_last,
             is_writing_hap=not is_last,
             ref_path=ref_path,
+            rep_oracle=rep_oracle,
         )
         _mark(f"call_it{i}")
         if not is_last:

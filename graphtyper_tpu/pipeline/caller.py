@@ -226,6 +226,7 @@ def call_pool(
     ref_path: str | None = None,
     scorer_mesh_key: str | None = None,
     stream_spill: str | None = None,
+    rep_oracle=None,
 ) -> PoolResult:
     """parallel_reader_genotype_only for one pool of samples.
 
@@ -250,6 +251,10 @@ def call_pool(
         if nc.available():
             fast = None
             stream_mode = getattr(_copts(), "streaming_caller", "auto")
+            if rep_oracle is not None:
+                # rep-sharded mode imports external results through the prep's
+                # row numbering, which the streaming caller does not have
+                stream_mode = "off"
             use_stream = stream_mode == "on"
             if stream_mode == "auto" and all(p.endswith(".bam") for p in hts_paths):
                 # big pools stream (bounded RSS); small pools stay in-memory
@@ -297,6 +302,7 @@ def call_pool(
                     avg_cov=sv_avg_cov,
                     ref_path=ref_path,
                     mesh_key=scorer_mesh_key,
+                    rep_oracle=rep_oracle,
                 )
             if fast is not None:
                 sample_names, scorer, num_records, num_duplicated, fast_depth = fast
@@ -605,6 +611,21 @@ def _build_pool_result(
     )
 
 
+def split_pools(hts_paths: list[str]) -> list[list[str]]:
+    """The deterministic pool split call_pools uses: bounded by
+    max_files_open (caller.cpp:197-220) and sized down so every worker
+    thread gets a pool. Exposed so the rep-sharded distributed exchange
+    (parallel/rep_shard.py) preps exactly the pools the call will run."""
+    from graphtyper_tpu.config import current_options
+
+    opts = current_options()
+    pool_size = max(1, opts.max_files_open)
+    threads = max(1, getattr(opts, "threads", 1))
+    if threads > 1 and len(hts_paths) > 1:
+        pool_size = min(pool_size, max(1, -(-len(hts_paths) // threads)))
+    return [hts_paths[lo : lo + pool_size] for lo in range(0, len(hts_paths), pool_size)]
+
+
 def call_pools(
     graph,
     index: KmerIndex,
@@ -619,16 +640,10 @@ def call_pools(
     (caller.cpp:439-482). Single pool passes straight through."""
     from graphtyper_tpu.config import current_options
 
-    opts = current_options()
-    pool_size = max(1, opts.max_files_open)
-    # reference-style thread fan-out (caller.cpp:313-437): pools sized so
-    # every worker thread gets one, run concurrently (the native loop
-    # releases the GIL); multi-pool output is byte-identical to single-pool
-    threads = max(1, getattr(opts, "threads", 1))
-    if threads > 1 and len(hts_paths) > 1:
-        pool_size = min(pool_size, max(1, -(-len(hts_paths) // threads)))
-    if len(hts_paths) <= pool_size:
+    pools = split_pools(hts_paths)
+    if len(pools) <= 1:
         return call_pool(graph, index, hts_paths, **kw)
+    threads = max(1, getattr(current_options(), "threads", 1))
 
     import os
     import tempfile
@@ -637,8 +652,8 @@ def call_pools(
 
     own_tmp = tmp_dir is None
     tmp = tmp_dir or tempfile.mkdtemp(prefix="gt_pools_")
+    pool_size = len(pools[0])
     offsets = list(range(0, len(hts_paths), pool_size))
-    pools = [hts_paths[lo : lo + pool_size] for lo in offsets]
     # per-pool slices of the per-file coverage list (SV bins index by the
     # pool-local sample, which is the pool-local file here); SV reformat
     # runs per pool against its own samples' ReferenceDepth — the

@@ -100,6 +100,7 @@ def _setup_lib(lib) -> None:
         + [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 4  # index
         + [ctypes.c_void_p, ctypes.c_int32]  # cand bit words + nk_max
         + [ctypes.c_void_p, ctypes.c_int32]  # verdict rows + verify flag
+        + [ctypes.c_void_p] * 12  # ext rep results (rep-sharded mode)
         + [ctypes.c_int32] * 3  # n_samples hq_reads n_threads
         + [ctypes.c_void_p]  # seed filter
         + [_p64] * 5
@@ -252,6 +253,21 @@ class _PrepEntry:
             )
             self.kmers_dev = stage_kmers(hi, lo, valid)
         return self.kmers_dev
+
+    def fetch_row_seqs(self, lib):
+        """Per-row oriented sequence codes [n_rows, row_len] (pad 15) + row
+        lengths — the deduplicated align work units, used by the rep-sharded
+        distributed exchange (parallel/rep_shard.py) as the global keys."""
+        if getattr(self, "row_seqs", None) is None:
+            codes = np.zeros((self.n_rows, self.row_len), dtype=np.uint8)
+            lens = np.zeros(self.n_rows, dtype=np.int32)
+            lib.gt_prep_fetch_seqs(
+                self.handle,
+                codes.ctypes.data_as(ctypes.c_void_p),
+                lens.ctypes.data_as(ctypes.c_void_p),
+            )
+            self.row_seqs = (codes, lens)
+        return self.row_seqs
 
     def stage_tails_dev(self, lib):
         """Tail codes + row lengths for the device aligner; staged once and
@@ -432,6 +448,7 @@ def run_native_call_pool_bam(
     avg_cov: list | None = None,
     ref_path: str | None = None,
     mesh_key: str | None = None,
+    rep_oracle=None,
 ):
     """Fully array-native pool call: BAM bytes go straight into C++ (decode +
     pool sort + dedup + pairing + extraction); no AlignedRead objects are
@@ -551,15 +568,24 @@ def run_native_call_pool_bam(
             verd_ptr = ptr(verd_rows)
         else:
             verd_ptr = None
+        ext_ptrs = [None] * 12
+        ext_hold = None  # keep the arrays alive across the C call
+        if rep_oracle is not None:
+            codes, lens = entry.fetch_row_seqs(lib)
+            ext_hold = rep_oracle.resolve(codes, lens)
+            if ext_hold is not None:
+                ext_ptrs = [ptr(a) for a in ext_hold]
         handle = lib.gt_call_finish(
             entry.handle,
             *graph_site_index_args,
             cand_ptr, nk_max,
             verd_ptr, 1 if dal_mode == "verify" else 0,
+            *ext_ptrs,
             len(sample_names), 1 if hq_reads else 0, n_threads,
             seed_filter_handle(index, lib, n_threads),
             *outs,
         )
+        del ext_hold
     stats = _consume_call_result(
         lib, handle, scorer, len(sample_names), n_obs, n_xvals, n_conn, n_counts, n_touched
     )

@@ -230,6 +230,102 @@ class NativeAligner:
         self.lab_end = np.ascontiguousarray(index.label_end.astype(np.int64))
         self.lab_var = np.ascontiguousarray(index.label_var_id.astype(np.int64))
 
+    def align_rows_raw(self, seqs: list[bytes], n_threads: int = 0) -> dict:
+        """find_genotype_paths for each oriented row sequence (codes exactly
+        as given — no reverse complement, no pair geometry), returning the
+        serialized Geno table in the gt_align_fetch layout. This is the work
+        unit of the rep-sharded distributed exchange (parallel/rep_shard.py):
+        a host aligns its share of the cohort's deduplicated oriented
+        sequences and ships these arrays; gt_call_finish imports them so the
+        receiving host's align stage skips the walk for resolved rows."""
+        import ctypes as ct
+
+        lib = get_lib()
+        _setup_lib(lib)
+        n = len(seqs)
+        read_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in seqs], out=read_off[1:])
+        read_codes = (
+            np.frombuffer(b"".join(seqs), dtype=np.uint8).copy()
+            if n
+            else np.zeros(0, dtype=np.uint8)
+        )
+        flags = np.zeros(n, dtype=np.int32)  # unpaired: forward only
+        tlen = np.zeros(n, dtype=np.int32)
+        same_ref = np.ones(n, dtype=np.uint8)
+        if n_threads <= 0:
+            from graphtyper_tpu.io.native import native_thread_count
+
+            n_threads = native_thread_count()
+
+        n_paths = ct.c_int64()
+        n_sites = ct.c_int64()
+        n_nums = ct.c_int64()
+
+        def ptr(a):
+            return a.ctypes.data_as(ct.c_void_p)
+
+        handle = lib.gt_align_batch(
+            ptr(self.ref_order), ptr(self.ref_dna_start), ptr(self.ref_dna_len),
+            ptr(self.ref_var_first), len(self.ref_order), ptr(self.ref_arena),
+            ptr(self.var_order), ptr(self.var_dna_start), ptr(self.var_dna_len),
+            ptr(self.var_out_ref), len(self.var_order), ptr(self.var_arena),
+            ptr(self.sp_ref_reach), ptr(self.sp_actual), len(self.sp_ref_reach),
+            1 if self.graph.is_sv_graph else 0,
+            ptr(self.keys), len(self.keys), ptr(self.offsets),
+            ptr(self.lab_start), ptr(self.lab_end), ptr(self.lab_var),
+            ptr(read_codes), ptr(read_off), n,
+            ptr(flags), ptr(tlen), ptr(same_ref),
+            0, n_threads,
+            seed_filter_handle(self.index, lib, n_threads),
+            ct.byref(n_paths), ct.byref(n_sites), ct.byref(n_nums),
+        )
+        try:
+            path_count = np.zeros(2 * n, dtype=np.int32)
+            longest = np.zeros(2 * n, dtype=np.int32)
+            p_start = np.zeros(n_paths.value, dtype=np.int64)
+            p_end = np.zeros(n_paths.value, dtype=np.int64)
+            p_rsi = np.zeros(n_paths.value, dtype=np.int32)
+            p_rei = np.zeros(n_paths.value, dtype=np.int32)
+            p_mm = np.zeros(n_paths.value, dtype=np.int32)
+            p_nsites = np.zeros(n_paths.value, dtype=np.int32)
+            s_vorder = np.zeros(n_sites.value, dtype=np.int64)
+            s_ncount = np.zeros(n_sites.value, dtype=np.int32)
+            num_vals = np.zeros(n_nums.value, dtype=np.uint16)
+            rc = lib.gt_align_fetch(
+                handle,
+                ptr(path_count), ptr(longest),
+                ptr(p_start), ptr(p_end), ptr(p_rsi), ptr(p_rei), ptr(p_mm), ptr(p_nsites),
+                ptr(s_vorder), ptr(s_ncount), ptr(num_vals),
+            )
+            if rc != 0:
+                raise RuntimeError("gt_align_fetch failed")
+        finally:
+            lib.gt_align_free(handle)
+
+        # fwd-only alignment: odd (reverse) entries contribute zero paths, so
+        # the flat path arrays already hold exactly the fwd Genos in order
+        assert int(path_count[1::2].sum()) == 0
+        poff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(path_count[0::2], out=poff[1:])
+        soff = np.zeros(n_paths.value + 1, dtype=np.int64)
+        np.cumsum(p_nsites, out=soff[1:])
+        noff = np.zeros(n_sites.value + 1, dtype=np.int64)
+        np.cumsum(s_ncount, out=noff[1:])
+        return {
+            "longest": np.ascontiguousarray(longest[0::2]),
+            "poff": poff,
+            "p_start": p_start,
+            "p_end": p_end,
+            "p_rsi": p_rsi,
+            "p_rei": p_rei,
+            "p_mm": p_mm,
+            "soff": soff,
+            "s_vorder": s_vorder,
+            "noff": noff,
+            "nums": num_vals,
+        }
+
     def align_batch(
         self, reads, force_both: bool = False, n_threads: int = 0
     ) -> list[tuple[GenotypePaths, GenotypePaths]]:

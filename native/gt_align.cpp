@@ -2385,6 +2385,60 @@ struct VerdView {
   int32_t verify;
 };
 
+// Externally-computed rep alignment results (rep-sharded distributed mode,
+// parallel/rep_shard.py): hosts split the cohort's deduplicated oriented
+// read-sequence space, align their share via gt_align_batch, allgather the
+// serialized Geno tables, and inject them here so the local align stage
+// skips find_genotype_paths for every resolved row. The serialization is
+// the gt_align_fetch layout, so import rebuilds the identical Geno (the
+// producing host ran the same pure function on the same bytes).
+struct ExtView {
+  const int64_t * row_ext;      // [n_rows] -> ext geno index or -1
+  const int32_t * g_longest;    // [n_ext]
+  const int64_t * g_poff;       // [n_ext + 1] path ranges
+  const int64_t * p_start;      // per path
+  const int64_t * p_end;
+  const int32_t * p_rsi;
+  const int32_t * p_rei;
+  const int32_t * p_mm;
+  const int64_t * p_soff;       // [n_paths + 1] site ranges
+  const int64_t * s_vorder;     // per site
+  const int64_t * s_noff;       // [n_sites + 1] num ranges
+  const uint16_t * nums;        // sorted unique allele values
+  const int64_t * rep_row_fwd;  // [n_reps] row or -1 (prep numbering)
+  const int64_t * rep_row_rc;
+};
+
+static bool geno_from_ext(const ExtView & E, int64_t row, Geno & g)
+{
+  if (row < 0)
+    return false;
+  int64_t e = E.row_ext[row];
+  if (e < 0)
+    return false;
+  g.longest = E.g_longest[e];
+  g.paths.reserve((size_t)(E.g_poff[e + 1] - E.g_poff[e]));
+  for (int64_t pi = E.g_poff[e]; pi < E.g_poff[e + 1]; ++pi)
+  {
+    Path p;
+    p.start = E.p_start[pi];
+    p.end = E.p_end[pi];
+    p.rsi = E.p_rsi[pi];
+    p.rei = E.p_rei[pi];
+    p.mismatches = E.p_mm[pi];
+    int64_t s_lo = E.p_soff[pi], s_hi = E.p_soff[pi + 1];
+    p.var_order.reserve((size_t)(s_hi - s_lo));
+    p.nums.reserve((size_t)(s_hi - s_lo));
+    for (int64_t si = s_lo; si < s_hi; ++si)
+    {
+      p.var_order.push_back(E.s_vorder[si]);
+      p.nums.emplace_back(E.nums + E.s_noff[si], E.nums + E.s_noff[si + 1]);
+    }
+    g.paths.push_back(std::move(p));
+  }
+  return true;
+}
+
 static std::atomic<int64_t> g_dal_clean{0}, g_dal_fallback{0}, g_dal_bad{0};
 
 static bool synth_geno_from_verdict(const GraphView & G, const int32_t * vr, int len, Geno & g)
@@ -2513,6 +2567,8 @@ static void * run_call_core(
   // precomputed dedup (optional; both or neither) and seed candidates
   const int64_t * reps_in, int64_t n_reps_in, const int64_t * rep_of_in,
   const CandView * cand, const SeedFilter * sf, const VerdView * verd,
+  // externally-computed rep results (rep-sharded distributed; nullable)
+  const ExtView * ext,
   // SV mode (nullable): is_good_sv_read verdicts + coverage bins + depth
   const SvCtx * sv,
   // out sizes
@@ -2537,7 +2593,10 @@ static void * run_call_core(
   std::vector<uint8_t> skip;  // SV: new-key reads rejected by their bin
   bool cov_filter = sv != nullptr && sv->avg_cov != nullptr;
   if (reps_in == nullptr || sv != nullptr)
+  {
     verd = nullptr;  // verdict rows are indexed by the PREP's rep ids
+    ext = nullptr;   // ext rows likewise
+  }
   if (reps_in == nullptr || sv != nullptr)
   {
     rep_of_own.assign(n_reads, -1);
@@ -2656,10 +2715,13 @@ static void * run_call_core(
             g_dal_clean.fetch_add(1, std::memory_order_relaxed);
             return true;
           };
-          if (!try_device(verd != nullptr ? verd->rep_row_fwd[q] : -1, codes, g1))
+          if (!(ext != nullptr && geno_from_ext(*ext, ext->rep_row_fwd[q], g1)) &&
+              !try_device(verd != nullptr ? verd->rep_row_fwd[q] : -1, codes, g1))
             find_genotype_paths(G, I, codes, len, g1, c1, sf);
           if (!proper_geometry || force_both)
           {
+            if (ext != nullptr && geno_from_ext(*ext, ext->rep_row_rc[q], g2))
+              continue;
             rcodes.resize(len);
             for (int i = 0; i < len; ++i)
               rcodes[i] = CODE_COMP[codes[len - 1 - i] & 15];
@@ -2842,7 +2904,7 @@ void * gt_call_pool(
     flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
     quals, qual_off, rg_idx,
     n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
-    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr,
+    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr, nullptr,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -2894,7 +2956,7 @@ void * gt_call_pool_sv(
     flags, mapq, tlen, same_ref, pos, score_diff, clipped_count,
     quals, qual_off, rg_idx,
     n_samples, sam_flag_filter, force_both, hq_reads, n_threads,
-    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr, &sv,
+    nullptr, 0, nullptr, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr, &sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3362,7 +3424,8 @@ static void * finish_from_prep(
   const uint64_t * keys, int64_t n_keys, const int64_t * offsets,
   const int64_t * lab_start, const int64_t * lab_end, const int64_t * lab_var,
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
-  const CandView * cand, const SeedFilter * sf, const VerdView * verd, const SvCtx * sv,
+  const CandView * cand, const SeedFilter * sf, const VerdView * verd, const ExtView * ext,
+  const SvCtx * sv,
   int64_t * out_n_obs, int64_t * out_n_xvals, int64_t * out_n_conn, int64_t * out_n_counts,
   int64_t * out_n_touched)
 {
@@ -3379,7 +3442,7 @@ static void * finish_from_prep(
     P.quals.data(), P.qual_off.data(),
     P.rg.data(),
     n_samples, P.sam_flag_filter, P.force_both, hq_reads, n_threads,
-    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand, sf, verd, sv,
+    P.reps.data(), (int64_t)P.reps.size(), P.rep_of.data(), cand, sf, verd, ext, sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3421,7 +3484,7 @@ void * gt_call_pool_bam(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr,
+    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr, nullptr,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3591,6 +3654,14 @@ void * gt_call_finish(
   // find_genotype_paths on clean rows too and counts divergences
   // (gt_device_align_stats); the host result wins on divergence.
   const int32_t * verd_rows, int32_t verd_verify,
+  // externally-computed rep results (rep-sharded distributed mode,
+  // gt_align_fetch layout; ext_row == null -> off). ext_row is [n_rows]
+  // (prep row numbering) -> index into the ext geno table or -1.
+  const int64_t * ext_row, const int32_t * ext_longest, const int64_t * ext_poff,
+  const int64_t * ext_p_start, const int64_t * ext_p_end,
+  const int32_t * ext_p_rsi, const int32_t * ext_p_rei, const int32_t * ext_p_mm,
+  const int64_t * ext_soff, const int64_t * ext_s_vorder,
+  const int64_t * ext_noff, const uint16_t * ext_nums,
   // options
   int32_t n_samples, int32_t hq_reads, int32_t n_threads,
   // optional seed filter handle from gt_seed_filter_build (nullable)
@@ -3600,6 +3671,15 @@ void * gt_call_finish(
   int64_t * out_n_touched)
 {
   PrepPool * P = (PrepPool *)prep;
+  ExtView ev;
+  ExtView * evp = nullptr;
+  if (ext_row != nullptr)
+  {
+    ev = {ext_row, ext_longest, ext_poff, ext_p_start, ext_p_end,
+          ext_p_rsi, ext_p_rei, ext_p_mm, ext_soff, ext_s_vorder,
+          ext_noff, ext_nums, P->rep_row_fwd.data(), P->rep_row_rc.data()};
+    evp = &ev;
+  }
   CandView cv;
   CandView * cvp = nullptr;
   if (cand_words != nullptr)
@@ -3622,7 +3702,7 @@ void * gt_call_finish(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, cvp, (const SeedFilter *)seed_filter, vvp, nullptr,
+    n_samples, hq_reads, n_threads, cvp, (const SeedFilter *)seed_filter, vvp, evp, nullptr,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
@@ -3663,7 +3743,7 @@ void * gt_call_finish_sv(
     sp_ref_reach, sp_actual, n_special,
     site_order, site_cnum, site_is_snp, n_sites,
     keys, n_keys, offsets, lab_start, lab_end, lab_var,
-    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr, &sv,
+    n_samples, hq_reads, n_threads, nullptr, (const SeedFilter *)seed_filter, nullptr, nullptr, &sv,
     out_n_obs, out_n_xvals, out_n_conn, out_n_counts, out_n_touched);
 }
 
