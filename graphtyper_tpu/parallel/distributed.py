@@ -361,11 +361,16 @@ def genotype_distributed(
             from graphtyper_tpu.parallel import rep_shard
 
             if _nc.available():
-                my_seqs = rep_shard.local_row_seqs(
-                    split_pools(my_sams), padded, SAM_FLAG_FILTER, ref_path=ref_path
-                )
+                union_key = (padded.to_string(), tuple(my_sams))
+                if rep_shard._LOCAL_CACHE.get(union_key) is None:
+                    my_seqs = rep_shard.local_row_seqs(
+                        split_pools(my_sams), padded, SAM_FLAG_FILTER, ref_path=ref_path
+                    )
+                else:  # reads are iteration-invariant: partition cached
+                    my_seqs = np.zeros((0, 0), dtype=np.uint8)
                 rep_oracle = rep_shard.build_oracle(
-                    graph, index, my_seqs, _allgather_bytes, n_hosts, host
+                    graph, index, my_seqs, _allgather_bytes, n_hosts, host,
+                    union_key=union_key,
                 )
                 _mark(f"rep_exchange_it{i}")
         result = call_pools(

@@ -132,14 +132,18 @@ def available() -> bool:
 # cohort pools hold many small shrunk files, whole-file inputs few big ones.
 _BYTES_CACHE: dict = {}
 _BYTES_CACHE_MAX_BYTES = 256 << 20
+_BYTES_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _cache_put(key, data) -> None:
-    _BYTES_CACHE[key] = data
-    total = sum(len(v) for v in _BYTES_CACHE.values())
-    while total > _BYTES_CACHE_MAX_BYTES and len(_BYTES_CACHE) > 1:
-        old = _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
-        total -= len(old)
+    # threaded callers (discovery's per-file extract pool) insert
+    # concurrently; the size sweep must not iterate a mutating dict
+    with _BYTES_CACHE_LOCK:
+        _BYTES_CACHE[key] = data
+        total = sum(len(v) for v in _BYTES_CACHE.values())
+        while total > _BYTES_CACHE_MAX_BYTES and len(_BYTES_CACHE) > 1:
+            old = _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
+            total -= len(old)
 
 
 def _bam_bytes(

@@ -82,43 +82,47 @@ def test_two_host_partition_parity(tmp_path):
     g1, i1 = build()
     base = call_pool(g1, i1, sim.sams, region=region)
 
+    import pickle
+
+    import numpy as _np
+
     g2, i2 = build()
     shard_a = sim.sams[:2]
     shard_b = sim.sams[2:]
-    seqs_a = rep_shard.local_row_seqs(split_pools(shard_a), region, SAM_FLAG_FILTER)
-    seqs_b = rep_shard.local_row_seqs(split_pools(shard_b), region, SAM_FLAG_FILTER)
-    # a real allgather delivers both hosts' payloads to each host; emulate it
-    # by synthesizing host 1's contribution per round (seq universe first,
-    # aligned table second)
-    import pickle
+    mat_a = rep_shard.local_row_seqs(split_pools(shard_a), region, SAM_FLAG_FILTER)
+    mat_b = rep_shard.local_row_seqs(split_pools(shard_b), region, SAM_FLAG_FILTER)
+    assert len(mat_a) and len(mat_b)
+
+    # synthesize host 1's allgather payload: digests of shard B's rows that
+    # host 1 owns (digest[:8] % 2 == 1), plus its aligned table
+    from graphtyper_tpu.typer.native_align import NativeAligner
+
+    seqs_b = rep_shard._rows_to_seqs(mat_b)
+    dig_b = rep_shard._digest_rows(seqs_b)
+    own_b = dig_b[:, :8].copy().view(_np.uint64).reshape(-1) % 2 == 1
+    mine_b = [s for s, o in zip(seqs_b, own_b) if o]
+    table_b = NativeAligner(g2, i2).align_rows_raw(mine_b)
+    payload_b = pickle.dumps(
+        (_np.ascontiguousarray(dig_b[own_b]), table_b),
+        protocol=pickle.HIGHEST_PROTOCOL,
+    )
 
     oracle_a = rep_shard.build_oracle(
-        g2, i2, seqs_a,
-        lambda b: [b, pickle.dumps(sorted(seqs_b))] if b == pickle.dumps(sorted(seqs_a))
-        else [b, _other_table(g2, i2, seqs_a, seqs_b)],
-        2, 0,
+        g2, i2, mat_a, lambda b: [b, payload_b], 2, 0
     )
-    # host 0's oracle must resolve host 0's rows completely (the union
-    # contains every row seq of both shards)
     shard = call_pool(g2, i2, shard_a, region=region, rep_oracle=oracle_a)
-    assert oracle_a.n_rows > 0 and oracle_a.n_resolved == oracle_a.n_rows
+    # host 0's own partition resolves always; shard-B-only seqs owned by
+    # host 1 resolve too, so coverage must beat the own-half floor — the
+    # unresolved remainder exercises the host-align fallback
+    assert oracle_a.n_rows > 0
+    assert 0.5 < oracle_a.n_resolved / oracle_a.n_rows < 1.0, (
+        oracle_a.n_resolved, oracle_a.n_rows
+    )
 
     # base state restricted to shard A's samples must agree
     g3, i3 = build()
     plain = call_pool(g3, i3, shard_a, region=region)
     _assert_state_equal(plain, shard)
-
-
-def _other_table(graph, index, seqs_a, seqs_b):
-    """host 1's aligned-table payload for the emulated exchange."""
-    import pickle
-
-    from graphtyper_tpu.typer.native_align import NativeAligner
-
-    union = sorted(set(seqs_a) | set(seqs_b))
-    mine = union[1::2]
-    table = NativeAligner(graph, index).align_rows_raw(mine)
-    return pickle.dumps(table)
 
 
 CHILD = r"""
