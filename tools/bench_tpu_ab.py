@@ -11,6 +11,10 @@ this host's documented time-window noise (STATUS.md honesty note):
               scoring flushes, native k-mer seeding)
   tpu-forced  TPU backend with device_seed=on and GT_HOST_APPLY_ROWS=0 so
               every scoring flush and the 97-probe seeding run on the chip
+  tpu-align   TPU backend with GT_DEVICE_ALIGN=on: the call iterations'
+              align stage dispatches the device verdict kernel per read
+              batch (ops/device_align.py) with clean rows skipping the
+              host seed+lattice+walk (VERDICT r4 #1)
 
 Each child process warms with one untimed full run (spawns the region pool,
 compiles all kernel shapes at the cohort's n_samples), then times one run.
@@ -127,6 +131,8 @@ def main() -> None:
             env = dict(os.environ)
             if variant == "tpu-forced":
                 env["GT_HOST_APPLY_ROWS"] = "0"
+            elif variant == "tpu-align":
+                env["GT_DEVICE_ALIGN"] = "on"
             cmd = [sys.executable, os.path.abspath(__file__), "--child", variant,
                    str(args.samples), str(args.kb), str(args.processes)]
             t0 = time.time()
