@@ -258,6 +258,13 @@ def _verdicts_impl(
     return out
 
 
+#: duty-cycle telemetry for the verdict kernel (rows dispatched + wall spent
+#: blocked on launch/collect), surfaced in $GT_SCORING_STATS lines as
+#: align_rows / align_wall_s (ops/site_scoring._write_scoring_stats)
+ALIGN_ROWS_DISPATCHED = 0
+ALIGN_WALL_S = 0.0
+
+
 class DeviceAligner:
     """Per-(graph, index) device alignment state: index + reference arrays
     stay in HBM for the lifetime of one call iteration."""
@@ -320,9 +327,16 @@ class DeviceAligner:
         """kmers_dev = (hi, lo, valid) [S, nk] device arrays; tails_dev
         [S, TAIL_PAD] uint8; lens_dev [S] int32 (all row-padded). Returns
         host int32 [n_rows, OUT_COLS]."""
+        import time
+
+        global ALIGN_ROWS_DISPATCHED, ALIGN_WALL_S
+        t0 = time.perf_counter()
         out = self.verdicts_async(kmers_dev, tails_dev, lens_dev, nk)
         out.block_until_ready()
-        return np.asarray(out)[:n_rows]
+        res = np.asarray(out)[:n_rows]
+        ALIGN_WALL_S += time.perf_counter() - t0
+        ALIGN_ROWS_DISPATCHED += n_rows
+        return res
 
 
 def stage_tails(tails: np.ndarray, lens: np.ndarray):

@@ -56,7 +56,8 @@ MATERIALIZE_WALL_S = 0.0
 
 
 _STATS_SNAPSHOT = {"host_rows": 0, "device_rows": 0, "device_wall_s": 0.0,
-                   "host_apply_wall_s": 0.0, "materialize_wall_s": 0.0, "h2d_bytes": 0}
+                   "host_apply_wall_s": 0.0, "materialize_wall_s": 0.0, "h2d_bytes": 0,
+                   "align_rows": 0, "align_wall_s": 0.0}
 
 
 def _write_scoring_stats() -> None:
@@ -64,10 +65,14 @@ def _write_scoring_stats() -> None:
     consumers can sum lines across processes without double counting."""
     import json
     import os
+    import sys
 
     path = os.environ.get("GT_SCORING_STATS")
     if not path:
         return
+    # verdict-kernel duty (ops/device_align counters); read lazily so the
+    # stats writer never forces that module (and its jax deps) to import
+    da = sys.modules.get("graphtyper_tpu.ops.device_align")
     now = {
         "host_rows": HOST_APPLY_ROWS,
         "device_rows": DEVICE_APPLY_ROWS,
@@ -75,6 +80,8 @@ def _write_scoring_stats() -> None:
         "host_apply_wall_s": HOST_APPLY_WALL_S,
         "materialize_wall_s": MATERIALIZE_WALL_S,
         "h2d_bytes": H2D_BYTES_SHIPPED,
+        "align_rows": da.ALIGN_ROWS_DISPATCHED if da else 0,
+        "align_wall_s": da.ALIGN_WALL_S if da else 0.0,
     }
     delta = {k: now[k] - _STATS_SNAPSHOT[k] for k in now}
     _STATS_SNAPSHOT.update(now)

@@ -1225,9 +1225,16 @@ def run_native_call_pool_stream(
                 if pending:
                     fut, vrows = pending.popleft()
                     if fut is not None:
+                        import time as _time
+
+                        from graphtyper_tpu.ops import device_align as _da
+
+                        _t0 = _time.perf_counter()
                         verd_keepalive = np.ascontiguousarray(
                             np.asarray(fut)[:vrows], dtype=np.int32
                         )
+                        _da.ALIGN_WALL_S += _time.perf_counter() - _t0
+                        _da.ALIGN_ROWS_DISPATCHED += vrows
                         verd_ptr = ptr(verd_keepalive)
                         verify = 1 if dal_mode == "verify" else 0
                 if spill_fail:

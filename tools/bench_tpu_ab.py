@@ -95,7 +95,8 @@ def child(variant: str, samples: int, kb: int, processes: int) -> None:
     os.environ.pop("GT_SCORING_STATS", None)
 
     md5, n_records = _md5_records(outs)
-    agg = {"host_rows": 0, "device_rows": 0, "device_wall_s": 0.0, "h2d_bytes": 0}
+    agg = {"host_rows": 0, "device_rows": 0, "device_wall_s": 0.0, "h2d_bytes": 0,
+           "align_rows": 0, "align_wall_s": 0.0}
     if os.path.exists(stats_f):
         for line in open(stats_f):
             d = json.loads(line)
@@ -151,7 +152,9 @@ def main() -> None:
             print(f"[{variant} rep{rep}] wall={got['wall_s']:.1f}s "
                   f"reads/s={got['reads_per_sec']:.0f} "
                   f"dev_rows={got['device_rows']} host_rows={got['host_rows']} "
-                  f"dev_wall={got['device_wall_s']:.2f}s md5={got['md5'][:8]}",
+                  f"dev_wall={got['device_wall_s']:.2f}s "
+                  f"align={got.get('align_rows', 0)}r/"
+                  f"{got.get('align_wall_s', 0.0):.1f}s md5={got['md5'][:8]}",
                   flush=True)
 
     md5s = {r["md5"] for r in results}
@@ -170,6 +173,10 @@ def main() -> None:
             "host_rows": max(r["host_rows"] for r in rs),
             "device_wall_s": round(statistics.median(r["device_wall_s"] for r in rs), 2),
             "h2d_mb": round(max(r["h2d_bytes"] for r in rs) / 1e6, 1),
+            "align_rows": max(r.get("align_rows", 0) for r in rs),
+            "align_wall_s": round(
+                statistics.median(r.get("align_wall_s", 0.0) for r in rs), 2
+            ),
         }
     print("GT_AB_SUMMARY " + json.dumps(summary), flush=True)
 
